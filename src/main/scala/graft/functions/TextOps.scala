@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a training-data pipeline, all built from
+  * codegen'd Spark built-ins (no UDFs): tokenization, token counting,
+  * quality scoring, stopword-based language ID, fingerprinting.
+  *
+  * Every function here has an exactly-equivalent ANSI-SQL formulation used
+  * by the DuckDB oracle in [[graft.SparkEntry.oracleSql]]; arithmetic is
+  * ordered identically so doubles match bit-for-bit.
+  */
+object TextOps {
+
+  /** Whitespace tokenization of trimmed text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: alnum runs + individual punctuation marks.
+    * (A real BPE needs a vocab; this regex is the standard pre-tokenizer.)
+    */
+  def bpeishTokenCount(c: Column): Column =
+    regexp_count(c, lit("[a-z0-9]+|[^a-z0-9\\s]"))
+
+  def punctCount(c: Column): Column =
+    regexp_count(c, lit("[^a-z0-9\\s]"))
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+
+  /** Tiny per-language stopword lists (public, standard closed-class words). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "est"),
+  )
+
+  def stopwordCount(c: Column, lang: String = "en"): Column =
+    hitCount(tokens(c), stopwords(lang))
+
+  def stopwordRatio(c: Column, lang: String = "en"): Column =
+    stopwordCount(c, lang).cast("double") / tokenCount(c).cast("double")
+
+  def avgWordLen(c: Column): Column = {
+    val toks = tokens(c)
+    aggregate(toks, lit(0.0), (acc, t) => acc + length(t).cast("double")) /
+      size(toks).cast("double")
+  }
+
+  /** Heuristic quality score in [0,1]: rewards reasonable length, some
+    * stopword density, and low punctuation density. Weights are fixed; the
+    * arithmetic order matches the SQL oracle exactly.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok   = tokenCount(c).cast("double")
+    val lenTerm = least(nTok / lit(100.0), lit(1.0))
+    val swTerm  = least(stopwordRatio(c, "en") * lit(5.0), lit(1.0))
+    val pRatio  = punctCount(c).cast("double") / greatest(nTok, lit(1.0))
+    val pTerm   = greatest(lit(1.0) - pRatio * lit(2.0), lit(0.0))
+    lenTerm * lit(0.4) + swTerm * lit(0.3) + pTerm * lit(0.3)
+  }
+
+  /** Stopword-vote language ID over {en,de,es,fr} + CJK-codepoint check for
+    * zh. Ties break in fixed order en > de > es > fr (a deterministic
+    * function, matched by the oracle's CASE chain).
+    */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    val en = hitCount(toks, stopwords("en"))
+    val de = hitCount(toks, stopwords("de"))
+    val es = hitCount(toks, stopwords("es"))
+    val fr = hitCount(toks, stopwords("fr"))
+    when(regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]")) > 0, "zh")
+      .when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Normalization for fingerprinting: lowercase, trim, collapse runs of
+    * whitespace to single spaces.
+    */
+  def normalized(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Exact-dup content fingerprint: md5 of normalized text. */
+  def fingerprintMd5(c: Column): Column = md5(normalized(c))
+
+  /** Character k-shingles of normalized text, distinct, via a codegen'd
+    * higher-order `transform` over `sequence` (no explode, no shuffle).
+    */
+  def charShingles(c: Column, k: Int): Column = {
+    val n = normalized(c)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
+        i => n.substr(i, lit(k))))
+  }
+
+  /** Word n-grams (space-joined), distinct. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(normalized(c))
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable relational operators beyond plain groupBy/join — each a
+  * composition of Spark built-ins that keeps one shuffle and stays inside
+  * WholeStageCodegen (no UDFs, no collect).
+  */
+object RelationalOps {
+
+  /** Latest row per key by event time, deterministic under ties via
+    * `tieBreaker`. Planned as a single shuffle on `keys` + partition-local
+    * sort (window), no join. For the 2-column case `max_by(value, ts)` is
+    * equivalent; the window form returns the whole row.
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], ts: Column, tieBreaker: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ts.desc, tieBreaker.desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** True top-k per group: shuffle on the group keys, per-partition sort,
+    * rank filter. (Global top-k should instead be `orderBy().limit(k)` →
+    * TakeOrderedAndProject.)
+    */
+  def topKPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int,
+      rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** Gap-based sessionization: one shuffle on `userCol`, two window passes
+    * over the same (user, ts) sort order — Spark reuses the sort. Emits the
+    * input plus a per-user `session_id` (0-based).
+    */
+  def sessionize(events: DataFrame, userCol: String, ts: Column, tieBreaker: Column,
+      gap: java.time.Duration): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(ts, tieBreaker)
+    val prev = lag(ts, 1).over(w)
+    val isNew = when(
+      prev.isNull || (unix_micros(ts) - unix_micros(prev)) > gap.toMillis * 1000L,
+      1L).otherwise(0L)
+    events
+      .withColumn("__new_session", isNew)
+      .withColumn("session_id",
+        sum(col("__new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .drop("__new_session")
+  }
+
+  /** As-of join specialized to event streams: for every row of `ofType`,
+    * the most recent strictly-earlier timestamp among rows of `fromType`
+    * with the same key. Implemented as union + one window pass (single
+    * shuffle on the key, no row explosion) instead of a range join —
+    * the shape that survives 100× scale-up.
+    */
+  def lastEventBefore(events: DataFrame, keyCol: String, tsCol: String, tieBreaker: Column,
+      typeCol: String, ofType: String, fromType: String, outCol: String): DataFrame = {
+    val w = Window
+      .partitionBy(keyCol)
+      .orderBy(col(tsCol), tieBreaker)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .filter(col(typeCol).isin(ofType, fromType))
+      .withColumn(outCol,
+        last(when(col(typeCol) === fromType, col(tsCol)), ignoreNulls = true).over(w))
+      .filter(col(typeCol) === ofType)
+  }
+}
