@@ -1,13 +1,62 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.multimodal.Multimodal
+import graft.queries.{RelationalQueries, TextQueries, VectorQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query inventory (each key has a matching DuckDB oracle unless the
+  * computation is not SQL-expressible — xxhash64 fingerprints, float-sum
+  * centroids, the mapPartitions media stub — which get rows-only checks):
+  *   - q01–q16: relational ops (SURVEY §2 A/P/T/U families + joins,
+  *     windows, sessionization, as-of, epoch-tumbling windows)
+  *   - q17–q25: text analysis + dedup (tokens/quality/langid, exact dedup,
+  *     MinHash+LSH near-dup, Jaccard verify, SimHash, winnowing)
+  *   - q26–q29: similarity search (brute cosine kNN, sign-LSH kNN,
+  *     vector stats, centroids)
+  *   - q30–q31: multimodal binary plumbing (metadata + stub decode)
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    RelationalQueries.queries("q10_join_agg")(spark, "/root/testdata/sf0.001")
+
+  private val multimodalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary column + metadata (oracle: octet_length + sha256 parity).
+    "q30_media_meta" -> ((s, d) => {
+      Multimodal.mediaTable(Tables.documents(s, d)).select(
+        col("doc_id"),
+        octet_length(col("bytes")).cast("long").as("n_bytes"),
+        sha2(col("bytes"), 256).as("digest"))
+    }),
+    // Stub decode → per-media features via per-partition batch iteration.
+    "q31_media_features" -> ((s, d) => {
+      Multimodal.extractFeatures(Multimodal.mediaTable(Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("entropy"), col("mode_byte"))
+    }),
+  )
+
+  private val multimodalOracle: Map[String, String] = Map(
+    "q30_media_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  sha256(text) AS digest
+        |FROM documents""".stripMargin,
+  )
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++ TextQueries.queries ++
+      VectorQueries.queries ++ multimodalQueries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys → driver records a weaker
+    * rows-only check (q24/q25: xxhash64; q29: float-sum order; q31: stub).
+    */
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracleSql ++ TextQueries.oracleSql ++
+      VectorQueries.oracleSql ++ multimodalOracle
 }

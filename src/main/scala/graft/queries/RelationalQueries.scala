@@ -1,0 +1,271 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.RelationalOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+/** Relational operator inventory (SURVEY.md §2) phrased over the driver
+  * testdata so DuckDB can oracle every query.
+  *
+  * Float-parity rules used throughout (so Spark and DuckDB hash-match):
+  *   - sums of integer-valued doubles (l_quantity) are exact — no rounding;
+  *   - money columns are exact 2-decimal — `round(sum(x), 2)` lands both
+  *     engines on the double nearest the true decimal sum (error ~1e-9 vs
+  *     boundary distance 5e-3); products with discounts are 4-decimal →
+  *     `round(, 4)`;
+  *   - event timestamps carry nanoseconds (Spark truncates to micros on
+  *     read, DuckDB keeps ns) → always surface them as `unix_micros` /
+  *     `epoch_us` bigints, never raw.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A1/A2 + P3: grouped conditional aggregation, one shuffle, map-side combine.
+    "q01_cond_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("sum_disc_price"),
+          coalesce(sum(when(col("l_returnflag") === "R", col("l_quantity"))), lit(0.0))
+            .as("returned_qty"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // P1: Monday-based week truncation + weekly rollup.
+    "q02_week_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(date_trunc("week", col("l_shipdate")).cast(DateType).as("week"))
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+    }),
+
+    // A3: argmax (latest value per key) — single shuffle, no join, no window.
+    "q03_argmax" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          max_by(col("value"), col("ts")).as("last_value"),
+          unix_micros(max(col("ts"))).as("last_ts_us"))
+    }),
+
+    // A4: star-schema rollup through two broadcast dims (no shuffle on dims).
+    "q04_broadcast_join" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("c_acctbal")), 2).as("acctbal_sum"))
+    }),
+
+    // A5: filter + group — predicate pushed to the parquet scan.
+    "q05_filter_group" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy("o_custkey")
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          max(col("o_orderdate")).as("last_order"))
+    }),
+
+    // T1: global top-k → TakeOrderedAndProject (no full sort at scale).
+    "q06_topk" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // T2: rank over a per-key aggregate (ties share rank — deterministic set).
+    "q07_rank_window" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", rank().over(Window.orderBy(col("cnt").desc)).cast("long"))
+        .filter(col("rnk") <= 5)
+    }),
+
+    // A7: pivot — one shuffle, pivoted columns fixed up-front (no extra pass).
+    "q08_pivot" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .count()
+        .na.fill(0L)
+    }),
+
+    // U1: union-all of same-schema branches with a discriminator column.
+    "q09_union" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val hi = o.filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"), col("o_totalprice"), lit("high").as("bucket"))
+      val lo = o.filter(col("o_totalprice") < 5000.0)
+        .select(col("o_orderkey"), col("o_totalprice"), lit("low").as("bucket"))
+      hi.unionByName(lo)
+    }),
+
+    // Fact-fact shuffle join + rollup (headline bench query).
+    "q10_join_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"))
+    }),
+
+    // Left-semi join: existence probe without row duplication.
+    "q11_semi_join" -> ((s, d) => {
+      val open = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+      Tables.customer(s, d)
+        .join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // Left-anti join: customers with no completed ('F') orders.
+    "q12_anti_join" -> ((s, d) => {
+      val done = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      Tables.customer(s, d)
+        .join(done, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // Window lag: per-user event-to-event delta (one shuffle on user_id).
+    "q13_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(
+          col("event_id"), col("user_id"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+    }),
+
+    // Gap-based sessionization (30-min inactivity) → per-user session stats.
+    "q14_sessionize" -> ((s, d) => {
+      RelationalOps.sessionize(
+          Tables.events(s, d), "user_id", col("ts"), col("event_id"),
+          java.time.Duration.ofMinutes(30))
+        .groupBy("user_id")
+        .agg(
+          (max(col("session_id")) + 1).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // As-of join: last click strictly before each purchase, same user.
+    "q15_asof" -> ((s, d) => {
+      RelationalOps.lastEventBefore(
+          Tables.events(s, d), "user_id", "ts", col("event_id"),
+          "event_type", ofType = "purchase", fromType = "click",
+          outCol = "last_click_ts")
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("last_click_ts")).as("last_click_us"))
+    }),
+
+    // Epoch-aligned 7-day tumbling window (batch twin of the streaming agg).
+    "q16_event_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(
+          expr("(unix_seconds(ts) div 604800) * 604800").as("win_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("value_sum"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_cond_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |  coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'R'), 0.0) AS returned_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_week_agg" ->
+      """SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+        |  sum(l_quantity) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q03_argmax" ->
+      """SELECT event_type, max_by(value, ts) AS last_value,
+        |  epoch_us(max(ts)) AS last_ts_us
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q04_broadcast_join" ->
+      """SELECT r_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS acctbal_sum
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q05_filter_group" ->
+      """SELECT o_custkey, count(*) AS cnt, round(sum(o_totalprice), 2) AS total,
+        |  max(o_orderdate) AS last_order
+        |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey""".stripMargin,
+    "q06_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q07_rank_window" ->
+      """SELECT o_custkey, cnt, rnk FROM (
+        |  SELECT o_custkey, count(*) AS cnt,
+        |    rank() OVER (ORDER BY count(*) DESC) AS rnk
+        |  FROM orders GROUP BY o_custkey)
+        |WHERE rnk <= 5""".stripMargin,
+    "q08_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q09_union" ->
+      """SELECT o_orderkey, o_totalprice, 'high' AS bucket FROM orders WHERE o_totalprice > 400000.0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, 'low' AS bucket FROM orders WHERE o_totalprice < 5000.0""".stripMargin,
+    "q10_join_agg" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q11_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
+    "q12_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "q13_window_lag" ->
+      """SELECT event_id, user_id,
+        |  value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        |FROM events""".stripMargin,
+    "q14_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT user_id,
+        |  count(*) FILTER (WHERE prev IS NULL
+        |    OR date_diff('microsecond', prev, ts) > 1800000000) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM x GROUP BY user_id""".stripMargin,
+    "q15_asof" ->
+      """WITH pc AS (SELECT * FROM events WHERE event_type IN ('purchase', 'click')),
+        |w AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+        |  FROM pc)
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  epoch_us(last_click_ts) AS last_click_us
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    "q16_event_window" ->
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 604800) * 604800 AS win_start,
+        |  event_type, count(*) AS cnt, round(sum(value), 2) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+  )
+}

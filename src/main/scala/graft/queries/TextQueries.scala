@@ -1,0 +1,217 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFingerprints, TextOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication inventory over the `documents` table:
+  * token/quality/language stats, exact dedup, MinHash+LSH near-dup with
+  * Jaccard verification, SimHash and winnowing fingerprints.
+  *
+  * All oracle-checked queries use only per-row deterministic arithmetic
+  * (integer counts, single divisions, lexicographic mins of md5 hex) so
+  * DuckDB reproduces values bit-for-bit. SimHash/winnow use xxhash64 —
+  * not expressible in DuckDB → registered without an oracle (rows-only
+  * check), with ScalaTest property coverage instead.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** MinHash signature column for seed `i`: lexicographic min of
+    * md5(seed || shingle) over character 8-shingles of normalized text.
+    * Built from codegen'd higher-order functions — no explode, no shuffle;
+    * the signature is one narrow pass however large the corpus is.
+    */
+  private def minhashSig(text: Column, seed: Int, k: Int = 8): Column = {
+    val n = TextOps.normalized(text)
+    array_min(
+      transform(
+        sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
+        i => md5(concat(lit(seed.toString), n.substr(i, lit(k))))))
+  }
+
+  private def sigs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      minhashSig(col("text"), 0).as("sig0"),
+      minhashSig(col("text"), 1).as("sig1"),
+      minhashSig(col("text"), 2).as("sig2"),
+      minhashSig(col("text"), 3).as("sig3"))
+
+  /** LSH banding (4 bands × 1 row): candidate pairs agree on ≥1 signature.
+    * One shuffle on (band, sig) — the scale path: no all-pairs comparison.
+    */
+  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+    val bands = sigs(s, d).select(
+      col("doc_id"),
+      posexplode(array(col("sig0"), col("sig1"), col("sig2"), col("sig3")))
+        .as(Seq("band", "sig")))
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Token counting + punctuation + stopword ratio (single divisions only).
+    "q17_text_stats" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
+        TextOps.punctCount(col("text")).cast("long").as("n_punct"),
+        TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextOps.avgWordLen(col("text")).as("avg_word_len"))
+    }),
+
+    // Stopword-vote language ID (deterministic tie order en>de>es>fr).
+    "q18_lang_id" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+    }),
+
+    // Heuristic quality score — arithmetic order mirrored in the oracle.
+    "q19_quality" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+    }),
+
+    // Exact dedup: md5 fingerprint of normalized text → canonical doc + count.
+    "q20_dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(TextOps.fingerprintMd5(col("text")).as("fingerprint"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("cnt"))
+    }),
+
+    // MinHash signatures (4 hashes, char-8 shingles).
+    "q21_minhash_sig" -> ((s, d) => sigs(s, d)),
+
+    // LSH candidate near-dup pairs.
+    "q22_neardup_pairs" -> ((s, d) => candidatePairs(s, d)),
+
+    // Exact char-shingle Jaccard over the LSH candidates (verification step).
+    "q23_jaccard" -> ((s, d) => {
+      val sh = Tables.documents(s, d).select(
+        col("doc_id"), TextOps.charShingles(col("text"), 8).as("sh"))
+      candidatePairs(s, d)
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .select(
+          col("doc_a"), col("doc_b"),
+          size(filter(col("sh_a"), x => array_contains(col("sh_b"), x))).as("inter"),
+          size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double"))
+        .select("doc_a", "doc_b", "jaccard")
+    }),
+
+    // SimHash64 via custom codegen'd Catalyst expression (no SQL oracle).
+    "q24_simhash" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFingerprints.simhash64(TextOps.tokens(TextOps.normalized(col("text"))))
+          .as("simhash"))
+    }),
+
+    // Winnowing fingerprint (SIGMOD'03) via custom expression (no oracle).
+    "q25_winnow" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFingerprints.winnowFingerprint(TextOps.normalized(col("text")), 8, 16)
+          .as("fingerprint"))
+    }),
+  )
+
+  private val normSql =
+    raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+  private def sigSql(seed: Int): String =
+    raw"""list_min(list_transform(
+         |    generate_series(1, greatest(length($normSql) - 7, 1)),
+         |    i -> md5('$seed' || substr($normSql, i, 8))))""".stripMargin
+  private val sigsSql =
+    s"""SELECT doc_id,
+       |  ${sigSql(0)} AS sig0, ${sigSql(1)} AS sig1,
+       |  ${sigSql(2)} AS sig2, ${sigSql(3)} AS sig3
+       |FROM documents""".stripMargin
+  private val pairsSql =
+    s"""WITH sigs AS ($sigsSql),
+       |e AS (
+       |  SELECT doc_id, 0 AS band, sig0 AS sig FROM sigs UNION ALL
+       |  SELECT doc_id, 1, sig1 FROM sigs UNION ALL
+       |  SELECT doc_id, 2, sig2 FROM sigs UNION ALL
+       |  SELECT doc_id, 3, sig3 FROM sigs)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM e a JOIN e b ON a.band = b.band AND a.sig = b.sig
+       |  AND a.doc_id < b.doc_id""".stripMargin
+
+  private val stopEn = TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
+  private def hitsSql(lang: String): String = {
+    val words = TextOps.stopwords(lang).map(w => s"'$w'").mkString(", ")
+    raw"len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ($words)))"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q17_text_stats" ->
+      raw"""SELECT doc_id,
+           |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           |  len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS n_bpeish,
+           |  len(regexp_extract_all(text, '[^a-z0-9\s]')) AS n_punct,
+           |  CAST($stopwordCountSql AS DOUBLE)
+           |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS stopword_ratio,
+           |  list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+           |      x -> CAST(length(x) AS DOUBLE)))
+           |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS avg_word_len
+           |FROM documents""".stripMargin,
+    "q18_lang_id" ->
+      s"""SELECT doc_id,
+         |  CASE
+         |    WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+         |    WHEN ${hitsSql("en")} >= ${hitsSql("de")}
+         |     AND ${hitsSql("en")} >= ${hitsSql("es")}
+         |     AND ${hitsSql("en")} >= ${hitsSql("fr")} THEN 'en'
+         |    WHEN ${hitsSql("de")} >= ${hitsSql("es")}
+         |     AND ${hitsSql("de")} >= ${hitsSql("fr")} THEN 'de'
+         |    WHEN ${hitsSql("es")} >= ${hitsSql("fr")} THEN 'es'
+         |    ELSE 'fr'
+         |  END AS lang_pred
+         |FROM documents""".stripMargin,
+    "q19_quality" ->
+      raw"""SELECT doc_id,
+           |  least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+           |  + least((CAST($stopwordCountSql AS DOUBLE)
+           |      / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)) * 5.0, 1.0) * 0.3
+           |  + greatest(1.0 - (CAST(len(regexp_extract_all(text, '[^a-z0-9\s]')) AS DOUBLE)
+           |      / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)) * 2.0,
+           |      0.0) * 0.3 AS quality
+           |FROM documents""".stripMargin,
+    "q20_dedup_exact" ->
+      s"""SELECT md5($normSql) AS fingerprint, min(doc_id) AS canonical_id,
+         |  count(*) AS cnt
+         |FROM documents GROUP BY 1""".stripMargin,
+    "q21_minhash_sig" -> sigsSql,
+    "q22_neardup_pairs" -> pairsSql,
+    "q23_jaccard" ->
+      s"""WITH pairs AS ($pairsSql),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(length($normSql) - 7, 1)),
+         |    i -> substr($normSql, i, 8))) AS sh
+         |  FROM documents)
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         |  / CAST(len(a.sh) + len(b.sh)
+         |      - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jaccard
+         |FROM pairs
+         |JOIN sh a ON a.doc_id = pairs.doc_a
+         |JOIN sh b ON b.doc_id = pairs.doc_b""".stripMargin,
+  )
+
+  private lazy val stopwordCountSql =
+    raw"len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ($stopEn)))"
+}

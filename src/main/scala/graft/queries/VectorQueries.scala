@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorOps
+import graft.operators.RelationalOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`array<float>` × 64).
+  *
+  * q26 is the exact baseline: brute-force cosine top-k for a small query
+  * set (broadcast) — O(Q·N) but embarrassingly parallel, no shuffle until
+  * the final per-query top-k. q27 is the scale path: sign-LSH bucketing
+  * (16 fixed hyperplanes, seed 42) so each query only scores its bucket —
+  * the candidate join shuffles on the bucket key and survives 100× data.
+  */
+object VectorQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val nQueries = 10
+  private val topK     = 5
+
+  /** Deterministic hyperplanes for sign-LSH (fixed seed — no Date/Random
+    * at query time; same planes every run).
+    */
+  private[queries] val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(16, 64)(rnd.nextGaussian())
+  }
+
+  private def bucketCol(emb: org.apache.spark.sql.Column) = {
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      when(VectorOps.dot(emb, typedlit(p.toSeq)) > 0.0, lit(1L << j)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  private def knnFrom(base: DataFrame, queries: DataFrame): DataFrame = {
+    val scored = base
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"), col("vec_id").as("neighbor_id"),
+        VectorOps.cosine(col("qe"), col("embedding")).as("cosine"))
+    RelationalOps.topKPerGroup(
+        scored, Seq("q_id"), Seq(col("cosine").desc, col("neighbor_id").asc), topK,
+        rankCol = "rnk")
+      .withColumn("rnk", col("rnk").cast("long"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact brute-force cosine kNN (oracle-checked baseline).
+    "q26_knn_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs  = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      knnFrom(emb, qs)
+    }),
+
+    // Approximate kNN: score only same-LSH-bucket candidates (scale path).
+    "q27_knn_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("bucket", bucketCol(col("embedding")))
+      val qs = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("bucket"))
+      val scored = emb
+        .join(broadcast(qs), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(
+          col("q_id"), col("vec_id").as("neighbor_id"),
+          VectorOps.cosine(col("qe"), col("embedding")).as("cosine"))
+      RelationalOps.topKPerGroup(
+          scored, Seq("q_id"), Seq(col("cosine").desc, col("neighbor_id").asc), topK,
+          rankCol = "rnk")
+        .withColumn("rnk", col("rnk").cast("long"))
+    }),
+
+    // Per-row vector stats (array access + deterministic norm).
+    "q28_embed_stats" -> ((s, d) => {
+      Tables.embeddings(s, d).select(
+        col("vec_id"), col("label").cast("int").as("label"),
+        element_at(col("embedding"), 1).cast("double").as("dim0"),
+        VectorOps.l2Norm(col("embedding")).as("l2_norm"))
+    }),
+
+    // Per-label centroid: one shuffle on (label, dim), rebuilt as an array.
+    // Float-sum order is partition-dependent → no SQL oracle (rows-only).
+    "q29_centroid" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(avg(col("v")).as("m"))
+        .groupBy("label")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+    }),
+  )
+
+  private val dotSql =
+    "list_sum(list_transform(list_zip(CAST(qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), p -> p[1] * p[2]))"
+  private def normSql(c: String) =
+    s"sqrt(list_sum(list_transform(CAST($c AS DOUBLE[]), x -> x * x)))"
+
+  val oracleSql: Map[String, String] = Map(
+    "q26_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < $nQueries),
+         |s AS (
+         |  SELECT q_id, e.vec_id AS neighbor_id,
+         |    CASE WHEN ${normSql("qe")} * ${normSql("e.embedding")} <> 0.0
+         |      THEN $dotSql / (${normSql("qe")} * ${normSql("e.embedding")}) END AS cosine
+         |  FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM s)
+         |SELECT q_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= $topK""".stripMargin,
+    "q28_embed_stats" ->
+      s"""SELECT vec_id, label,
+         |  CAST(embedding[1] AS DOUBLE) AS dim0,
+         |  ${normSql("embedding")} AS l2_norm
+         |FROM embeddings""".stripMargin,
+  )
+}

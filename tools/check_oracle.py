@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Self-check: mimic the driver's correctness gate.
+
+Usage: check_oracle.py <verify_out_dir> <sf_dir>
+
+Reads <out>/oracle_sql.json, runs each SQL in DuckDB with the sf tables
+registered as views, loads the matching Spark parquet dump, sorts columns by
+name and rows by all columns, and compares values exactly (reporting max
+float deviation when not exact).
+"""
+import sys, json, glob
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    key = df.astype(str)
+    order = key.sort_values(by=list(df.columns)).index
+    return df.loc[order].reset_index(drop=True)
+
+
+def main(outdir: str, sf: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    failures = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"{name}: MISSING spark output")
+            failures += 1
+            continue
+        spark_df = pd.concat([pd.read_parquet(p) for p in files], ignore_index=True)
+        try:
+            duck_df = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"{name}: ORACLE SQL ERROR: {e}")
+            failures += 1
+            continue
+        if sorted(spark_df.columns) != sorted(duck_df.columns):
+            print(f"{name}: COLUMN MISMATCH spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
+            failures += 1
+            continue
+        if len(spark_df) != len(duck_df):
+            print(f"{name}: ROW COUNT spark={len(spark_df)} duck={len(duck_df)}")
+            failures += 1
+            continue
+        a, b = canon(spark_df), canon(duck_df)
+        bad = []
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                av = av.astype(float); bv = bv.astype(float)
+                eq = (av.values == bv.values) | (av.isna().values & bv.isna().values)
+                if not eq.all():
+                    d = np.nanmax(np.abs(av.values - bv.values))
+                    bad.append(f"{c} (maxdiff={d:.3e}, n={int((~eq).sum())})")
+            else:
+                if "datetime" in str(av.dtype) or "datetime" in str(bv.dtype):
+                    av = pd.to_datetime(av).astype("datetime64[us]")
+                    bv = pd.to_datetime(bv).astype("datetime64[us]")
+                eq = (av.astype(str).values == bv.astype(str).values)
+                if not eq.all():
+                    i = int(np.argmax(~eq))
+                    bad.append(f"{c} (first: {av.iloc[i]!r} != {bv.iloc[i]!r}, n={int((~eq).sum())})")
+        if bad:
+            print(f"{name}: VALUE MISMATCH rows={len(a)}: " + "; ".join(bad))
+            failures += 1
+        else:
+            print(f"{name}: OK ({len(a)} rows)")
+    print(f"\n{'FAIL' if failures else 'PASS'}: {len(oracle) - failures}/{len(oracle)} oracle queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
