@@ -100,12 +100,18 @@ object TextOps {
         i => n.substr(i, lit(k))))
   }
 
-  /** Word n-grams (space-joined), distinct. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = tokens(normalized(c))
+  /** Word n-grams (space-joined), distinct. Prefer [[wordShinglesFromTokens]]
+    * over an already-projected token column in multi-stage pipelines:
+    * expressions inside higher-order lambdas don't participate in
+    * common-subexpression elimination, so an inline `split` here would be
+    * re-evaluated per shingle.
+    */
+  def wordShingles(c: Column, n: Int): Column =
+    wordShinglesFromTokens(tokens(normalized(c)), n)
+
+  def wordShinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(
       transform(
         sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
 }

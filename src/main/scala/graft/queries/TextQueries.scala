@@ -19,39 +19,58 @@ object TextQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** MinHash signature column for seed `i`: lexicographic min of
-    * md5(seed || shingle) over character 8-shingles of normalized text.
-    * Built from codegen'd higher-order functions — no explode, no shuffle;
-    * the signature is one narrow pass however large the corpus is.
+  /** MinHash signature: lexicographic min over the shingle set of one
+    * quarter of each shingle's md5 hex (the 128 md5 bits are uniform —
+    * each 8-hex-char quarter is an independent MinHash family member, so
+    * one md5 yields 4 signatures). Built from codegen'd higher-order
+    * functions — no explode, no shuffle; one narrow pass whatever the
+    * corpus size.
+    *
+    * Word 3-grams (not char shingles): on natural text char-8 background
+    * Jaccard between unrelated docs runs ~0.05-0.1, which floods r=1 LSH
+    * banding with false candidates (measured 14% of ALL pairs on the test
+    * corpus); word 3-grams sit at ≤0.03 and the r=2 bands below square it.
     */
-  private def minhashSig(text: Column, seed: Int, k: Int = 8): Column = {
-    val n = TextOps.normalized(text)
-    array_min(
-      transform(
-        sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
-        i => md5(concat(lit(seed.toString), n.substr(i, lit(k))))))
-  }
+  private def minhashSig(hashes: Column, quarter: Int): Column =
+    array_min(transform(hashes, h => substring(h, quarter * 8 + 1, 8)))
+
+  /** doc_id → distinct word-3-gram shingles, staged as real projections
+    * (tokens, then shingles) so the tokenizing split runs once per row —
+    * not once per lambda element (HOF lambdas are outside CSE).
+    */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        TextOps.wordShinglesFromTokens(col("toks"), 3).as("sh"))
 
   private def sigs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      minhashSig(col("text"), 0).as("sig0"),
-      minhashSig(col("text"), 1).as("sig1"),
-      minhashSig(col("text"), 2).as("sig2"),
-      minhashSig(col("text"), 3).as("sig3"))
+    shingled(s, d)
+      .select(col("doc_id"), transform(col("sh"), s => md5(s)).as("hs"))
+      .select(
+        col("doc_id"),
+        minhashSig(col("hs"), 0).as("sig0"),
+        minhashSig(col("hs"), 1).as("sig1"),
+        minhashSig(col("hs"), 2).as("sig2"),
+        minhashSig(col("hs"), 3).as("sig3"))
 
-  /** LSH banding (4 bands × 1 row): candidate pairs agree on ≥1 signature.
-    * One shuffle on (band, sig) — the scale path: no all-pairs comparison.
+  /** LSH banding, b=2 bands × r=2 rows: a candidate pair must agree on BOTH
+    * sigs of some band — collision probability j² per band (vs j for r=1),
+    * which keeps the candidate set near-linear on corpora with nonzero
+    * background similarity. One shuffle on (band, key); no all-pairs scan.
     */
   private def candidatePairs(s: SparkSession, d: String): DataFrame = {
     val bands = sigs(s, d).select(
       col("doc_id"),
-      posexplode(array(col("sig0"), col("sig1"), col("sig2"), col("sig3")))
-        .as(Seq("band", "sig")))
+      posexplode(array(
+        concat(col("sig0"), col("sig1")),
+        concat(col("sig2"), col("sig3"))))
+        .as(Seq("band", "key")))
     val a = bands.alias("a")
     val b = bands.alias("b")
     a.join(b,
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -94,16 +113,16 @@ object TextQueries {
     // LSH candidate near-dup pairs.
     "q22_neardup_pairs" -> ((s, d) => candidatePairs(s, d)),
 
-    // Exact char-shingle Jaccard over the LSH candidates (verification step).
+    // Exact word-3-gram Jaccard over the LSH candidates (verification step).
+    // array_intersect is hash-based (O(|a|+|b|) per pair, not O(|a|·|b|)).
     "q23_jaccard" -> ((s, d) => {
-      val sh = Tables.documents(s, d).select(
-        col("doc_id"), TextOps.charShingles(col("text"), 8).as("sh"))
+      val sh = shingled(s, d)
       candidatePairs(s, d)
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
         .select(
           col("doc_a"), col("doc_b"),
-          size(filter(col("sh_a"), x => array_contains(col("sh_b"), x))).as("inter"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
           size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
         .withColumn("jaccard",
           col("inter").cast("double") /
@@ -130,24 +149,27 @@ object TextQueries {
 
   private val normSql =
     raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
-  private def sigSql(seed: Int): String =
-    raw"""list_min(list_transform(
-         |    generate_series(1, greatest(length($normSql) - 7, 1)),
-         |    i -> md5('$seed' || substr($normSql, i, 8))))""".stripMargin
+  // Word 3-gram shingles of normalized text, distinct — mirrors
+  // TextOps.wordShingles(text, 3) index-for-index.
+  private val shinglesSql =
+    raw"""list_distinct(list_transform(
+         |    generate_series(1, greatest(len(string_split_regex(trim($normSql), '\s+')) - 2, 1)),
+         |    i -> array_to_string(list_slice(string_split_regex(trim($normSql), '\s+'), i, i + 2), ' ')))""".stripMargin
+  private def sigSql(quarter: Int): String =
+    s"list_min(list_transform(hs, h -> substr(h, ${quarter * 8 + 1}, 8)))"
   private val sigsSql =
     s"""SELECT doc_id,
        |  ${sigSql(0)} AS sig0, ${sigSql(1)} AS sig1,
        |  ${sigSql(2)} AS sig2, ${sigSql(3)} AS sig3
-       |FROM documents""".stripMargin
+       |FROM (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs
+       |  FROM (SELECT doc_id, $shinglesSql AS sh FROM documents))""".stripMargin
   private val pairsSql =
     s"""WITH sigs AS ($sigsSql),
        |e AS (
-       |  SELECT doc_id, 0 AS band, sig0 AS sig FROM sigs UNION ALL
-       |  SELECT doc_id, 1, sig1 FROM sigs UNION ALL
-       |  SELECT doc_id, 2, sig2 FROM sigs UNION ALL
-       |  SELECT doc_id, 3, sig3 FROM sigs)
+       |  SELECT doc_id, 0 AS band, sig0 || sig1 AS key FROM sigs UNION ALL
+       |  SELECT doc_id, 1, sig2 || sig3 FROM sigs)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM e a JOIN e b ON a.band = b.band AND a.sig = b.sig
+       |FROM e a JOIN e b ON a.band = b.band AND a.key = b.key
        |  AND a.doc_id < b.doc_id""".stripMargin
 
   private val stopEn = TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
@@ -198,15 +220,11 @@ object TextQueries {
     "q22_neardup_pairs" -> pairsSql,
     "q23_jaccard" ->
       s"""WITH pairs AS ($pairsSql),
-         |sh AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, greatest(length($normSql) - 7, 1)),
-         |    i -> substr($normSql, i, 8))) AS sh
-         |  FROM documents)
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents)
          |SELECT doc_a, doc_b,
-         |  CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |  / CAST(len(a.sh) + len(b.sh)
-         |      - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jaccard
+         |      - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
          |FROM pairs
          |JOIN sh a ON a.doc_id = pairs.doc_a
          |JOIN sh b ON b.doc_id = pairs.doc_b""".stripMargin,

@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   *
   * q26 is the exact baseline: brute-force cosine top-k for a small query
   * set (broadcast) — O(Q·N) but embarrassingly parallel, no shuffle until
-  * the final per-query top-k. q27 is the scale path: sign-LSH bucketing
-  * (16 fixed hyperplanes, seed 42) so each query only scores its bucket —
-  * the candidate join shuffles on the bucket key and survives 100× data.
+  * the final per-query top-k. q27 is the scale path: multi-table sign-LSH
+  * bucketing (4 tables × 8 fixed hyperplanes, seed 42) so each query only
+  * scores bucket-mates — the candidate join keys on (table, bucket) and
+  * survives 100× data.
   */
 object VectorQueries {
 
@@ -21,20 +22,31 @@ object VectorQueries {
   private val nQueries = 10
   private val topK     = 5
 
-  /** Deterministic hyperplanes for sign-LSH (fixed seed — no Date/Random
-    * at query time; same planes every run).
+  /** Deterministic hyperplanes for sign-LSH: `nTables` independent tables
+    * of `nBits` planes each (multi-table LSH — one 2^nBits bucketing alone
+    * has near-zero recall; OR-ing tables restores it). Fixed seed — same
+    * planes every run.
     */
-  private[queries] val planes: Array[Array[Double]] = {
+  private val nTables = 4
+  private val nBits   = 8
+  private[queries] val planes: Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(16, 64)(rnd.nextGaussian())
+    Array.fill(nTables, nBits, 64)(rnd.nextGaussian())
   }
 
-  private def bucketCol(emb: org.apache.spark.sql.Column) = {
-    val bits = planes.zipWithIndex.map { case (p, j) =>
+  /** Bucket id of one LSH table: sign pattern of `nBits` hyperplane dots. */
+  private def bucketCol(emb: org.apache.spark.sql.Column, table: Int) = {
+    val bits = planes(table).zipWithIndex.map { case (p, j) =>
       when(VectorOps.dot(emb, typedlit(p.toSeq)) > 0.0, lit(1L << j)).otherwise(0L)
     }
     bits.reduce(_ + _)
   }
+
+  private def withBuckets(df: DataFrame): DataFrame =
+    df.select(
+      col("*"),
+      posexplode(array((0 until nTables).map(t => bucketCol(col("embedding"), t)): _*))
+        .as(Seq("table", "bucket")))
 
   private def knnFrom(base: DataFrame, queries: DataFrame): DataFrame = {
     val scored = base
@@ -57,18 +69,21 @@ object VectorQueries {
       knnFrom(emb, qs)
     }),
 
-    // Approximate kNN: score only same-LSH-bucket candidates (scale path).
+    // Approximate kNN: score only candidates sharing an LSH bucket with the
+    // query in ≥1 of the 4 tables (scale path — no all-pairs scan).
     "q27_knn_lsh" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .withColumn("bucket", bucketCol(col("embedding")))
+      val emb = withBuckets(Tables.embeddings(s, d))
       val qs = emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-          col("bucket"))
+          col("table"), col("bucket"))
       val scored = emb
-        .join(broadcast(qs), Seq("bucket"))
+        .join(broadcast(qs), Seq("table", "bucket"))
         .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          col("qe"), col("embedding"))
+        .distinct() // a pair can collide in several tables — score once
         .select(
-          col("q_id"), col("vec_id").as("neighbor_id"),
+          col("q_id"), col("neighbor_id"),
           VectorOps.cosine(col("qe"), col("embedding")).as("cosine"))
       RelationalOps.topKPerGroup(
           scored, Seq("q_id"), Seq(col("cosine").desc, col("neighbor_id").asc), topK,

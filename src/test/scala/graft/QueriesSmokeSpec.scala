@@ -1,0 +1,28 @@
+package graft
+
+/** Every registered query runs at sf0.001 and (where it should) returns
+  * rows; oracle keys refer to existing queries. The value-level check is
+  * the driver's DuckDB oracle (tools/check_oracle.py locally).
+  */
+class QueriesSmokeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // q12 (anti-join) may legitimately return few rows; everything else >0.
+  test("all queries execute at sf0.001") {
+    val counts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sf).count()
+    }
+    val empty = counts.filter { case (n, c) => c == 0 && n != "q22_neardup_pairs" && n != "q23_jaccard" }
+    assert(empty.isEmpty, s"queries with zero rows: ${empty.map(_._1)}")
+  }
+
+  test("oracleSql keys are a subset of queries") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracle entries without a query: $unknown")
+  }
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,34 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorOpsSpec extends SparkSpec {
+
+  private def calc(a: Seq[Double], b: Seq[Double], f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Option[Double] = {
+    import spark.implicits._
+    Seq((a, b)).toDF("a", "b")
+      .select(f(col("a"), col("b")).as("r"))
+      .head match {
+        case r if r.isNullAt(0) => None
+        case r => Some(r.getDouble(0))
+      }
+  }
+
+  test("dot product accumulates left-to-right") {
+    assert(calc(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0), VectorOps.dot) === Some(32.0))
+  }
+
+  test("cosine of parallel vectors is 1, orthogonal is 0") {
+    assert(math.abs(calc(Seq(1.0, 2.0), Seq(2.0, 4.0), VectorOps.cosine).get - 1.0) < 1e-12)
+    assert(math.abs(calc(Seq(1.0, 0.0), Seq(0.0, 1.0), VectorOps.cosine).get) < 1e-12)
+  }
+
+  test("cosine with a zero vector is NULL, not NaN") {
+    assert(calc(Seq(0.0, 0.0), Seq(1.0, 2.0), VectorOps.cosine) === None)
+  }
+
+  test("l2Sq matches the squared euclidean distance") {
+    assert(calc(Seq(1.0, 2.0), Seq(4.0, 6.0), VectorOps.l2Sq) === Some(25.0))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class RelationalOpsSpec extends SparkSpec {
+  import java.time.Duration
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("latestPerKey returns the whole latest row, ties broken by tieBreaker") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", ts("2023-01-01 10:00:00"), 1L, 1.0),
+      ("a", ts("2023-01-01 11:00:00"), 2L, 2.0),
+      ("a", ts("2023-01-01 11:00:00"), 3L, 3.0), // tie on ts → id 3 wins
+      ("b", ts("2023-01-01 09:00:00"), 4L, 4.0),
+    ).toDF("k", "ts", "id", "v")
+    val out = RelationalOps.latestPerKey(df, Seq("k"), col("ts"), col("id"))
+      .select("k", "id").as[(String, Long)].collect().toMap
+    assert(out === Map("a" -> 3L, "b" -> 4L))
+  }
+
+  test("topKPerGroup keeps exactly k rows per group in order") {
+    import spark.implicits._
+    val df = (1 to 10).flatMap(i => Seq(("g1", i), ("g2", 100 - i))).toDF("g", "v")
+    val out = RelationalOps.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 3)
+      .select("g", "v").as[(String, Int)].collect().groupBy(_._1)
+    assert(out("g1").map(_._2).sorted.toSeq === Seq(8, 9, 10))
+    assert(out("g2").map(_._2).sorted.toSeq === Seq(97, 98, 99))
+  }
+
+  test("sessionize splits on gaps strictly greater than the threshold") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2023-01-01 10:00:00"), 1L),
+      (1L, ts("2023-01-01 10:29:00"), 2L), // same session (29 min)
+      (1L, ts("2023-01-01 10:59:00"), 3L), // same session (30 min exactly → not > gap)
+      (1L, ts("2023-01-01 11:29:01"), 4L), // new session  (30 min 1 s)
+      (2L, ts("2023-01-01 00:00:00"), 5L),
+    ).toDF("user_id", "ts", "event_id")
+    val out = RelationalOps
+      .sessionize(df, "user_id", col("ts"), col("event_id"), Duration.ofMinutes(30))
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("lastEventBefore finds the most recent strictly-earlier source event") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2023-01-01 10:00:00"), 1L, "click"),
+      (1L, ts("2023-01-01 10:05:00"), 2L, "view"),     // ignored type
+      (1L, ts("2023-01-01 10:10:00"), 3L, "purchase"), // ← click@10:00
+      (1L, ts("2023-01-01 10:20:00"), 4L, "click"),
+      (1L, ts("2023-01-01 10:30:00"), 5L, "purchase"), // ← click@10:20
+      (2L, ts("2023-01-01 10:00:00"), 6L, "purchase"), // ← null (no click)
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = RelationalOps.lastEventBefore(
+        df, "user_id", "ts", col("event_id"), "event_type",
+        ofType = "purchase", fromType = "click", outCol = "last_click")
+      .select(col("event_id"), col("last_click").cast("string"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out === Map(
+      3L -> Some("2023-01-01 10:00:00"),
+      5L -> Some("2023-01-01 10:20:00"),
+      6L -> None))
+  }
+}
