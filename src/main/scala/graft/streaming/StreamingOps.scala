@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators: event-time windowed aggregation with
+  * watermarks (the streaming twin of the batch weekly agg) and stateful
+  * gap-based sessionization via `flatMapGroupsWithState`.
+  *
+  * Everything here consumes any streaming DataFrame (`readStream` file
+  * source, Kafka, or MemoryStream in tests) — the transformations are
+  * source-agnostic, as Structured Streaming intends.
+  */
+object StreamingOps {
+
+  /** Monday-aligned weekly tumbling window. `window()` aligns its grid to
+    * the epoch (1970-01-01, a THURSDAY) — the 4-day `startTime` shifts the
+    * 7-day grid onto Mondays so results match `date_trunc("week", ts)`
+    * exactly (verified in StreamingOpsSpec).
+    */
+  def weeklyWindow(ts: Column): Column =
+    window(ts, "7 days", "7 days", "4 days")
+
+  /** Streaming weekly aggregate keyed like the batch trades pipeline
+    * (`graft.etl.Transform.weeklyAgg`): conditional buy/sell split in a
+    * single grouped pass. Watermark bounds state: windows older than
+    * `delayThreshold` past the max seen event time are finalized and
+    * dropped from the state store.
+    */
+  def weeklyTradesAgg(trades: DataFrame, delayThreshold: String = "7 days"): DataFrame = {
+    val isBuy  = col("side") === "buy"
+    val isSell = col("side") === "sell"
+    trades
+      .withWatermark("timestamp", delayThreshold)
+      .withColumn("total_volume", col("quantity") * col("price"))
+      .groupBy(
+        weeklyWindow(col("timestamp")).as("week"),
+        col("client_type"), col("user_id"), col("symbol"))
+      .agg(
+        coalesce(sum(when(isBuy, col("quantity"))), lit(0.0)).as("buy_qty"),
+        coalesce(sum(when(isSell, col("quantity"))), lit(0.0)).as("sell_qty"),
+        coalesce(sum(when(isBuy, col("total_volume"))), lit(0.0)).as("buy_value"),
+        coalesce(sum(when(isSell, col("total_volume"))), lit(0.0)).as("sell_value"),
+        sum("total_volume").as("total_volume"),
+        count("timestamp").as("trade_count"))
+      .withColumn("week_start_date", col("week.start").cast("date"))
+      .drop("week")
+  }
+
+  // ---- stateful sessionization ------------------------------------------
+
+  case class SessionEvent(user_id: Long, ts_micros: Long)
+
+  case class SessionState(start: Long, last: Long, events: Int)
+
+  case class SessionOut(
+      user_id: Long,
+      session_start_us: Long,
+      session_end_us: Long,
+      n_events: Int)
+
+  /** Gap-based sessionization over an unbounded stream: per-user state
+    * carries the open session; an event past the gap (or an event-time
+    * timeout once the watermark passes start+gap) closes it. Emits one row
+    * per CLOSED session — the streaming counterpart of
+    * [[graft.operators.RelationalOps.sessionize]].
+    */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapMicros: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(
+        userId: Long,
+        rows: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(_.ts_micros)
+      var cur    = state.getOption
+      val closed = Seq.newBuilder[SessionOut]
+
+      if (sorted.isEmpty) {
+        // event-time timeout: watermark passed last+gap → close the session
+        cur.foreach(st => closed += SessionOut(userId, st.start, st.last, st.events))
+        state.remove()
+      } else {
+        sorted.foreach { e =>
+          cur match {
+            case Some(st) if e.ts_micros - st.last <= gapMicros =>
+              cur = Some(st.copy(last = e.ts_micros, events = st.events + 1))
+            case Some(st) =>
+              closed += SessionOut(userId, st.start, st.last, st.events)
+              cur = Some(SessionState(e.ts_micros, e.ts_micros, 1))
+            case None =>
+              cur = Some(SessionState(e.ts_micros, e.ts_micros, 1))
+          }
+        }
+        cur.foreach { st =>
+          state.update(st)
+          state.setTimeoutTimestamp((st.last + gapMicros) / 1000L + 1L)
+        }
+      }
+      closed.result().iterator
+    }
+
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_micros")))
+      .withWatermark("event_time", "10 minutes")
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the plans we ship are the plans we designed —
+  * filters reach the parquet scan, scans are column-pruned, small dims
+  * broadcast, global top-k avoids a full sort, hot paths stay inside
+  * WholeStageCodegen. These are the properties that decide whether a query
+  * survives a 100×-1000× scale-up, checked at the plan level where they're
+  * visible regardless of data size.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String, mode: String = "formatted"): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString(mode))
+  }
+
+  test("q05: status filter is pushed to the parquet scan") {
+    val p = plan("q05_filter_group")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"), p)
+  }
+
+  test("q02: scan is pruned to the two referenced columns") {
+    val p = plan("q02_week_agg")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_shipdate:timestamp_ntz>"), p)
+  }
+
+  test("q04: both dimension joins broadcast (no shuffle on dims)") {
+    val p = plan("q04_broadcast_join")
+    assert(raw"\(\d+\) BroadcastHashJoin".r.findAllIn(p).size === 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q06: global top-k plans as TakeOrderedAndProject, not Sort+Limit") {
+    val p = plan("q06_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("GlobalSort"), p)
+  }
+
+  test("q10: fact-fact join has no cartesian product or nested loop") {
+    val p = plan("q10_join_agg")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q01: aggregation runs inside WholeStageCodegen with partial agg") {
+    val c = plan("q01_cond_agg", "codegen")
+    assert(c.contains("WholeStageCodegen subtrees"), c.take(200))
+    val p = plan("q01_cond_agg", "simple")
+    // partial (map-side) + final aggregate around one exchange
+    assert(p.contains("partial_sum"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q11/q12: semi and anti joins plan as real semi/anti joins") {
+    assert(plan("q11_semi_join").contains("LeftSemi"), plan("q11_semi_join"))
+    assert(plan("q12_anti_join").contains("LeftAnti"), plan("q12_anti_join"))
+  }
+
+  test("trades clean+agg: single shuffle for the 4-key aggregate") {
+    val raw   = graft.etl.TradesEtl.extract(spark, "/root/reference/trades (1) (2) (1).csv")
+    val clean = graft.etl.TradesEtl.clean(raw)
+    val agg   = graft.etl.Transform.weeklyAgg(graft.etl.Transform.withDerived(clean))
+    val p = agg.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingOpsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("weeklyWindow is Monday-aligned, matching date_trunc('week')") {
+    import spark.implicits._
+    val samples = Seq(
+      "2023-01-01 10:00:00", // Sunday → week of Mon 2022-12-26
+      "2022-12-26 00:00:00", // Monday boundary itself
+      "2023-04-01 22:30:00",
+      "1970-01-01 00:00:00", // epoch (a Thursday) → week of Mon 1969-12-29
+    ).map(ts)
+    val df = samples.toDF("t")
+    val out = df.select(
+      StreamingOps.weeklyWindow(col("t")).getField("start").cast("date").as("win"),
+      date_trunc("week", col("t")).cast("date").as("trunc"))
+    assert(out.filter(col("win") =!= col("trunc")).count() === 0)
+  }
+
+  test("streaming weekly agg equals the batch weekly agg on the same rows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val rows = Seq(
+      (ts("2023-01-01 10:00:00"), 1L, "gold", "AAPL", "buy", 2.0, 100.0),
+      (ts("2023-01-01 11:00:00"), 1L, "gold", "AAPL", "sell", 1.0, 110.0),
+      (ts("2023-01-03 10:00:00"), 2L, "bronze", "MSFT", "buy", 3.0, 200.0),
+      (ts("2022-12-30 10:00:00"), 1L, "gold", "AAPL", "buy", 5.0, 90.0),
+    )
+    val cols = Seq("timestamp", "user_id", "client_type", "symbol", "side", "quantity", "price")
+
+    val input = MemoryStream[(Timestamp, Long, String, String, String, Double, Double)]
+    val query = StreamingOps.weeklyTradesAgg(input.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("weekly_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+
+      val streamed = spark.table("weekly_stream")
+        .select("week_start_date", "client_type", "user_id", "symbol",
+          "buy_qty", "sell_qty", "total_volume", "trade_count")
+        .collect().map(_.toSeq).toSet
+
+      val batch = graft.etl.Transform.weeklyAgg(
+          graft.etl.Transform.withDerived(rows.toDF(cols: _*)))
+        .select("week_start_date", "client_type", "user_id", "symbol",
+          "buy_qty", "sell_qty", "total_volume", "trade_count")
+        .collect().map(_.toSeq).toSet
+
+      assert(streamed === batch)
+      // (2022-12-26, gold, 1, AAPL) — the Dec-30 and Jan-01 trades share the
+      // Monday-2022-12-26 week — plus (2023-01-02, bronze, 2, MSFT)
+      assert(streamed.size === 2)
+    } finally query.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap and keeps open ones") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val H = 3600L * 1000000L // one hour in micros
+    val input = MemoryStream[StreamingOps.SessionEvent]
+    val query = StreamingOps.sessionize(input.toDS(), gapMicros = 30L * 60 * 1000000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // session 1: three events 10 min apart
+      input.addData(
+        StreamingOps.SessionEvent(1L, 10 * H),
+        StreamingOps.SessionEvent(1L, 10 * H + 600000000L),
+        StreamingOps.SessionEvent(1L, 10 * H + 1200000000L))
+      query.processAllAvailable()
+      assert(spark.table("sessions").count() === 0) // still open
+
+      // an event 2h later closes session 1, opens session 2
+      input.addData(StreamingOps.SessionEvent(1L, 12 * H))
+      query.processAllAvailable()
+
+      val closed = spark.table("sessions")
+        .as[StreamingOps.SessionOut].collect()
+      assert(closed.length === 1)
+      assert(closed.head === StreamingOps.SessionOut(1L, 10 * H, 10 * H + 1200000000L, 3))
+    } finally query.stop()
+  }
+}
