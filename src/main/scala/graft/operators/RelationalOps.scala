@@ -50,6 +50,38 @@ object RelationalOps {
       .drop("__new_session")
   }
 
+  /** Salted equi-join for extreme single-key skew that AQE's skew-join
+    * splitting can't fix (AQE is the first line of defense — reach for
+    * this only when one key dominates a whole executor). The large side
+    * is salted deterministically from `saltFrom` (any high-cardinality
+    * column); the small side is replicated `buckets` times, so the hot
+    * key spreads over `buckets` reducers.
+    */
+  def saltedEquiJoin(
+      large: DataFrame, small: DataFrame, key: String,
+      saltFrom: Column, buckets: Int): DataFrame = {
+    val salted   = large.withColumn("__salt", pmod(hash(saltFrom), lit(buckets)))
+    val expanded = small.withColumn("__salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    salted.join(expanded, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase (salted) sum/count aggregation for skewed group keys:
+    * partial per (key, salt), then final per key. Map-side combine already
+    * bounds traffic for algebraic aggregates; the extra phase spreads the
+    * REDUCE of a hot key over `buckets` tasks.
+    */
+  def saltedSumAgg(
+      df: DataFrame, keys: Seq[String], valueCol: String,
+      saltFrom: Column, buckets: Int): DataFrame = {
+    val kc = keys.map(col)
+    df.withColumn("__salt", pmod(hash(saltFrom), lit(buckets)))
+      .groupBy(kc :+ col("__salt"): _*)
+      .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(kc: _*)
+      .agg(sum("__psum").as(s"${valueCol}_sum"), sum("__pcnt").as("cnt"))
+  }
+
   /** As-of join specialized to event streams: for every row of `ofType`,
     * the most recent strictly-earlier timestamp among rows of `fromType`
     * with the same key. Implemented as union + one window pass (single

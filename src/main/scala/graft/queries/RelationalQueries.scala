@@ -84,9 +84,17 @@ object RelationalQueries {
     }),
 
     // T2: rank over a per-key aggregate (ties share rank — deterministic set).
+    // Scale shape: a global Window.orderBy would single-partition ALL rows;
+    // instead find the k-th distinct value (tiny TakeOrdered), filter to the
+    // qualifying rows, and rank only that small set.
     "q07_rank_window" -> ((s, d) => {
-      Tables.orders(s, d)
+      val counts = Tables.orders(s, d)
         .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      val kth = counts.select("cnt").distinct()
+        .orderBy(col("cnt").desc).limit(5)
+        .agg(min("cnt")).head.getLong(0)
+      counts
+        .filter(col("cnt") >= kth)
         .withColumn("rnk", rank().over(Window.orderBy(col("cnt").desc)).cast("long"))
         .filter(col("rnk") <= 5)
     }),
