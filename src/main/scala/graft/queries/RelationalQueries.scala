@@ -25,6 +25,22 @@ object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // C1-C3: null-coercing casts — JSON field extraction with try_cast and a
+    // strict timestamp parse where malformed inputs become NULL, then a
+    // drop-null filter. ANSI mode stays ON; try_* carries the coercion.
+    "q00_clean_cast" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          expr("""try_cast(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)""")
+            .as("k_val"),
+          unix_seconds(try_to_timestamp(
+            when(col("event_id") % 97 === 0, lit("not_a_date"))
+              .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")),
+            lit("yyyy-MM-dd HH:mm:ss"))).as("parsed_epoch"))
+        .filter(col("k_val").isNotNull)
+    }),
+
     // A1/A2 + P3: grouped conditional aggregation, one shuffle, map-side combine.
     "q01_cond_agg" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -185,9 +201,44 @@ object RelationalQueries {
           col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("value_sum"))
     }),
+
+    // Moving aggregate with an explicit ROWS frame (per-user, 3-row sum).
+    "q32_moving_sum" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w), 2).as("mov_sum"))
+    }),
+
+    // ROLLUP: hierarchical subtotals + grand total in one pass.
+    "q33_rollup" -> ((s, d) => {
+      Tables.orders(s, d)
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
+    // Exact distinct aggregation (expands to a two-phase plan).
+    "q34_distinct_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("cnt"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q00_clean_cast" ->
+      raw"""SELECT event_id,
+           |  TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k_val,
+           |  CAST(floor(epoch(try_strptime(
+           |    CASE WHEN event_id % 97 = 0 THEN 'not_a_date'
+           |         ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END,
+           |    '%Y-%m-%d %H:%M:%S'))) AS BIGINT) AS parsed_epoch
+           |FROM events
+           |WHERE TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) IS NOT NULL""".stripMargin,
     "q01_cond_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
@@ -275,5 +326,20 @@ object RelationalQueries {
       """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 604800) * 604800 AS win_start,
         |  event_type, count(*) AS cnt, round(sum(value), 2) AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q32_moving_sum" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_sum
+        |FROM events""".stripMargin,
+    "q33_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
+    "q34_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
   )
 }
