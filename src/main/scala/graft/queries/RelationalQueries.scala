@@ -227,6 +227,18 @@ object RelationalQueries {
           countDistinct(col("l_partkey")).as("n_part"),
           count(lit(1)).as("cnt"))
     }),
+
+    // Approximate aggregates: HLL++ distinct count + quantile sketch.
+    // Sketch internals differ across engines → no SQL oracle (rows-only);
+    // ApproxAggSpec bounds the error against the exact q34 values instead.
+    "q36_approx_stats" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_suppkey")).as("approx_supp"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_median_price"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(

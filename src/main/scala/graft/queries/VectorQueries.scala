@@ -91,6 +91,19 @@ object VectorQueries {
         .withColumn("rnk", col("rnk").cast("long"))
     }),
 
+    // Embedding-cosine near-duplicate pairs: exact all-pairs baseline at
+    // verification scale (the LSH bucketing of q27 is the 100 TB candidate
+    // generator; this is the verify stage it feeds, like q22 → q23).
+    "q35_embed_neardup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          VectorOps.cosine(col("ea"), col("eb")).as("cosine"))
+        .filter(col("cosine") > 0.4)
+    }),
+
     // Per-row vector stats (array access + deterministic norm).
     "q28_embed_stats" -> ((s, d) => {
       Tables.embeddings(s, d).select(
@@ -129,6 +142,15 @@ object VectorQueries {
          |r AS (SELECT *, row_number() OVER (
          |    PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM s)
          |SELECT q_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= $topK""".stripMargin,
+    "q35_embed_neardup" ->
+      s"""SELECT * FROM (
+         |  SELECT id_a, e.vec_id AS id_b,
+         |    CASE WHEN ${normSql("qe")} * ${normSql("e.embedding")} <> 0.0
+         |      THEN $dotSql / (${normSql("qe")} * ${normSql("e.embedding")}) END AS cosine
+         |  FROM (SELECT vec_id AS id_a, embedding AS qe FROM embeddings) a,
+         |    embeddings e
+         |  WHERE id_a < e.vec_id)
+         |WHERE cosine > 0.4""".stripMargin,
     "q28_embed_stats" ->
       s"""SELECT vec_id, label,
          |  CAST(embedding[1] AS DOUBLE) AS dim0,

@@ -1,0 +1,31 @@
+package graft
+
+/** The custom Catalyst expressions are reachable from SQL once registered
+  * (extension point + post-hoc registration for existing sessions).
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("simhash64 and winnow_fingerprint callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT simhash64(split('the quick brown fox', ' ')) AS h,
+        |  size(winnow_fingerprint('the quick brown fox jumps over the dog')) AS n,
+        |  size(winnow_fingerprint('the quick brown fox jumps over the dog', 4, 8)) AS n2
+        |""".stripMargin).head
+    assert(r.getLong(0) !== 0L)
+    assert(r.getInt(1) > 0)
+    assert(r.getInt(2) >= r.getInt(1)) // smaller window ⇒ more fingerprints
+  }
+
+  test("SQL result equals the DataFrame API result") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    val df = Seq("a b c d e f g h").toDF("t")
+    val viaSql = df.selectExpr("simhash64(split(t, ' ')) AS h").head.getLong(0)
+    val viaApi = df.select(
+      graft.functions.TextFingerprints.simhash64(split(col("t"), " ")).as("h"))
+      .head.getLong(0)
+    assert(viaSql === viaApi)
+  }
+}
