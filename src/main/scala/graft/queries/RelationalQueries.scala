@@ -228,6 +228,26 @@ object RelationalQueries {
           count(lit(1)).as("cnt"))
     }),
 
+    // Exact top-k per group via the typed TopKByValue Aggregator: bounded
+    // k-element buffers with map-side partial aggregation — no per-group
+    // window sort. Oracle is the equivalent row_number window query.
+    "q37_topk_agg" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(new graft.functions.TopKByValue(3).toColumn)
+        .toDF("o_orderpriority", "top")
+        .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "pair")))
+        .select(
+          col("o_orderpriority"),
+          col("pair._2").as("o_orderkey"),
+          col("pair._1").as("o_totalprice"),
+          (col("pos") + 1).cast("long").as("rnk"))
+    }),
+
     // Approximate aggregates: HLL++ distinct count + quantile sketch.
     // Sketch internals differ across engines → no SQL oracle (rows-only);
     // ApproxAggSpec bounds the error against the exact q34 values instead.
@@ -347,6 +367,13 @@ object RelationalQueries {
       """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
+    "q37_topk_agg" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3""".stripMargin,
     "q34_distinct_agg" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_suppkey) AS n_supp,

@@ -145,6 +145,23 @@ object TextQueries {
         TextFingerprints.winnowFingerprint(TextOps.normalized(col("text")), 8, 16)
           .as("fingerprint"))
     }),
+
+    // Fixed-size token chunking with overlap (50-token chunks, stride 40):
+    // the standard training-data windowing step. One narrow pass + explode.
+    "q38_chunks" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
+        .withColumn("starts",
+          sequence(lit(1), greatest(size(col("toks")), lit(1)), lit(40)))
+        .select(col("doc_id"),
+          explode(transform(col("starts"), st => struct(
+            st.cast("long").as("chunk_start"),
+            concat_ws(" ", slice(col("toks"), st, lit(50))).as("chunk"))))
+            .as("c"))
+        .select(col("doc_id"), col("c.chunk_start"), col("c.chunk"))
+        .withColumn("n_tokens", size(split(col("chunk"), " ")).cast("long"))
+    }),
   )
 
   private val normSql =
@@ -216,6 +233,19 @@ object TextQueries {
       s"""SELECT md5($normSql) AS fingerprint, min(doc_id) AS canonical_id,
          |  count(*) AS cnt
          |FROM documents GROUP BY 1""".stripMargin,
+    "q38_chunks" ->
+      raw"""SELECT doc_id, chunk_start, chunk,
+           |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens
+           |FROM (
+           |  SELECT doc_id,
+           |    CAST(unnest(starts) AS BIGINT) AS chunk_start,
+           |    unnest(list_transform(starts,
+           |      st -> array_to_string(list_slice(toks, st, st + 49), ' '))) AS chunk
+           |  FROM (
+           |    SELECT doc_id, toks,
+           |      generate_series(1, greatest(len(toks), 1), 40) AS starts
+           |    FROM (SELECT doc_id,
+           |      string_split_regex(trim($normSql), '\s+') AS toks FROM documents)))""".stripMargin,
     "q21_minhash_sig" -> sigsSql,
     "q22_neardup_pairs" -> pairsSql,
     "q23_jaccard" ->

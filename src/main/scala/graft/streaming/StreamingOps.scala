@@ -48,6 +48,21 @@ object StreamingOps {
       .drop("week")
   }
 
+  /** Streaming exact deduplication by content fingerprint: state holds one
+    * entry per fingerprint seen within the watermark horizon, so duplicate
+    * documents arriving late (up to `delay`) are still dropped while state
+    * stays bounded — the streaming twin of the batch `q20_dedup_exact`.
+    */
+  def dedupStream(
+      docs: DataFrame,
+      fingerprint: Column,
+      eventTime: String,
+      delay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint", fingerprint)
+      .withWatermark(eventTime, delay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   // ---- stateful sessionization ------------------------------------------
 
   case class SessionEvent(user_id: Long, ts_micros: Long)

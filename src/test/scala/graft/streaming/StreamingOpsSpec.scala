@@ -62,6 +62,28 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops same-fingerprint docs within the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs  = input.toDF().toDF("doc_id", "text", "event_time")
+    val query = StreamingOps.dedupStream(
+        docs, graft.functions.TextOps.fingerprintMd5(col("text")), "event_time")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "Hello   World", ts("2023-01-01 10:00:00")),
+        (2L, "hello world",   ts("2023-01-01 10:05:00")), // dup (normalized)
+        (3L, "different doc", ts("2023-01-01 10:06:00")))
+      query.processAllAvailable()
+      input.addData((4L, "HELLO WORLD", ts("2023-01-01 10:10:00"))) // still dup
+      query.processAllAvailable()
+      val ids = spark.table("deduped").select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 3L))
+    } finally query.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and keeps open ones") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
