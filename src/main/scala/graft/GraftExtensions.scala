@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{SimHash64, WinnowFingerprint}
+import graft.functions.{CosineSim, DotProduct, SimHash64, WinnowFingerprint}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -40,6 +40,12 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "winnow_fingerprint(text[, k, w])")
       }),
+    ("dot_product",
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    ("cosine_sim",
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))),
   )
 
   /** Register the functions on an already-built session (tests, REPLs). */

@@ -11,17 +11,12 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
-    for (q <- Seq("q02_week_agg", "q01_cond_agg", "q04_broadcast_join")) {
+    for (q <- Seq("q22_neardup_pairs", "q23_jaccard", "q27_knn_lsh")) {
       val df = SparkEntry.queries(q)(spark, sf)
-      println(s"===== $q formatted =====")
-      println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
-      println(s"===== $q simple =====")
+      df.write.format("noop").mode("overwrite").save()
+      println(s"===== $q (executed, AQE final) =====")
       println(df.queryExecution.explainString(ExplainMode.fromString("simple")))
     }
-    val raw   = graft.etl.TradesEtl.extract(spark, "/root/reference/trades (1) (2) (1).csv")
-    val agg   = graft.etl.Transform.weeklyAgg(graft.etl.Transform.withDerived(graft.etl.TradesEtl.clean(raw)))
-    println("===== trades agg simple =====")
-    println(agg.queryExecution.explainString(ExplainMode.fromString("simple")))
     spark.stop()
   }
 }

@@ -2,34 +2,31 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-/** Vector math over `array<float>` / `array<double>` embedding columns,
-  * built from codegen'd higher-order functions (`zip_with` + `aggregate`)
-  * — no UDFs, stays inside WholeStageCodegen.
+/** Vector math over `array<float>` / `array<double>` embedding columns.
   *
-  * Determinism note: `dot` accumulates strictly left-to-right in double
-  * precision, so the same formulation in another engine (the DuckDB oracle
-  * uses `list_sum(list_transform(...))`) produces bit-identical results.
+  * The hot operations (dot, cosine) are native Catalyst expressions with
+  * tight codegen'd loops ([[VectorKernels]]); the higher-order-function
+  * formulations are kept as `*Hof` for cross-checking. Both accumulate
+  * strictly left-to-right in double precision, so results are bit-identical
+  * to each other and to the DuckDB oracle's `list_sum(list_transform(...))`
+  * (VectorOpsSpec asserts the equivalence). Zero-norm cosine is NULL, never
+  * NaN/Inf.
   */
 object VectorOps {
   private val dbl = ArrayType(DoubleType)
 
-  /** Strict left-to-right double dot product. */
+  /** Strict left-to-right double dot product (native, codegen'd). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast(dbl), b.cast(dbl), (x, y) => x * y),
-      lit(0.0),
-      (acc, v) => acc + v)
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Fused cosine similarity (one pass for dot + both norms). */
+  def cosine(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
-
-  /** Cosine similarity; null/zero-norm guarded to null (not NaN). */
-  def cosine(a: Column, b: Column): Column = {
-    val d  = dot(a, b)
-    val nn = l2Norm(a) * l2Norm(b)
-    when(nn =!= 0.0, d / nn)
-  }
 
   /** Squared L2 distance (monotone in L2 — cheaper for kNN ranking). */
   def l2Sq(a: Column, b: Column): Column =
@@ -37,4 +34,18 @@ object VectorOps {
       zip_with(a.cast(dbl), b.cast(dbl), (x, y) => (x - y) * (x - y)),
       lit(0.0),
       (acc, v) => acc + v)
+
+  // -- higher-order-function reference formulations (for equivalence tests)
+
+  private[graft] def dotHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast(dbl), b.cast(dbl), (x, y) => x * y),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
+    val d  = dotHof(a, b)
+    val nn = sqrt(dotHof(a, a)) * sqrt(dotHof(b, b))
+    when(nn =!= 0.0, d / nn)
+  }
 }

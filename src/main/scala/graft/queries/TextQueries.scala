@@ -58,7 +58,13 @@ object TextQueries {
   /** LSH banding, b=2 bands × r=2 rows: a candidate pair must agree on BOTH
     * sigs of some band — collision probability j² per band (vs j for r=1),
     * which keeps the candidate set near-linear on corpora with nonzero
-    * background similarity. One shuffle on (band, key); no all-pairs scan.
+    * background similarity.
+    *
+    * Bucket-expansion form, not a self-join: group doc_ids per (band, key)
+    * and emit in-bucket pairs with a nested HOF. ONE signature computation
+    * and ONE shuffle — a self-join would compute the signature pipeline per
+    * side and (at real scale, where broadcast is impossible) shuffle it
+    * twice more for a sort-merge join.
     */
   private def candidatePairs(s: SparkSession, d: String): DataFrame = {
     val bands = sigs(s, d).select(
@@ -67,13 +73,18 @@ object TextQueries {
         concat(col("sig0"), col("sig1")),
         concat(col("sig2"), col("sig3"))))
         .as(Seq("band", "key")))
-    val a = bands.alias("a")
-    val b = bands.alias("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val ids = col("ids")
+    bands
+      .groupBy("band", "key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(ids) > 1)
+      .select(explode(
+        flatten(transform(sequence(lit(1), size(ids) - 1), i =>
+          transform(slice(ids, i + 1, size(ids)), b =>
+            struct(element_at(ids, i).as("doc_a"), b.as("doc_b"))))))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct() // a pair may collide in both bands
   }
 
   val queries: Map[String, Q] = Map(

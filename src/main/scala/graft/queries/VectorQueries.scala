@@ -76,12 +76,18 @@ object VectorQueries {
       val qs = emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
           col("table"), col("bucket"))
-      val scored = emb
-        .join(broadcast(qs), Seq("table", "bucket"))
+      // Dedup multi-table collisions on the (q_id, neighbor_id) ID pair
+      // BEFORE fetching vectors — a distinct over the embedding arrays
+      // themselves would shuffle full vectors instead of 16-byte pairs.
+      val candidates = emb
+        .join(broadcast(qs.select("q_id", "table", "bucket")), Seq("table", "bucket"))
         .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          col("qe"), col("embedding"))
-        .distinct() // a pair can collide in several tables — score once
+        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+        .distinct()
+      val scored = candidates
+        .join(broadcast(qs.select(col("q_id"), col("qe")).distinct()), Seq("q_id"))
+        .join(Tables.embeddings(s, d)
+          .select(col("vec_id").as("neighbor_id"), col("embedding")), Seq("neighbor_id"))
         .select(
           col("q_id"), col("neighbor_id"),
           VectorOps.cosine(col("qe"), col("embedding")).as("cosine"))

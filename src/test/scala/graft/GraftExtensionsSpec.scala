@@ -17,6 +17,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(2) >= r.getInt(1)) // smaller window ⇒ more fingerprints
   }
 
+  test("dot_product and cosine_sim callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |  cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+        |  cosine_sim(array(0.0d, 0.0d), array(1.0d, 0.0d)) AS z
+        |""".stripMargin).head
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 1.0)
+    assert(r.isNullAt(2))
+  }
+
   test("SQL result equals the DataFrame API result") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -31,4 +31,24 @@ class VectorOpsSpec extends SparkSpec {
   test("l2Sq matches the squared euclidean distance") {
     assert(calc(Seq(1.0, 2.0), Seq(4.0, 6.0), VectorOps.l2Sq) === Some(25.0))
   }
+
+  test("native dot/cosine are bit-identical to the HOF formulations on real data") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("ia") < col("ib")).limit(2000)
+    val diff = pairs.select(
+        VectorOps.dot(col("ea"), col("eb")).as("dn"),
+        VectorOps.dotHof(col("ea"), col("eb")).as("dh"),
+        VectorOps.cosine(col("ea"), col("eb")).as("cn"),
+        VectorOps.cosineHof(col("ea"), col("eb")).as("ch"))
+      .filter(col("dn") =!= col("dh") || col("cn") =!= col("ch"))
+      .count()
+    assert(diff === 0)
+  }
+
+  test("native cosine of a zero vector is NULL") {
+    assert(calc(Seq(0.0, 0.0), Seq(1.0, 2.0), VectorOps.cosine) === None)
+  }
 }
