@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorOps
-import graft.operators.RelationalOps
+import graft.operators.{IvfIndex, RelationalOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -108,6 +108,17 @@ object VectorQueries {
         .select(col("id_a"), col("id_b"),
           VectorOps.cosine(col("ea"), col("eb")).as("cosine"))
         .filter(col("cosine") > 0.4)
+    }),
+
+    // IVF approximate kNN: k-means coarse quantizer, nprobe cluster probes.
+    // Centroid averages are float-sum order dependent → rows-only check;
+    // IvfIndexSpec bounds recall against the exact q26 answers.
+    "q39_knn_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = IvfIndex.train(emb, k = 16, iters = 2)
+      val qs = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      IvfIndex.knn(emb, centroids, qs, topK, nprobe = 4)
     }),
 
     // Per-row vector stats (array access + deterministic norm).

@@ -1,0 +1,32 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.queries.VectorQueries
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every vector lands in exactly one cluster") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val centroids = IvfIndex.train(emb, k = 8, iters = 1)
+    val assigned  = IvfIndex.assign(emb, centroids)
+    assert(assigned.count() === emb.count())
+    assert(assigned.select("vec_id").distinct().count() === emb.count())
+    val clusters = assigned.select("cluster_id").distinct().count()
+    assert(clusters > 1 && clusters <= 8)
+  }
+
+  test("IVF kNN reaches useful recall vs the exact brute force") {
+    val brute = VectorQueries.queries("q26_knn_brute")(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorQueries.queries("q39_knn_ivf")(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    info(s"IVF recall@5 = $recall")
+    assert(recall >= 0.3, s"recall $recall")
+  }
+}
