@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFingerprints, TextOps}
+import graft.operators.RelationalOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -157,6 +158,27 @@ object TextQueries {
           .as("fingerprint"))
     }),
 
+    // TF-IDF-style term scoring with a rational idf (tf · N / df — log-free
+    // so every value is one integer product and one division, which DuckDB
+    // reproduces bit-for-bit; libm log is not correctly-rounded across
+    // engines). Top-3 terms per doc. Two shuffles: doc-term counts, df.
+    "q40_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val terms = docs
+        .select(col("doc_id"),
+          explode(TextOps.tokens(TextOps.normalized(col("text")))).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(df, "term")
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          (col("tf") * lit(n.toDouble) / col("df")).as("score"))
+      RelationalOps.topKPerGroup(
+          scored, Seq("doc_id"),
+          Seq(col("score").desc, col("term").asc), 3, rankCol = "rnk")
+        .withColumn("rnk", col("rnk").cast("long"))
+    }),
+
     // Fixed-size token chunking with overlap (50-token chunks, stride 40):
     // the standard training-data windowing step. One narrow pass + explode.
     "q38_chunks" -> ((s, d) => {
@@ -257,6 +279,19 @@ object TextQueries {
            |      generate_series(1, greatest(len(toks), 1), 40) AS starts
            |    FROM (SELECT doc_id,
            |      string_split_regex(trim($normSql), '\s+') AS toks FROM documents)))""".stripMargin,
+    "q40_tfidf" ->
+      raw"""WITH terms AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim($normSql), '\s+')) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |scored AS (
+           |  SELECT doc_id, term, tf, df,
+           |    tf * CAST((SELECT count(*) FROM documents) AS DOUBLE) / df AS score
+           |  FROM tf JOIN df USING (term)),
+           |r AS (SELECT *, row_number() OVER (
+           |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk FROM scored)
+           |SELECT doc_id, term, tf, df, score, rnk FROM r WHERE rnk <= 3""".stripMargin,
     "q21_minhash_sig" -> sigsSql,
     "q22_neardup_pairs" -> pairsSql,
     "q23_jaccard" ->
