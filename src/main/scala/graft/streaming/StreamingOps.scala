@@ -63,6 +63,61 @@ object StreamingOps {
       .withWatermark(eventTime, delay)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Stream-stream interval join (click attribution): purchases join the
+    * clicks of the same user within the preceding `window`. Watermarks on
+    * BOTH sides + the time-range predicate let Spark expire join state —
+    * unbounded streams, bounded memory.
+    */
+  def attributionJoin(
+      purchases: DataFrame, clicks: DataFrame,
+      window: String = "1 hour", delay: String = "10 minutes"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_time"))
+      .withWatermark("p_time", delay)
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_time"))
+      .withWatermark("c_time", delay)
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_time") >= col("p_time") - expr(s"INTERVAL $window") &&
+        col("c_time") < col("p_time"),
+      "inner")
+      .select("purchase_id", "click_id", "user_id", "p_time", "c_time")
+  }
+
+  /** Keyed-upsert sink via `foreachBatch` — the reference's own README
+    * lists "keyed upsert instead of blind append" as future work
+    * (`/root/reference/README.md:46`); this is that operation for a
+    * parquet table without a lakehouse format: each micro-batch is merged
+    * into the target by key, keeping the batch's row on conflict.
+    * At real scale the same `foreachBatch` body would be a Delta/Iceberg
+    * MERGE; the streaming-side shape (update-mode agg → merge per batch)
+    * is identical.
+    */
+  def upsertSink(
+      agg: DataFrame, keys: Seq[String], path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    agg.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val deduped = batch.dropDuplicates(keys) // within-batch: last state wins
+        val merged =
+          if (new java.io.File(path).exists()) {
+            val existing = spark.read.parquet(path)
+            existing
+              .join(deduped.select(keys.map(col): _*), keys, "left_anti")
+              .unionByName(deduped)
+          } else deduped
+        // two-phase write: parquet can't overwrite a path being read
+        val tmp = path + "__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+      }
+      .start()
+
   // ---- stateful sessionization ------------------------------------------
 
   case class SessionEvent(user_id: Long, ts_micros: Long)

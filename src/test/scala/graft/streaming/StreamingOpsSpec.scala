@@ -62,6 +62,51 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join attributes purchases to preceding clicks") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks    = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val cols = Seq("event_id", "user_id", "ts")
+    val joined = StreamingOps.attributionJoin(
+      purchases.toDF().toDF(cols: _*), clicks.toDF().toDF(cols: _*))
+    val query = joined.writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        (100L, 1L, ts("2023-01-01 09:30:00")), // within 1h of purchase
+        (101L, 1L, ts("2023-01-01 08:00:00")), // too old
+        (102L, 2L, ts("2023-01-01 09:50:00"))) // other user
+      purchases.addData((200L, 1L, ts("2023-01-01 10:00:00")))
+      query.processAllAvailable()
+      val pairs = spark.table("attributed")
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(pairs === Set((200L, 100L)))
+    } finally query.stop()
+  }
+
+  test("upsert sink keeps exactly one latest row per key across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert")
+    val input = MemoryStream[(Long, Double, Timestamp)]
+    val counts = input.toDF().toDF("user_id", "value", "event_time")
+      .groupBy("user_id")
+      .agg(count("value").as("n"), sum("value").as("total"))
+    val query = StreamingOps.upsertSink(
+      counts, Seq("user_id"), s"$dir/table", s"$dir/ckpt")
+    try {
+      input.addData((1L, 10.0, ts("2023-01-01 10:00:00")), (2L, 5.0, ts("2023-01-01 10:01:00")))
+      query.processAllAvailable()
+      input.addData((1L, 20.0, ts("2023-01-01 10:02:00")))
+      query.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/table")
+        .collect().map(r => r.getAs[Long]("user_id") -> (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+      // user 1 was UPDATED in place (2 events, total 30), not appended twice
+      assert(out === Map(1L -> (2L, 30.0), 2L -> (1L, 5.0)))
+    } finally query.stop()
+  }
+
   test("streaming dedup drops same-fingerprint docs within the watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
