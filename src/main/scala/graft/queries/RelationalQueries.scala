@@ -218,6 +218,13 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
     }),
 
+    // CUBE: all grouping-set combinations in one pass.
+    "q41_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
     // Exact distinct aggregation (expands to a two-phase plan).
     "q34_distinct_agg" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -367,6 +374,10 @@ object RelationalQueries {
       """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
+    "q41_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
     "q37_topk_agg" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

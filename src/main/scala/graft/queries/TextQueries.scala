@@ -179,6 +179,35 @@ object TextQueries {
         .withColumn("rnk", col("rnk").cast("long"))
     }),
 
+    // BM25 document scoring for a fixed term set (k1=1.2, b=0.75).
+    // Uses real log idf → not bit-reproducible across engines' libm
+    // (SURVEY float-parity rules) → rows-only check; the rational-idf
+    // q40 is the oracle-checked variant of the same shape.
+    "q42_bm25" -> ((s, d) => {
+      val qTerms = Seq("data", "spark", "query")
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val toks = docs.select(col("doc_id"),
+        TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
+        .withColumn("dl", size(col("toks")).cast("double"))
+      val avgdl = toks.agg(avg("dl")).head.getDouble(0)
+      val terms = toks
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(qTerms: _*))
+      val tf = terms.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val k1 = 1.2
+      val b  = 0.75
+      tf.join(df, "term")
+        .withColumn("idf",
+          log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("score",
+          col("idf") * (col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + col("dl") * lit(b / avgdl))))
+        .groupBy("doc_id")
+        .agg(sum("score").as("bm25"))
+    }),
+
     // Fixed-size token chunking with overlap (50-token chunks, stride 40):
     // the standard training-data windowing step. One narrow pass + explode.
     "q38_chunks" -> ((s, d) => {
