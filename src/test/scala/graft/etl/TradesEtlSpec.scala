@@ -99,6 +99,32 @@ class TradesEtlSpec extends SparkSpec {
     assert(rep.forall(_.getAs[String]("client_type") == "bronze"))
   }
 
+  test("full golden parity: every value of all 545 agg rows matches the reference") {
+    // Fixture exported from /root/reference/agg_result.db (sqlite) — the
+    // reference's own checked-in output. Float sums differ from pandas only
+    // in summation ORDER (partition-parallel vs file-order), i.e. by last
+    // ulps (measured ≤ 7e-12); keys, counts and null shape must be exact.
+    val golden = spark.read
+      .parquet(getClass.getResource("/golden_agg_trades_weekly.parquet").toString)
+    assert(golden.count() === 545)
+    val keys = Seq("week_start_date", "client_type", "user_id", "symbol")
+    val ours = agg.withColumn("week_start_date", col("week_start_date").cast("string"))
+    val joined = ours.alias("o").join(golden.alias("g"), keys)
+    assert(joined.count() === 545) // every key group exists on both sides
+
+    assert(joined.filter(col("o.trade_count") =!= col("g.trade_count")).count() === 0)
+    val numeric = Seq("buy_qty", "sell_qty", "buy_value", "sell_value",
+      "total_volume", "avg_buy_price", "net_qty", "realized_pnl",
+      "mark_price", "unrealized_pnl", "total_pnl")
+    numeric.foreach { c =>
+      val o = col(s"o.$c")
+      val g = col(s"g.$c")
+      // exact same null shape (the NULL-PnL semantics), values within 1e-9
+      assert(joined.filter(o.isNull =!= g.isNull).count() === 0, s"null shape: $c")
+      assert(joined.filter(abs(o - g) > 1e-9).count() === 0, s"value drift: $c")
+    }
+  }
+
   test("A2: non-PnL path has the 6-column schema") {
     val a2 = Transform(clean, computePnl = false)
     assert(a2.columns.toSeq ===
