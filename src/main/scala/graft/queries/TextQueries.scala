@@ -179,6 +179,12 @@ object TextQueries {
         .withColumn("rnk", col("rnk").cast("long"))
     }),
 
+    // Duplicate clusters: connected components over the LSH candidate
+    // pairs — each near-dup group labeled by its minimum doc_id (the
+    // canonical document to keep). Min-label propagation to fixpoint.
+    "q43_dedup_clusters" -> ((s, d) =>
+      graft.operators.DedupClustering.connectedComponents(candidatePairs(s, d))),
+
     // BM25 document scoring for a fixed term set (k1=1.2, b=0.75).
     // Uses real log idf → not bit-reproducible across engines' libm
     // (SURVEY float-parity rules) → rows-only check; the rational-idf
@@ -323,6 +329,16 @@ object TextQueries {
            |SELECT doc_id, term, tf, df, score, rnk FROM r WHERE rnk <= 3""".stripMargin,
     "q21_minhash_sig" -> sigsSql,
     "q22_neardup_pairs" -> pairsSql,
+    "q43_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, r) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.src)
+         |SELECT src AS doc_id, min(r) AS cluster_id FROM reach GROUP BY src""".stripMargin,
     "q23_jaccard" ->
       s"""WITH pairs AS ($pairsSql),
          |sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents)
