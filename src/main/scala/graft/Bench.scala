@@ -28,11 +28,13 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) sec else -1.0)
     }
-    val qs = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s""""$k":${f3(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total_query_sec","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total_query_sec","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,13 +21,15 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 refuses
     * ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos and floor-convert to
-    * microsecond TimestampType (same truncation DuckDB's `epoch_us` uses,
-    * so oracle comparisons line up exactly).
+    * microsecond TimestampType (same floor DuckDB's `epoch_us` applies, so
+    * oracle comparisons line up exactly). True floor division, not `div`:
+    * `div` truncates toward zero, which differs by 1µs for pre-1970
+    * timestamps; `(ts - pmod(ts, 1000)) div 1000` is exact in longs.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

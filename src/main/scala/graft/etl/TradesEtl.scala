@@ -59,8 +59,17 @@ object TradesEtl {
       .withColumn("price", expr("try_cast(price AS DOUBLE)"))
       .na.drop("any")
 
-  /** C4/C5 quality probes — the reference's printed diagnostics as data. */
-  def qualityStats(raw: DataFrame): CleanStats = {
+  /** C4/C5 quality probes — the reference's printed diagnostics as data.
+    * The probes are ~7 separate actions; cache the raw frame so the CSV is
+    * scanned and parsed once, not per probe.
+    */
+  def qualityStats(rawUncached: DataFrame): CleanStats = {
+    val raw = rawUncached.cache()
+    try qualityStatsImpl(raw)
+    finally raw.unpersist()
+  }
+
+  private def qualityStatsImpl(raw: DataFrame): CleanStats = {
     val inputRows = raw.count()
     val anyNull = raw
       .filter(columns.map(col(_).isNull).reduce(_ || _))

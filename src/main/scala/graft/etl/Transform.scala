@@ -30,19 +30,28 @@ object Transform {
     * Parity trap (SURVEY §7.3.2): pandas sums an all-NaN group to 0.0, Spark
     * to NULL — hence `coalesce(sum(...), 0.0)` on the masked sums.
     */
+  /** The conditional buy/sell aggregation expressions — shared verbatim by
+    * the batch agg below and the streaming twin
+    * ([[graft.streaming.StreamingOps.weeklyTradesAgg]]) so parity fixes
+    * (like the pandas all-NaN-sum→0.0 coalesce) can never diverge.
+    */
+  def pnlAggExprs: Seq[org.apache.spark.sql.Column] = {
+    val isBuy  = col("side") === "buy"
+    val isSell = col("side") === "sell"
+    Seq(
+      coalesce(sum(when(isBuy, col("quantity"))), lit(0.0)).as("buy_qty"),
+      coalesce(sum(when(isSell, col("quantity"))), lit(0.0)).as("sell_qty"),
+      coalesce(sum(when(isBuy, col("total_volume"))), lit(0.0)).as("buy_value"),
+      coalesce(sum(when(isSell, col("total_volume"))), lit(0.0)).as("sell_value"),
+      sum("total_volume").as("total_volume"),
+      count("timestamp").as("trade_count"),
+    )
+  }
+
   def weeklyAgg(derived: DataFrame, computePnl: Boolean = true): DataFrame = {
     val base = derived.groupBy(groupKeys.map(col): _*)
     if (computePnl) {
-      val isBuy  = col("side") === "buy"
-      val isSell = col("side") === "sell"
-      base.agg(
-        coalesce(sum(when(isBuy, col("quantity"))), lit(0.0)).as("buy_qty"),
-        coalesce(sum(when(isSell, col("quantity"))), lit(0.0)).as("sell_qty"),
-        coalesce(sum(when(isBuy, col("total_volume"))), lit(0.0)).as("buy_value"),
-        coalesce(sum(when(isSell, col("total_volume"))), lit(0.0)).as("sell_value"),
-        sum("total_volume").as("total_volume"),
-        count("timestamp").as("trade_count"),
-      )
+      base.agg(pnlAggExprs.head, pnlAggExprs.tail: _*)
     } else {
       base.agg(
         sum("total_volume").as("total_volume"),

@@ -18,14 +18,16 @@ object TextOps {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
-  /** BPE-ish subword count: alnum runs + individual punctuation marks.
+  /** BPE-ish subword count: alnum runs + individual punctuation marks over
+    * NORMALIZED (lowercased) text — the character classes are lowercase, so
+    * matching raw text would count every capital letter as punctuation.
     * (A real BPE needs a vocab; this regex is the standard pre-tokenizer.)
     */
   def bpeishTokenCount(c: Column): Column =
-    regexp_count(c, lit("[a-z0-9]+|[^a-z0-9\\s]"))
+    regexp_count(normalized(c), lit("[a-z0-9]+|[^a-z0-9\\s]"))
 
   def punctCount(c: Column): Column =
-    regexp_count(c, lit("[^a-z0-9\\s]"))
+    regexp_count(normalized(c), lit("[^a-z0-9\\s]"))
 
   private def hitCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
@@ -39,7 +41,7 @@ object TextOps {
   )
 
   def stopwordCount(c: Column, lang: String = "en"): Column =
-    hitCount(tokens(c), stopwords(lang))
+    hitCount(tokens(normalized(c)), stopwords(lang))
 
   def stopwordRatio(c: Column, lang: String = "en"): Column =
     stopwordCount(c, lang).cast("double") / tokenCount(c).cast("double")
@@ -68,7 +70,7 @@ object TextOps {
     * function, matched by the oracle's CASE chain).
     */
   def langId(c: Column): Column = {
-    val toks = tokens(c)
+    val toks = tokens(normalized(c))
     val en = hitCount(toks, stopwords("en"))
     val de = hitCount(toks, stopwords("de"))
     val es = hitCount(toks, stopwords("es"))

@@ -28,6 +28,21 @@ object VectorOps {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Per-key mean vectors: one shuffle on (key, dim), re-assembled in dim
+    * order. Shared by centroid queries and IVF training — float-sum order
+    * is partition-dependent, so results are approximate across runs.
+    */
+  def meanVectors(
+      df: org.apache.spark.sql.DataFrame, key: String, vec: String,
+      out: String = "centroid"): org.apache.spark.sql.DataFrame =
+    df.select(col(key), posexplode(col(vec)).as(Seq("dim", "v")))
+      .groupBy(key, "dim")
+      .agg(avg(col("v")).as("m"))
+      .groupBy(key)
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as(out))
+
   /** Squared L2 distance (monotone in L2 — cheaper for kNN ranking). */
   def l2Sq(a: Column, b: Column): Column =
     aggregate(

@@ -53,6 +53,11 @@ object DedupClustering {
       converged = changed == 0
       i += 1
     }
+    // returning unconverged labels would silently split one component into
+    // several clusters — fail loudly instead (diameter exceeded maxIters)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIters iterations — " +
+        "increase maxIters (component diameter exceeds it)")
     labels
   }
 }

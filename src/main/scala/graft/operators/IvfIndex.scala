@@ -26,15 +26,8 @@ object IvfIndex {
         col("embedding").cast("array<double>").as("centroid"))
     for (_ <- 1 to iters) {
       val assigned = assign(emb, centroids)
-      centroids = assigned
-        .join(emb, "vec_id")
-        .select(col("cluster_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("cluster_id", "dim")
-        .agg(avg(col("v")).as("m"))
-        .groupBy("cluster_id")
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("m")))),
-          s => s.getField("m")).as("centroid"))
+      centroids = VectorOps.meanVectors(
+        assigned.join(emb, "vec_id"), "cluster_id", "embedding")
     }
     centroids
   }

@@ -194,10 +194,12 @@ object RelationalQueries {
     }),
 
     // Epoch-aligned 7-day tumbling window (batch twin of the streaming agg).
+    // Floor-div via pmod: `div` truncates toward zero and would misplace
+    // pre-1970 events by one window (DuckDB's `//` floors).
     "q16_event_window" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(
-          expr("(unix_seconds(ts) div 604800) * 604800").as("win_start"),
+          expr("unix_seconds(ts) - pmod(unix_seconds(ts), 604800)").as("win_start"),
           col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("value_sum"))
     }),

@@ -46,8 +46,8 @@ object TextQueries {
       .select(col("doc_id"),
         TextOps.wordShinglesFromTokens(col("toks"), 3).as("sh"))
 
-  private def sigs(s: SparkSession, d: String): DataFrame =
-    shingled(s, d)
+  private def sigsFrom(shingledDf: DataFrame): DataFrame =
+    shingledDf
       .select(col("doc_id"), transform(col("sh"), s => md5(s)).as("hs"))
       .select(
         col("doc_id"),
@@ -55,6 +55,9 @@ object TextQueries {
         minhashSig(col("hs"), 1).as("sig1"),
         minhashSig(col("hs"), 2).as("sig2"),
         minhashSig(col("hs"), 3).as("sig3"))
+
+  private def sigs(s: SparkSession, d: String): DataFrame =
+    sigsFrom(shingled(s, d))
 
   /** LSH banding, b=2 bands × r=2 rows: a candidate pair must agree on BOTH
     * sigs of some band — collision probability j² per band (vs j for r=1),
@@ -67,8 +70,8 @@ object TextQueries {
     * side and (at real scale, where broadcast is impossible) shuffle it
     * twice more for a sort-merge join.
     */
-  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val bands = sigs(s, d).select(
+  private def candidatePairsFrom(sigsDf: DataFrame): DataFrame = {
+    val bands = sigsDf.select(
       col("doc_id"),
       posexplode(array(
         concat(col("sig0"), col("sig1")),
@@ -87,6 +90,9 @@ object TextQueries {
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct() // a pair may collide in both bands
   }
+
+  private def candidatePairs(s: SparkSession, d: String): DataFrame =
+    candidatePairsFrom(sigs(s, d))
 
   val queries: Map[String, Q] = Map(
     // Token counting + punctuation + stopword ratio (single divisions only).
@@ -127,9 +133,11 @@ object TextQueries {
 
     // Exact word-3-gram Jaccard over the LSH candidates (verification step).
     // array_intersect is hash-based (O(|a|+|b|) per pair, not O(|a|·|b|)).
+    // The shingle table feeds three consumers (sigs→pairs, sh_a, sh_b) —
+    // localCheckpoint materializes it once instead of three scan subtrees.
     "q23_jaccard" -> ((s, d) => {
-      val sh = shingled(s, d)
-      candidatePairs(s, d)
+      val sh = shingled(s, d).localCheckpoint()
+      candidatePairsFrom(sigsFrom(sh))
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
         .select(
@@ -260,15 +268,15 @@ object TextQueries {
   private val stopEn = TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
   private def hitsSql(lang: String): String = {
     val words = TextOps.stopwords(lang).map(w => s"'$w'").mkString(", ")
-    raw"len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ($words)))"
+    raw"len(list_filter(string_split_regex(trim($normSql), '\s+'), x -> x IN ($words)))"
   }
 
   val oracleSql: Map[String, String] = Map(
     "q17_text_stats" ->
       raw"""SELECT doc_id,
            |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-           |  len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS n_bpeish,
-           |  len(regexp_extract_all(text, '[^a-z0-9\s]')) AS n_punct,
+           |  len(regexp_extract_all($normSql, '[a-z0-9]+|[^a-z0-9\s]')) AS n_bpeish,
+           |  len(regexp_extract_all($normSql, '[^a-z0-9\s]')) AS n_punct,
            |  CAST($stopwordCountSql AS DOUBLE)
            |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS stopword_ratio,
            |  list_sum(list_transform(string_split_regex(trim(text), '\s+'),
@@ -293,7 +301,7 @@ object TextQueries {
            |  least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
            |  + least((CAST($stopwordCountSql AS DOUBLE)
            |      / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)) * 5.0, 1.0) * 0.3
-           |  + greatest(1.0 - (CAST(len(regexp_extract_all(text, '[^a-z0-9\s]')) AS DOUBLE)
+           |  + greatest(1.0 - (CAST(len(regexp_extract_all($normSql, '[^a-z0-9\s]')) AS DOUBLE)
            |      / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)) * 2.0,
            |      0.0) * 0.3 AS quality
            |FROM documents""".stripMargin,
@@ -352,5 +360,5 @@ object TextQueries {
   )
 
   private lazy val stopwordCountSql =
-    raw"len(list_filter(string_split_regex(trim(text), '\s+'), x -> x IN ($stopEn)))"
+    raw"len(list_filter(string_split_regex(trim($normSql), '\s+'), x -> x IN ($stopEn)))"
 }

@@ -131,16 +131,8 @@ object VectorQueries {
 
     // Per-label centroid: one shuffle on (label, dim), rebuilt as an array.
     // Float-sum order is partition-dependent → no SQL oracle (rows-only).
-    "q29_centroid" -> ((s, d) => {
-      Tables.embeddings(s, d)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("label", "dim")
-        .agg(avg(col("v")).as("m"))
-        .groupBy("label")
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("m")))),
-          s => s.getField("m")).as("centroid"))
-    }),
+    "q29_centroid" -> ((s, d) =>
+      VectorOps.meanVectors(Tables.embeddings(s, d), "label", "embedding")),
   )
 
   private val dotSql =

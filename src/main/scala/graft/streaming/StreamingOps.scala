@@ -29,21 +29,14 @@ object StreamingOps {
     * dropped from the state store.
     */
   def weeklyTradesAgg(trades: DataFrame, delayThreshold: String = "7 days"): DataFrame = {
-    val isBuy  = col("side") === "buy"
-    val isSell = col("side") === "sell"
+    val aggs = graft.etl.Transform.pnlAggExprs // same exprs as the batch agg
     trades
       .withWatermark("timestamp", delayThreshold)
       .withColumn("total_volume", col("quantity") * col("price"))
       .groupBy(
         weeklyWindow(col("timestamp")).as("week"),
         col("client_type"), col("user_id"), col("symbol"))
-      .agg(
-        coalesce(sum(when(isBuy, col("quantity"))), lit(0.0)).as("buy_qty"),
-        coalesce(sum(when(isSell, col("quantity"))), lit(0.0)).as("sell_qty"),
-        coalesce(sum(when(isBuy, col("total_volume"))), lit(0.0)).as("buy_value"),
-        coalesce(sum(when(isSell, col("total_volume"))), lit(0.0)).as("sell_value"),
-        sum("total_volume").as("total_volume"),
-        count("timestamp").as("trade_count"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("week_start_date", col("week.start").cast("date"))
       .drop("week")
   }
@@ -103,9 +96,16 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val deduped = batch.dropDuplicates(keys) // within-batch: last state wins
+        // update-mode aggregation emits at most one row per updated key and
+        // micro-batch; the dropDuplicates is a safeguard for that contract,
+        // NOT a latest-wins reduction (feed aggregated state, not raw rows)
+        val deduped = batch.dropDuplicates(keys)
+        // existence via the path's own FileSystem — java.io.File would be
+        // always-false on hdfs:///s3a:// and silently overwrite the table
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val merged =
-          if (new java.io.File(path).exists()) {
+          if (fs.exists(hPath)) {
             val existing = spark.read.parquet(path)
             existing
               .join(deduped.select(keys.map(col): _*), keys, "left_anti")
