@@ -25,6 +25,16 @@ object SparkEntry {
     RelationalQueries.queries("q10_join_agg")(spark, "/root/testdata/sf0.001")
 
   private val multimodalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The complete reference-shaped ETL (extract → clean → weekly PnL agg),
+    // run on the reference's own CSV regardless of sfDir — benches the
+    // end-to-end pipeline per round against BASELINE.md's stage timings.
+    // Rows-only check (545 rows; golden parity is asserted in TradesEtlSpec).
+    "q44_trades_etl" -> ((s, _) => {
+      val raw = graft.etl.TradesEtl.extract(
+        s, "/root/reference/trades (1) (2) (1).csv")
+      graft.etl.Transform(graft.etl.TradesEtl.clean(raw), computePnl = true)
+    }),
+
     // Binary column + metadata (oracle: octet_length + sha256 parity).
     "q30_media_meta" -> ((s, d) => {
       Multimodal.mediaTable(Tables.documents(s, d)).select(
