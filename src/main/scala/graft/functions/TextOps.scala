@@ -69,13 +69,18 @@ object TextOps {
     * zh. Ties break in fixed order en > de > es > fr (a deterministic
     * function, matched by the oracle's CASE chain).
     */
-  def langId(c: Column): Column = {
-    val toks = tokens(normalized(c))
+  def langId(c: Column): Column = langIdFromTokens(tokens(normalized(c)), c)
+
+  /** As [[langId]] over an already-projected normalized-token column —
+    * prefer in query pipelines so the normalize+split runs once per row
+    * instead of once per stopword-list probe (HOF lambdas are outside CSE).
+    */
+  def langIdFromTokens(toks: Column, raw: Column): Column = {
     val en = hitCount(toks, stopwords("en"))
     val de = hitCount(toks, stopwords("de"))
     val es = hitCount(toks, stopwords("es"))
     val fr = hitCount(toks, stopwords("fr"))
-    when(regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]")) > 0, "zh")
+    when(regexp_count(raw, lit("[\\x{4e00}-\\x{9fff}]")) > 0, "zh")
       .when(en >= de && en >= es && en >= fr, "en")
       .when(de >= es && de >= fr, "de")
       .when(es >= fr, "es")

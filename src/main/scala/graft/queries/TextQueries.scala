@@ -107,9 +107,13 @@ object TextQueries {
     }),
 
     // Stopword-vote language ID (deterministic tie order en>de>es>fr).
+    // Tokens staged once; the four stopword probes scan the column.
     "q18_lang_id" -> ((s, d) => {
-      Tables.documents(s, d).select(
-        col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
+        .select(col("doc_id"),
+          TextOps.langIdFromTokens(col("toks"), col("text")).as("lang_pred"))
     }),
 
     // Heuristic quality score — arithmetic order mirrored in the oracle.
