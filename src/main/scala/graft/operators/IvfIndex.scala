@@ -17,9 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** cluster_id → centroid (array<double>), after `iters` Lloyd steps. */
+  /** cluster_id → centroid (array<double>), after `iters` Lloyd steps.
+    *
+    * Init seeds from DISTINCT embeddings (duplicate seed vectors would tie
+    * every assignment to the lower cluster_id and instantly empty the
+    * other). Standard Lloyd caveat still applies: a cluster that loses all
+    * members mid-iteration is dropped, so `k` is an upper bound on the
+    * returned codebook size — `knn` probes whatever codebook exists.
+    */
   def train(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    var centroids = emb.orderBy("vec_id").limit(k)
+    var centroids = emb.dropDuplicates("embedding").orderBy("vec_id").limit(k)
       .select(
         (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
           .as("cluster_id"),
@@ -71,6 +78,5 @@ object IvfIndex {
     RelationalOps.topKPerGroup(
         scored, Seq("q_id"), Seq(col("cosine").desc, col("neighbor_id").asc), topK,
         rankCol = "rnk")
-      .withColumn("rnk", col("rnk").cast("long"))
   }
 }

@@ -24,12 +24,14 @@ object RelationalOps {
 
   /** True top-k per group: shuffle on the group keys, per-partition sort,
     * rank filter. (Global top-k should instead be `orderBy().limit(k)` →
-    * TakeOrderedAndProject.)
+    * TakeOrderedAndProject.) The rank column is emitted as BIGINT — SQL
+    * `row_number()` is bigint in other engines, so oracles compare clean.
     */
   def topKPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int,
       rankCol: String = "rn"): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+    df.withColumn(rankCol, row_number().over(w).cast("long"))
+      .filter(col(rankCol) <= k)
   }
 
   /** Gap-based sessionization: one shuffle on `userCol`, two window passes

@@ -62,12 +62,15 @@ object RelationalQueries {
         .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
     }),
 
-    // A3: argmax (latest value per key) — single shuffle, no join, no window.
+    // A3: argmax (latest value per key) — single shuffle, no join, no
+    // window. event_id tiebreak: µs-truncated timestamps can collide where
+    // the raw ns values differed, and bare max_by would pick an arbitrary
+    // (partition-order-dependent) row.
     "q03_argmax" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy("event_type")
         .agg(
-          max_by(col("value"), col("ts")).as("last_value"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_value"),
           unix_micros(max(col("ts"))).as("last_ts_us"))
     }),
 
@@ -106,13 +109,16 @@ object RelationalQueries {
     "q07_rank_window" -> ((s, d) => {
       val counts = Tables.orders(s, d)
         .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      // threshold as a broadcast scalar frame, not head() — stays lazy and
+      // returns empty (like the oracle) instead of NPE on an empty table
       val kth = counts.select("cnt").distinct()
         .orderBy(col("cnt").desc).limit(5)
-        .agg(min("cnt")).head.getLong(0)
+        .agg(min("cnt").as("kth"))
       counts
-        .filter(col("cnt") >= kth)
+        .join(broadcast(kth), col("cnt") >= col("kth"))
         .withColumn("rnk", rank().over(Window.orderBy(col("cnt").desc)).cast("long"))
         .filter(col("rnk") <= 5)
+        .drop("kth")
     }),
 
     // A7: pivot — one shuffle, pivoted columns fixed up-front (no extra pass).
@@ -293,9 +299,13 @@ object RelationalQueries {
         |  sum(l_quantity) AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q03_argmax" ->
-      """SELECT event_type, max_by(value, ts) AS last_value,
-        |  epoch_us(max(ts)) AS last_ts_us
-        |FROM events GROUP BY event_type""".stripMargin,
+      """SELECT event_type, value AS last_value, last_ts_us FROM (
+        |  SELECT event_type, value,
+        |    max(epoch_us(ts)) OVER (PARTITION BY event_type) AS last_ts_us,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin,
     "q04_broadcast_join" ->
       """SELECT r_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS acctbal_sum
         |FROM customer

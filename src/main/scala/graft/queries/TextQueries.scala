@@ -79,6 +79,8 @@ object TextQueries {
         .as(Seq("band", "key")))
     val ids = col("ids")
     bands
+      .filter(col("key").isNotNull) // NULL-text docs: groupBy would treat
+      // NULL keys as equal and emit spurious pairs (SQL's `=` never does)
       .groupBy("band", "key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(ids) > 1)
@@ -129,7 +131,7 @@ object TextQueries {
         .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("cnt"))
     }),
 
-    // MinHash signatures (4 hashes, char-8 shingles).
+    // MinHash signatures (4 hashes over word 3-gram shingles).
     "q21_minhash_sig" -> ((s, d) => sigs(s, d)),
 
     // LSH candidate near-dup pairs.
@@ -188,7 +190,6 @@ object TextQueries {
       RelationalOps.topKPerGroup(
           scored, Seq("doc_id"),
           Seq(col("score").desc, col("term").asc), 3, rankCol = "rnk")
-        .withColumn("rnk", col("rnk").cast("long"))
     }),
 
     // Duplicate clusters: connected components over the LSH candidate

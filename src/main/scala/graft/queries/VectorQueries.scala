@@ -57,7 +57,6 @@ object VectorQueries {
     RelationalOps.topKPerGroup(
         scored, Seq("q_id"), Seq(col("cosine").desc, col("neighbor_id").asc), topK,
         rankCol = "rnk")
-      .withColumn("rnk", col("rnk").cast("long"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -94,7 +93,6 @@ object VectorQueries {
       RelationalOps.topKPerGroup(
           scored, Seq("q_id"), Seq(col("cosine").desc, col("neighbor_id").asc), topK,
           rankCol = "rnk")
-        .withColumn("rnk", col("rnk").cast("long"))
     }),
 
     // Embedding-cosine near-duplicate pairs: exact all-pairs baseline at

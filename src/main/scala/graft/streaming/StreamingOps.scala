@@ -111,10 +111,17 @@ object StreamingOps {
               .join(deduped.select(keys.map(col): _*), keys, "left_anti")
               .unionByName(deduped)
           } else deduped
-        // two-phase write: parquet can't overwrite a path being read
-        val tmp = path + "__staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        // stage-then-rename: parquet can't overwrite a path being read, and
+        // rewriting the target from a re-read of staging would double the
+        // I/O and leave a non-atomic full-rewrite window. The delete+rename
+        // still has a small non-atomic gap — a real deployment would use a
+        // MERGE-capable table format (Delta/Iceberg) here.
+        val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+        fs.delete(staging, true)
+        merged.write.mode("overwrite").parquet(staging.toString)
+        fs.delete(hPath, true)
+        fs.rename(staging, hPath)
+        ()
       }
       .start()
 
@@ -167,7 +174,12 @@ object StreamingOps {
         }
         cur.foreach { st =>
           state.update(st)
-          state.setTimeoutTimestamp((st.last + gapMicros) / 1000L + 1L)
+          // clamp: late rows (flatMapGroupsWithState does NOT drop them)
+          // could compute a timeout behind the watermark, which Spark
+          // rejects with IllegalArgumentException and kills the query
+          state.setTimeoutTimestamp(math.max(
+            (st.last + gapMicros) / 1000L + 1L,
+            state.getCurrentWatermarkMs() + 1L))
         }
       }
       closed.result().iterator
