@@ -19,7 +19,8 @@ object Pipeline {
       outDir: String,
       computePnl: Boolean = true,
       reportClientType: String = "bronze",
-      topN: Int = 3): EtlResult = {
+      topN: Int = 3,
+      partitionByWeek: Boolean = false): EtlResult = {
 
     val raw   = TradesEtl.extract(spark, inputCsv)
     val clean = TradesEtl.clean(raw)
@@ -27,10 +28,14 @@ object Pipeline {
 
     // S2 substitute: append like the reference's SQLite sink. Ordered by the
     // group keys — pandas groupby(sort=True) emits key-sorted rows (T3).
-    agg
-      .orderBy(Transform.groupKeys.map(col): _*)
-      .write.mode(SaveMode.Append)
-      .parquet(s"$outDir/agg_trades_weekly")
+    // `partitionByWeek` switches to the scale layout: hive-partitioned by
+    // week so time-bounded reads prune partitions (see sources.Sinks).
+    val sorted = agg.orderBy(Transform.groupKeys.map(col): _*)
+    val writer = sorted.write.mode(SaveMode.Append)
+    if (partitionByWeek)
+      writer.partitionBy("week_start_date").parquet(s"$outDir/agg_trades_weekly")
+    else
+      writer.parquet(s"$outDir/agg_trades_weekly")
 
     val metrics = if (computePnl) Seq("total_volume", "total_pnl") else Seq("total_volume")
     val report  = Report.topClients(agg, reportClientType, metrics, topN)

@@ -210,6 +210,22 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("value_sum"))
     }),
 
+    // JSON column handling: schema-on-read via from_json into a typed
+    // struct (not regexp) + per-type aggregation of the extracted field.
+    "q45_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(col("k")).as("n_k"),
+          sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"))
+    }),
+
     // Moving aggregate with an explicit ROWS frame (per-user, 3-row sum).
     "q32_moving_sum" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -377,6 +393,13 @@ object RelationalQueries {
       """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 604800) * 604800 AS win_start,
         |  event_type, count(*) AS cnt, round(sum(value), 2) AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q45_json_extract" ->
+      """SELECT event_type,
+        |  count(CAST(props->>'$.k' AS BIGINT)) AS n_k,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+        |  min(CAST(props->>'$.k' AS BIGINT)) AS k_min,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS k_max
+        |FROM events GROUP BY event_type""".stripMargin,
     "q32_moving_sum" ->
       """SELECT event_id, user_id,
         |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
