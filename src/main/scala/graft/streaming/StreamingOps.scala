@@ -61,9 +61,14 @@ object StreamingOps {
     * BOTH sides + the time-range predicate let Spark expire join state —
     * unbounded streams, bounded memory.
     */
+  /** `joinType = "left_outer"` additionally emits click-less purchases
+    * (click_id NULL) once the watermark passes their join window — exactly
+    * the rows a marketing pipeline writes off as organic.
+    */
   def attributionJoin(
       purchases: DataFrame, clicks: DataFrame,
-      window: String = "1 hour", delay: String = "10 minutes"): DataFrame = {
+      window: String = "1 hour", delay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val p = purchases
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_time"))
       .withWatermark("p_time", delay)
@@ -75,7 +80,7 @@ object StreamingOps {
       col("user_id") === col("c_user") &&
         col("c_time") >= col("p_time") - expr(s"INTERVAL $window") &&
         col("c_time") < col("p_time"),
-      "inner")
+      joinType)
       .select("purchase_id", "click_id", "user_id", "p_time", "c_time")
   }
 

@@ -85,6 +85,38 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("left-outer attribution emits click-less purchases after the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks    = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val cols = Seq("event_id", "user_id", "ts")
+    val joined = StreamingOps.attributionJoin(
+      purchases.toDF().toDF(cols: _*), clicks.toDF().toDF(cols: _*),
+      joinType = "left_outer")
+    val query = joined.writeStream.format("memory").queryName("attributed_outer")
+      .outputMode("append").start()
+    try {
+      // a purchase with no click at all
+      purchases.addData((300L, 5L, ts("2023-01-01 10:00:00")))
+      clicks.addData((400L, 6L, ts("2023-01-01 10:00:00"))) // other user
+      query.processAllAvailable()
+      // advance the watermark on BOTH sides well past the join window
+      purchases.addData((301L, 5L, ts("2023-01-01 14:00:00")))
+      clicks.addData((401L, 6L, ts("2023-01-01 14:00:00")))
+      query.processAllAvailable()
+      purchases.addData((302L, 5L, ts("2023-01-01 18:00:00")))
+      clicks.addData((402L, 6L, ts("2023-01-01 18:00:00")))
+      query.processAllAvailable()
+
+      val out = spark.table("attributed_outer")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      assert(out.contains((300L, None)), out.toSeq) // organic purchase surfaced
+      assert(!out.exists(_._2.exists(Set(400L, 401L, 402L))), out.toSeq) // never cross-user
+    } finally query.stop()
+  }
+
   test("upsert sink keeps exactly one latest row per key across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
