@@ -21,10 +21,21 @@ class TopKByValue(k: Int)
 
   override def zero: Seq[(Double, Long)] = Vector.empty
 
+  // The buffer is always sorted (reduce inserts in place, merge re-sorts),
+  // so an accepted row costs one O(log k) binary search plus the O(k)
+  // Vector splice — not the O(k log k) full re-sort per row.
   override def reduce(buf: Seq[(Double, Long)], row: (Double, Long)): Seq[(Double, Long)] =
-    if (buf.size < k || order(row, buf.last))
-      (buf :+ row).sortWith(order).take(k)
-    else buf
+    if (buf.size < k || order(row, buf.last)) {
+      val v = buf.toVector
+      var lo = 0
+      var hi = v.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (order(v(mid), row)) lo = mid + 1 else hi = mid
+      }
+      val inserted = (v.take(lo) :+ row) ++ v.drop(lo)
+      if (inserted.size > k) inserted.take(k) else inserted
+    } else buf
 
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
     (a ++ b).sortWith(order).take(k)

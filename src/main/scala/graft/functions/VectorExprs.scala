@@ -7,20 +7,37 @@ import org.apache.spark.sql.types._
 
 /** Native kernels for vector math over `array<float>`/`array<double>`.
   *
-  * Accumulation is strictly left-to-right in double precision — bit-for-bit
-  * the same result as the higher-order `zip_with`+`aggregate` formulation
-  * (and the DuckDB oracle), but ~2 orders of magnitude faster: one tight
-  * JIT-compiled loop per row instead of per-element Catalyst lambda
-  * evaluation, and the fused cosine computes dot + both norms in a single
-  * pass.
+  * On equal-length arrays with no NULL elements, accumulation is strictly
+  * left-to-right in double precision — bit-for-bit the same result as the
+  * higher-order `zip_with`+`aggregate` formulation (and the DuckDB oracle),
+  * but ~2 orders of magnitude faster: one tight JIT-compiled loop per row
+  * instead of per-element Catalyst lambda evaluation, and the fused cosine
+  * computes dot + both norms in a single pass.
+  *
+  * Outside that domain the kernels THROW rather than silently diverge from
+  * the HOF semantics (which yield NULL there): a length mismatch or a NULL
+  * element raises IllegalArgumentException — reading ragged or sparse
+  * vectors through `ArrayData` getters would otherwise truncate to the
+  * shorter length and read garbage for NULL slots.
   */
 object VectorKernels {
 
+  private def checkLengths(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"vector kernel: length mismatch ($n vs ${b.numElements()})")
+    n
+  }
+
+  private def nullElement(i: Int): Nothing = throw new IllegalArgumentException(
+    s"vector kernel: NULL element at index $i (dense arrays required)")
+
   def dot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkLengths(a, b)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nullElement(i)
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -35,12 +52,13 @@ object VectorKernels {
     * separate loops bit-for-bit.
     */
   def cosineOrNaN(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkLengths(a, b)
     var d  = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nullElement(i)
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       d += x * y

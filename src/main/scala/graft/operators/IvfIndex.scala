@@ -21,12 +21,17 @@ object IvfIndex {
     *
     * Init seeds from DISTINCT embeddings (duplicate seed vectors would tie
     * every assignment to the lower cluster_id and instantly empty the
-    * other). Standard Lloyd caveat still applies: a cluster that loses all
-    * members mid-iteration is dropped, so `k` is an upper bound on the
-    * returned codebook size — `knn` probes whatever codebook exists.
+    * other), each duplicate group represented by its MINIMUM vec_id — a
+    * deterministic choice, where `dropDuplicates` would keep whichever row
+    * a partition happened to deliver first. Standard Lloyd caveat still
+    * applies: a cluster that loses all members mid-iteration is dropped, so
+    * `k` is an upper bound on the returned codebook size — `knn` probes
+    * whatever codebook exists.
     */
   def train(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    var centroids = emb.dropDuplicates("embedding").orderBy("vec_id").limit(k)
+    var centroids = emb
+      .groupBy("embedding").agg(min("vec_id").as("vec_id"))
+      .orderBy("vec_id").limit(k)
       .select(
         (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
           .as("cluster_id"),

@@ -165,10 +165,15 @@ object TextQueries {
     }),
 
     // Winnowing fingerprint (SIGMOD'03) via custom expression (no oracle).
+    // Emitted as a comma-joined string, not array<bigint>: the driver's
+    // rows-only check sorts output values in pandas, which cannot hash raw
+    // array cells (round-1 q25 errored on exactly that).
     "q25_winnow" -> ((s, d) => {
       Tables.documents(s, d).select(
         col("doc_id"),
-        TextFingerprints.winnowFingerprint(TextOps.normalized(col("text")), 8, 16)
+        concat_ws(",",
+          TextFingerprints.winnowFingerprint(TextOps.normalized(col("text")), 8, 16)
+            .cast("array<string>"))
           .as("fingerprint"))
     }),
 

@@ -127,10 +127,30 @@ object VectorQueries {
         VectorOps.l2Norm(col("embedding")).as("l2_norm"))
     }),
 
-    // Per-label centroid: one shuffle on (label, dim), rebuilt as an array.
-    // Float-sum order is partition-dependent → no SQL oracle (rows-only).
-    "q29_centroid" -> ((s, d) =>
-      VectorOps.meanVectors(Tables.embeddings(s, d), "label", "embedding")),
+    // Per-label, per-dimension centroid, bit-exact: each (label, dim)
+    // group's values are summed left-to-right in vec_id order (sort_array
+    // over collect_list'd (vec_id, v) structs → HOF fold), so the result
+    // is deterministic and DuckDB-oracled — unlike a plain avg(), whose
+    // float-add order is partition-dependent. This is the VERIFIABLE
+    // formulation; [[VectorOps.meanVectors]] (shuffle-agg avg, no per-group
+    // materialization) stays the 100 TB scale path used by IVF training,
+    // where ±1 ulp in a centroid is irrelevant. Flat (label, dim, centroid)
+    // output — no array columns, which the driver's compare cannot sort.
+    "q29_centroid" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("label").cast("int").as("label"), col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(
+          aggregate(
+            transform(
+              array_sort(collect_list(struct(col("vec_id"), col("v")))),
+              x => x.getField("v")),
+            lit(0.0), (acc, x) => acc + x).as("ssum"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("dim").cast("int").as("dim"),
+          (col("ssum") / col("n")).as("centroid"), col("n"))
+    }),
   )
 
   private val dotSql =
@@ -163,5 +183,18 @@ object VectorQueries {
          |  CAST(embedding[1] AS DOUBLE) AS dim0,
          |  ${normSql("embedding")} AS l2_norm
          |FROM embeddings""".stripMargin,
+    // list(v ORDER BY vec_id) + list_sum is a left-to-right fold in vec_id
+    // order — same accumulation order as the Spark side, hence bit-exact.
+    "q29_centroid" ->
+      """WITH e AS (
+        |  SELECT CAST(label AS INT) AS label, vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS v
+        |  FROM embeddings)
+        |SELECT label, dim,
+        |  list_sum(list_transform(list(v ORDER BY vec_id), x -> x))
+        |    / count(*) AS centroid,
+        |  count(*) AS n
+        |FROM e GROUP BY 1, 2""".stripMargin,
   )
 }

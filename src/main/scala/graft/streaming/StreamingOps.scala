@@ -107,8 +107,19 @@ object StreamingOps {
         val deduped = batch.dropDuplicates(keys)
         // existence via the path's own FileSystem — java.io.File would be
         // always-false on hdfs:///s3a:// and silently overwrite the table
-        val hPath = new org.apache.hadoop.fs.Path(path)
-        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hPath   = new org.apache.hadoop.fs.Path(path)
+        val fs      = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+        val retired = new org.apache.hadoop.fs.Path(path + "__old")
+        // Crash recovery BEFORE deciding new-vs-merge: a previous batch may
+        // have died mid-swap. If the table is gone but __old survives, the
+        // crash hit between the two renames — restore __old so this replayed
+        // batch re-merges against the full history instead of treating the
+        // table as new (which would silently drop everything but the current
+        // batch). If both exist, the crash hit after the swap — drop __old.
+        if (!fs.exists(hPath) && fs.exists(retired)) fs.rename(retired, hPath)
+        else if (fs.exists(retired)) fs.delete(retired, true)
+        fs.delete(staging, true)
         val merged =
           if (fs.exists(hPath)) {
             val existing = spark.read.parquet(path)
@@ -116,16 +127,19 @@ object StreamingOps {
               .join(deduped.select(keys.map(col): _*), keys, "left_anti")
               .unionByName(deduped)
           } else deduped
-        // stage-then-rename: parquet can't overwrite a path being read, and
-        // rewriting the target from a re-read of staging would double the
-        // I/O and leave a non-atomic full-rewrite window. The delete+rename
-        // still has a small non-atomic gap — a real deployment would use a
+        // stage-then-swap: write the merge to __staging, retire the current
+        // table to __old (rename, NOT delete — every crash window leaves a
+        // complete copy under either the table path or __old), move staging
+        // into place, then drop __old. A real deployment would use a
         // MERGE-capable table format (Delta/Iceberg) here.
-        val staging = new org.apache.hadoop.fs.Path(path + "__staging")
-        fs.delete(staging, true)
         merged.write.mode("overwrite").parquet(staging.toString)
-        fs.delete(hPath, true)
-        fs.rename(staging, hPath)
+        if (fs.exists(hPath)) {
+          fs.rename(hPath, retired)
+          fs.rename(staging, hPath)
+          fs.delete(retired, true)
+        } else {
+          fs.rename(staging, hPath)
+        }
         ()
       }
       .start()
