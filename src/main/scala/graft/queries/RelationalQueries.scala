@@ -290,6 +290,87 @@ object RelationalQueries {
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
             .as("approx_median_price"))
     }),
+
+    // Band (range) join: non-equi join of a fact against a tiny interval
+    // dim. Broadcast → BroadcastNestedLoopJoin; the dim side is rows, never
+    // a shuffle, so this survives any fact-table scale.
+    "q46_range_join" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        ("tiny", 0.0, 50000.0), ("small", 50000.0, 150000.0),
+        ("mid", 150000.0, 300000.0), ("large", 300000.0, 1.0e9))
+        .toDF("band", "lo", "hi")
+      Tables.orders(s, d)
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
+    // Deterministic train/val/test split: threshold on the md5 hex of the
+    // row key — reproducible across runs, engines, and cluster sizes (no
+    // RNG, no partition dependence), the standard way to split a 100 TB
+    // corpus without a global shuffle. ~80/10/10 via hex prefix bands.
+    "q47_hash_split" -> ((s, d) => {
+      val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
+          .as("split"))
+    }),
+
+    // GROUPING SETS: chosen subtotal combinations in one pass (the general
+    // form of q33 ROLLUP / q41 CUBE), with grouping() flags to distinguish
+    // a NULL key from a subtotal row.
+    "q48_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          grouping(col("o_orderpriority")).cast("int").as("g_pri"),
+          grouping(col("o_orderstatus")).cast("int").as("g_st"),
+          count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
+    // PII-shaped redaction: replace every number in the props JSON with a
+    // placeholder and count the hits — regexp_replace/regexp_count are
+    // codegen'd, one narrow pass, no shuffle.
+    "q49_redact" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        regexp_replace(col("props"), "-?\\d+", "<NUM>").as("scrubbed"),
+        regexp_count(col("props"), lit("-?\\d+")).cast("long").as("n_hits"))
+    }),
+
+    // Exact quartiles. Bit-safe across engines DESPITE being interpolated:
+    // l_quantity is integer-valued and the R-7 index fractions here are
+    // quarters, so every interpolation step is exact binary arithmetic —
+    // both engines land on the identical double.
+    "q50_quartiles" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_quantity"), lit(0.25)).as("q1"),
+          percentile(col("l_quantity"), lit(0.5)).as("median"),
+          percentile(col("l_quantity"), lit(0.75)).as("q3"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // Stratified deterministic sampling: per-stratum md5-threshold rates
+    // (10% of clicks, 50% of everything else) — the keep decision is a
+    // pure function of the row key, so the sample is stable under re-runs
+    // and repartitioning, unlike rand()-based sampling.
+    "q51_stratified_sample" -> ((s, d) => {
+      val h = substring(md5(col("event_id").cast("string")), 1, 2)
+      Tables.events(s, d)
+        .filter(
+          (col("event_type") === "click" && h < "1a") ||
+            (col("event_type") =!= "click" && h < "80"))
+        .select("event_id", "event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -426,5 +507,43 @@ object RelationalQueries {
         |  count(DISTINCT l_partkey) AS n_part,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q46_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('tiny', 0.0, 50000.0), ('small', 50000.0, 150000.0),
+        |  ('mid', 150000.0, 300000.0), ('large', 300000.0, 1.0e9))
+        |SELECT band, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band""".stripMargin,
+    "q47_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "q48_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+        |  count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin,
+    "q49_redact" ->
+      raw"""SELECT event_id,
+           |  regexp_replace(props, '-?\d+', '<NUM>', 'g') AS scrubbed,
+           |  CAST(len(regexp_extract_all(props, '-?\d+')) AS BIGINT) AS n_hits
+           |FROM events""".stripMargin,
+    "q50_quartiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q1,
+        |  quantile_cont(l_quantity, 0.5) AS median,
+        |  quantile_cont(l_quantity, 0.75) AS q3,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q51_stratified_sample" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE (event_type = 'click'
+        |    AND substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '1a')
+        |  OR (event_type <> 'click'
+        |    AND substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '80')""".stripMargin,
   )
 }
