@@ -29,6 +29,9 @@ object GraftSession {
       // selective dim filters a 100 TB fact)
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the driver corpus's events.ts is TIMESTAMP(NANOS); read as raw
+      // longs everywhere (no per-read option exists — see Tables.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }

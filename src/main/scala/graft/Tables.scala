@@ -25,12 +25,14 @@ object Tables {
     * oracle comparisons line up exactly). True floor division, not `div`:
     * `div` truncates toward zero, which differs by 1µs for pre-1970
     * timestamps; `(ts - pmod(ts, 1000)) div 1000` is exact in longs.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` — a session conf
+    * with no per-read equivalent, set once in [[GraftSession.create]]
+    * (loaders must not mutate session state per call).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     load(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -6,8 +6,21 @@ import org.apache.spark.sql.functions.col
 /** End-to-end pipeline (reference `run_etl`, `etl_weekly_trades.py:270-281`).
   *
   * Sink substitutions (offline container, SURVEY.md §7.3.8): the SQLite
-  * `append` sink (S2) becomes parquet `append`; the Excel report sink (S3)
-  * becomes CSV — identical rows/columns in both cases.
+  * `append` sink (S2) becomes parquet `append` by default; the Excel report
+  * sink (S3) becomes CSV — identical rows/columns in both cases. Full
+  * reference API parity:
+  *   - `tableName` — the reference's `load(df, path, table_name)`
+  *     (`etl_weekly_trades.py:134`): names the aggregate table (the parquet
+  *     subdirectory, or the JDBC table when `jdbcUrl` is set).
+  *   - `jdbcUrl` — the reference's primary sink IS a database
+  *     (`etl_weekly_trades.py:147`, `to_sql(if_exists="append")`): when set,
+  *     the aggregate is appended to `tableName` over JDBC instead of
+  *     parquet. No JDBC driver jar ships in this offline container, so the
+  *     branch is unit-tested for plumbing only (PipelineSpec asserts it
+  *     routes to JDBC and fails without a driver).
+  *   - `addTimestamp` — the reference's `run_etl(add_timestamp=True)`
+  *     prefixes the report file with `%Y%m%d_%H%M%S`
+  *     (`etl_weekly_trades.py:210-212`).
   */
 object Pipeline {
 
@@ -20,31 +33,48 @@ object Pipeline {
       computePnl: Boolean = true,
       reportClientType: String = "bronze",
       topN: Int = 3,
-      partitionByWeek: Boolean = false): EtlResult = {
+      partitionByWeek: Boolean = false,
+      tableName: String = "agg_trades_weekly",
+      jdbcUrl: Option[String] = None,
+      addTimestamp: Boolean = false): EtlResult = {
 
     val raw   = TradesEtl.extract(spark, inputCsv)
     val clean = TradesEtl.clean(raw)
     val agg   = Transform(clean, computePnl).cache() // fans out to load + report
 
-    // S2 substitute: append like the reference's SQLite sink. Ordered by the
-    // group keys — pandas groupby(sort=True) emits key-sorted rows (T3).
-    // `partitionByWeek` switches to the scale layout: hive-partitioned by
-    // week so time-bounded reads prune partitions (see sources.Sinks).
+    // S2: append like the reference's SQLite sink. Ordered by the group
+    // keys — pandas groupby(sort=True) emits key-sorted rows (T3).
+    // `partitionByWeek` switches the parquet layout to the scale path:
+    // hive-partitioned by week so time-bounded reads prune partitions.
     val sorted = agg.orderBy(Transform.groupKeys.map(col): _*)
-    val writer = sorted.write.mode(SaveMode.Append)
-    if (partitionByWeek)
-      writer.partitionBy("week_start_date").parquet(s"$outDir/agg_trades_weekly")
-    else
-      writer.parquet(s"$outDir/agg_trades_weekly")
+    jdbcUrl match {
+      case Some(url) =>
+        sorted.write.mode(SaveMode.Append)
+          .format("jdbc")
+          .option("url", url)
+          .option("dbtable", tableName)
+          .save()
+      case None =>
+        val writer = sorted.write.mode(SaveMode.Append)
+        if (partitionByWeek)
+          writer.partitionBy("week_start_date").parquet(s"$outDir/$tableName")
+        else
+          writer.parquet(s"$outDir/$tableName")
+    }
 
     val metrics = if (computePnl) Seq("total_volume", "total_pnl") else Seq("total_volume")
     val report  = Report.topClients(agg, reportClientType, metrics, topN)
 
-    // S3 substitute.
+    // S3 substitute; optional run_etl(add_timestamp=True) filename prefix.
+    val prefix =
+      if (addTimestamp)
+        java.time.LocalDateTime.now()
+          .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")) + "_"
+      else ""
     report
       .write.mode(SaveMode.Overwrite)
       .option("header", "true")
-      .csv(s"$outDir/top_clients")
+      .csv(s"$outDir/${prefix}top_clients")
 
     EtlResult(agg, report)
   }

@@ -24,8 +24,12 @@ class TopKByValue(k: Int)
   // The buffer is always sorted (reduce inserts in place, merge re-sorts),
   // so an accepted row costs one O(log k) binary search plus the O(k)
   // Vector splice — not the O(k log k) full re-sort per row.
+  // NaN scores are dropped: NaN compares false both ways, so `order` is not
+  // a strict total order over it — one NaN row would wedge into index 0 and
+  // break the sorted-buffer invariant for every later insert/merge.
   override def reduce(buf: Seq[(Double, Long)], row: (Double, Long)): Seq[(Double, Long)] =
-    if (buf.size < k || order(row, buf.last)) {
+    if (row._1.isNaN) buf
+    else if (buf.size < k || order(row, buf.last)) {
       val v = buf.toVector
       var lo = 0
       var hi = v.size

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) index for approximate nearest-neighbor search:
@@ -10,71 +10,106 @@ import org.apache.spark.sql.functions._
   * sign-LSH (`q27`): at 100 TB the assignment table is the index — queries
   * shuffle only candidate clusters, never the corpus.
   *
-  * Training is plain DataFrame algebra: Lloyd iterations with broadcast
-  * centroid tables (k rows), distance via the native dot kernel using
-  * ‖a−c‖² = ‖a‖² − 2a·c + ‖c‖² (the ‖a‖² term is rank-invariant and
-  * dropped). Init is deterministic: the k lowest-id vectors.
+  * The codebook is ≤k rows, so it lives as plain driver-side values between
+  * steps (the standard Spark Lloyd shape): cluster assignment is then a
+  * NARROW per-row argmin over k literal centroids — no crossJoin, no
+  * shuffle — and each Lloyd iteration costs exactly one aggregation.
+  * Distance via the native dot kernel using ‖a−c‖² = ‖a‖² − 2a·c + ‖c‖²
+  * (the ‖a‖² term is rank-invariant and dropped; ‖c‖² is a driver-side
+  * constant per centroid, accumulated left-to-right like the kernel so
+  * scores are bit-identical to the kernel-only formulation).
   */
 object IvfIndex {
 
+  private type Codebook = Array[(Int, Array[Double])]
+
+  private def collectCodebook(centroids: DataFrame): Codebook =
+    centroids.select("cluster_id", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+
+  /** (score, cluster_id) struct per centroid; struct order = score asc,
+    * ties to the lower cluster_id — the same tie rule as a min_by over
+    * (score, cluster_id).
+    */
+  private def scoredStructs(emb: Column, cents: Codebook): Seq[Column] =
+    cents.toSeq.map { case (cid, c) =>
+      val cNorm2 = c.foldLeft(0.0)((acc, x) => acc + x * x)
+      struct(
+        (lit(cNorm2) - lit(2.0) * VectorOps.dot(emb, typedlit(c.toSeq))).as("score"),
+        lit(cid).as("cid"))
+    }
+
+  private def nearestCol(emb: Column, cents: Codebook): Column =
+    array_min(array(scoredStructs(emb, cents): _*)).getField("cid")
+
   /** cluster_id → centroid (array<double>), after `iters` Lloyd steps.
     *
-    * Init seeds from DISTINCT embeddings (duplicate seed vectors would tie
-    * every assignment to the lower cluster_id and instantly empty the
-    * other), each duplicate group represented by its MINIMUM vec_id — a
-    * deterministic choice, where `dropDuplicates` would keep whichever row
-    * a partition happened to deliver first. Standard Lloyd caveat still
-    * applies: a cluster that loses all members mid-iteration is dropped, so
-    * `k` is an upper bound on the returned codebook size — `knn` probes
-    * whatever codebook exists.
+    * Init is a deterministic hash-ordered sample: `orderBy(xxhash64(vec_id))
+    * .limit(8k)` plans as TakeOrderedAndProject — each partition keeps its
+    * own top-8k and the driver merges, so seeding reads the corpus ONCE and
+    * shuffles NOTHING (a `groupBy("embedding")` over the corpus would
+    * hash-partition every embedding across the cluster for a k-row result).
+    * Hash order also de-correlates seeds from ingestion order (the k lowest
+    * ids could all share one label). The 8k-row sample is deduplicated by
+    * embedding (duplicate seed vectors would tie every assignment to the
+    * lower cluster_id and instantly empty the other), each duplicate group
+    * represented by its MINIMUM vec_id — deterministic, where
+    * `dropDuplicates` keeps whichever row a partition delivered first.
+    * Standard Lloyd caveat still applies: a cluster that loses all members
+    * mid-iteration is dropped (and a fully-duplicated tiny sample yields
+    * < k seeds), so `k` is an upper bound on the returned codebook size —
+    * `knn` probes whatever codebook exists.
     */
   def train(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val sampleHash = xxhash64(col("vec_id"))
     var centroids = emb
-      .groupBy("embedding").agg(min("vec_id").as("vec_id"))
-      .orderBy("vec_id").limit(k)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(sampleHash.asc, col("vec_id").asc)
+      .limit(k * 8) // TakeOrderedAndProject: per-partition top-8k, no shuffle
+      .groupBy("embedding").agg(min("vec_id").as("vec_id")) // ≤ 8k rows
+      .orderBy(sampleHash.asc, col("vec_id").asc).limit(k)
       .select(
-        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(sampleHash.asc, col("vec_id").asc)) - 1)
           .as("cluster_id"),
         col("embedding").cast("array<double>").as("centroid"))
     for (_ <- 1 to iters) {
-      val assigned = assign(emb, centroids)
-      centroids = VectorOps.meanVectors(
-        assigned.join(emb, "vec_id"), "cluster_id", "embedding")
+      val cents = collectCodebook(centroids) // ≤ k tiny rows per iteration
+      val assigned = emb.select(
+        col("embedding"), nearestCol(col("embedding"), cents).as("cluster_id"))
+      centroids = VectorOps.meanVectors(assigned, "cluster_id", "embedding")
     }
     centroids
   }
 
-  /** vec_id → nearest cluster_id (ties to the lower cluster id). */
-  def assign(emb: DataFrame, centroids: DataFrame): DataFrame =
-    emb
-      .crossJoin(broadcast(centroids))
-      .select(
-        col("vec_id"), col("cluster_id"),
-        (VectorOps.dot(col("centroid"), col("centroid"))
-          - lit(2.0) * VectorOps.dot(col("embedding"), col("centroid"))).as("score"))
-      .groupBy("vec_id")
-      .agg(min_by(col("cluster_id"), struct(col("score"), col("cluster_id")))
-        .as("cluster_id"))
+  /** vec_id → nearest cluster_id (ties to the lower cluster id). Narrow —
+    * one pass over the corpus, no shuffle.
+    */
+  def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = collectCodebook(centroids)
+    emb.select(col("vec_id"),
+      nearestCol(col("embedding"), cents).as("cluster_id"))
+  }
 
   /** Approximate top-k cosine neighbors for `queries` (must have columns
     * q_id, qe): each query scores only vectors assigned to its `nprobe`
-    * nearest clusters.
+    * nearest clusters. Probe selection is a narrow per-row sort over the
+    * k-entry codebook; the only shuffles left are the probe broadcast join
+    * and the final per-query top-k.
     */
   def knn(
       emb: DataFrame, centroids: DataFrame, queries: DataFrame,
       topK: Int, nprobe: Int): DataFrame = {
-    val probed = queries
-      .crossJoin(broadcast(centroids))
-      .select(
-        col("q_id"), col("qe"), col("cluster_id"),
-        (VectorOps.dot(col("centroid"), col("centroid"))
-          - lit(2.0) * VectorOps.dot(col("qe"), col("centroid"))).as("score"))
-    val probes = RelationalOps.topKPerGroup(
-        probed, Seq("q_id"), Seq(col("score").asc, col("cluster_id").asc), nprobe)
-      .select("q_id", "qe", "cluster_id")
-    val assigned = assign(emb, centroids)
-    val scored = emb
-      .join(assigned, "vec_id")
+    val cents = collectCodebook(centroids)
+    val probes = queries.select(
+      col("q_id"), col("qe"),
+      explode(transform(
+        slice(array_sort(array(scoredStructs(col("qe"), cents): _*)), 1, nprobe),
+        p => p.getField("cid"))).as("cluster_id"))
+    val assigned = emb.select(
+      col("vec_id"), col("embedding"),
+      nearestCol(col("embedding"), cents).as("cluster_id"))
+    val scored = assigned
       .join(broadcast(probes), Seq("cluster_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(

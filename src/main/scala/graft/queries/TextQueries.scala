@@ -96,6 +96,36 @@ object TextQueries {
   private def candidatePairs(s: SparkSession, d: String): DataFrame =
     candidatePairsFrom(sigs(s, d))
 
+  /** BM25 document scoring (k1=1.2, b=0.75) for a fixed term set. The
+    * corpus stats (N, avgdl) ride along as a broadcast 1-row aggregate so
+    * the whole thing is ONE lazy plan — no driver-side `count()`/`head`
+    * scalar jobs during query construction. Exposed (not inlined in the
+    * registry) so Bm25Spec can score a hand-computed fixture.
+    */
+  private[graft] def bm25(docs: DataFrame, qTerms: Seq[String]): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = toks.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+    val terms = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+    val tf = terms.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val k1 = 1.2
+    val b  = 0.75
+    tf.join(df, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("score",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + col("dl") * lit(b) / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(sum("score").as("bm25"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Token counting + punctuation + stopword ratio (single divisions only).
     "q17_text_stats" -> ((s, d) => {
@@ -181,17 +211,21 @@ object TextQueries {
     // so every value is one integer product and one division, which DuckDB
     // reproduces bit-for-bit; libm log is not correctly-rounded across
     // engines). Top-3 terms per doc. Two shuffles: doc-term counts, df.
+    // The corpus size N rides along as a broadcast 1-row frame — the whole
+    // query stays ONE lazy plan / one job (a driver-side `docs.count()`
+    // would cost an extra eager job per construction).
     "q40_tfidf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val n = docs.count()
+      val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val terms = docs
         .select(col("doc_id"),
           explode(TextOps.tokens(TextOps.normalized(col("text")))).as("term"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val scored = tf.join(df, "term")
+        .crossJoin(broadcast(n))
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
-          (col("tf") * lit(n.toDouble) / col("df")).as("score"))
+          (col("tf") * col("n_docs") / col("df")).as("score"))
       RelationalOps.topKPerGroup(
           scored, Seq("doc_id"),
           Seq(col("score").desc, col("term").asc), 3, rankCol = "rnk")
@@ -207,30 +241,8 @@ object TextQueries {
     // Uses real log idf → not bit-reproducible across engines' libm
     // (SURVEY float-parity rules) → rows-only check; the rational-idf
     // q40 is the oracle-checked variant of the same shape.
-    "q42_bm25" -> ((s, d) => {
-      val qTerms = Seq("data", "spark", "query")
-      val docs = Tables.documents(s, d)
-      val n = docs.count()
-      val toks = docs.select(col("doc_id"),
-        TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
-        .withColumn("dl", size(col("toks")).cast("double"))
-      val avgdl = toks.agg(avg("dl")).head.getDouble(0)
-      val terms = toks
-        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .filter(col("term").isin(qTerms: _*))
-      val tf = terms.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-      val k1 = 1.2
-      val b  = 0.75
-      tf.join(df, "term")
-        .withColumn("idf",
-          log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-        .withColumn("score",
-          col("idf") * (col("tf") * lit(k1 + 1.0)) /
-            (col("tf") + lit(k1) * (lit(1.0 - b) + col("dl") * lit(b / avgdl))))
-        .groupBy("doc_id")
-        .agg(sum("score").as("bm25"))
-    }),
+    "q42_bm25" -> ((s, d) => bm25(Tables.documents(s, d),
+      Seq("data", "spark", "query"))),
 
     // Fixed-size token chunking with overlap (50-token chunks, stride 40):
     // the standard training-data windowing step. One narrow pass + explode.

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.VectorOps
 import graft.operators.{IvfIndex, RelationalOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (`array<float>` × 64).
@@ -48,6 +48,87 @@ object VectorQueries {
       posexplode(array((0 until nTables).map(t => bucketCol(col("embedding"), t)): _*))
         .as(Seq("table", "bucket")))
 
+  /** All candidate pairs sharing an LSH bucket in ≥1 table, via bucket
+    * expansion (the q22 pattern): group vec_ids per (table, bucket) and
+    * emit in-bucket pairs with a nested HOF — ONE shuffle of (table,
+    * bucket, id) triples, never a self-join of the embedding table. Output
+    * ids are sorted (`id_a < id_b`) and deduped across tables. In-bucket
+    * emit is O(bucket²); with `nBits`-bit buckets the expected bucket is
+    * N/2^nBits, so candidates stay near-linear until buckets saturate.
+    */
+  private[queries] def lshCandidatePairs(emb: DataFrame): DataFrame = {
+    val ids = col("ids")
+    withBuckets(emb)
+      .select(col("table"), col("bucket"), col("vec_id"))
+      .groupBy("table", "bucket")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(ids) > 1)
+      .select(explode(
+        flatten(transform(sequence(lit(1), size(ids) - 1), i =>
+          transform(slice(ids, i + 1, size(ids)), b =>
+            struct(element_at(ids, i).as("id_a"), b.as("id_b"))))))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+  }
+
+  /** Exact all-pairs cosine-threshold join — O(N²), verification scale
+    * ONLY. Kept as the truth reference for EmbedNeardupSpec's recall
+    * bounds; the registered q35 is the LSH-pruned composition.
+    */
+  private[graft] def neardupExact(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorOps.cosine(col("ea"), col("eb")).as("cosine"))
+      .filter(col("cosine") > threshold)
+  }
+
+  /** Approximate top-k cosine kNN: each query scores only the vectors that
+    * share a sign-LSH bucket with it in ≥1 of the `nTables` tables — the
+    * scale path next to IVF (`IvfIndex`); candidates ∝ N/2^nBits per
+    * query, never the corpus. Queries are `emb.filter(queryPred)` (a small
+    * set — their bucket list is broadcast). Multi-table collisions are
+    * deduped on the (q_id, neighbor_id) ID pair BEFORE fetching vectors —
+    * a distinct over the embedding arrays themselves would shuffle full
+    * vectors instead of 16-byte pairs.
+    *
+    * Queries MULTIPROBE (Lv et al., VLDB'07): each probes its own bucket
+    * plus the `nBits` buckets at Hamming distance 1 — the query-side probe
+    * list grows ×(nBits+1) (it is tiny and broadcast; the corpus side is
+    * untouched) for a ~4× recall gain on moderate-similarity neighbors,
+    * whose single-bucket collision probability is low. Recall is bounded
+    * in KnnLshRecallSpec: near-certain for genuinely-close neighbors
+    * (cosine ≳ 0.9), modest on uniform-random corpora where no ANN
+    * method separates "nearest" from the background.
+    */
+  private[graft] def knnLsh(embRaw: DataFrame, queryPred: Column): DataFrame = {
+    val emb = withBuckets(embRaw)
+    val qs = emb.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("table"), col("bucket"))
+    val probeBuckets = col("bucket") +:
+      (0 until nBits).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+    val probes = qs.select(col("q_id"), col("table"),
+      explode(array(probeBuckets: _*)).as("bucket"))
+    val candidates = emb
+      .join(broadcast(probes), Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val scored = candidates
+      .join(broadcast(qs.select(col("q_id"), col("qe")).distinct()), Seq("q_id"))
+      .join(embRaw
+        .select(col("vec_id").as("neighbor_id"), col("embedding")), Seq("neighbor_id"))
+      .select(
+        col("q_id"), col("neighbor_id"),
+        VectorOps.cosine(col("qe"), col("embedding")).as("cosine"))
+    RelationalOps.topKPerGroup(
+        scored, Seq("q_id"), Seq(col("cosine").desc, col("neighbor_id").asc), topK,
+        rankCol = "rnk")
+  }
+
   private def knnFrom(base: DataFrame, queries: DataFrame): DataFrame = {
     val scored = base
       .join(broadcast(queries), col("vec_id") =!= col("q_id"))
@@ -70,39 +151,25 @@ object VectorQueries {
 
     // Approximate kNN: score only candidates sharing an LSH bucket with the
     // query in ≥1 of the 4 tables (scale path — no all-pairs scan).
-    "q27_knn_lsh" -> ((s, d) => {
-      val emb = withBuckets(Tables.embeddings(s, d))
-      val qs = emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-          col("table"), col("bucket"))
-      // Dedup multi-table collisions on the (q_id, neighbor_id) ID pair
-      // BEFORE fetching vectors — a distinct over the embedding arrays
-      // themselves would shuffle full vectors instead of 16-byte pairs.
-      val candidates = emb
-        .join(broadcast(qs.select("q_id", "table", "bucket")), Seq("table", "bucket"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"))
-        .distinct()
-      val scored = candidates
-        .join(broadcast(qs.select(col("q_id"), col("qe")).distinct()), Seq("q_id"))
-        .join(Tables.embeddings(s, d)
-          .select(col("vec_id").as("neighbor_id"), col("embedding")), Seq("neighbor_id"))
-        .select(
-          col("q_id"), col("neighbor_id"),
-          VectorOps.cosine(col("qe"), col("embedding")).as("cosine"))
-      RelationalOps.topKPerGroup(
-          scored, Seq("q_id"), Seq(col("cosine").desc, col("neighbor_id").asc), topK,
-          rankCol = "rnk")
-    }),
+    "q27_knn_lsh" -> ((s, d) =>
+      knnLsh(Tables.embeddings(s, d), col("vec_id") < nQueries)),
 
-    // Embedding-cosine near-duplicate pairs: exact all-pairs baseline at
-    // verification scale (the LSH bucketing of q27 is the 100 TB candidate
-    // generator; this is the verify stage it feeds, like q22 → q23).
+    // Embedding-cosine near-duplicate pairs, composed exactly like the
+    // q22 → q23 text pipeline: sign-LSH bucket candidates (near-linear),
+    // then exact fused-cosine verification of ONLY those candidates —
+    // never an all-pairs scan. Semantics are "verified LSH candidates":
+    // recall is ~1 in the true near-dup regime (cosine ≳ 0.9, where
+    // bucket collision is near-certain — EmbedNeardupSpec plants such
+    // pairs and bounds recall ≥ 0.95) and intentionally partial for the
+    // sub-0.7 noise tail, where NO sub-quadratic exact method exists
+    // (candidate fraction ≥ tables/2^bits for ≥0.95 recall at cosine 0.4
+    // — i.e. all pairs). The DuckDB oracle replays the same hyperplanes
+    // bit-exactly, so the full candidate+verify pipeline is hash-checked.
     "q35_embed_neardup" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
-      a.join(b, col("id_a") < col("id_b"))
+      val emb = Tables.embeddings(s, d)
+      lshCandidatePairs(emb)
+        .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+        .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
         .select(col("id_a"), col("id_b"),
           VectorOps.cosine(col("ea"), col("eb")).as("cosine"))
         .filter(col("cosine") > 0.4)
@@ -158,6 +225,43 @@ object VectorQueries {
   private def normSql(c: String) =
     s"sqrt(list_sum(list_transform(CAST($c AS DOUBLE[]), x -> x * x)))"
 
+  // ---- q35 oracle: replay the sign-LSH bucketing in DuckDB -------------
+  // The hyperplanes are embedded as double literals (Double.toString is the
+  // shortest round-trip form; DuckDB's parser is correctly rounded, so the
+  // parsed values are bit-identical). list_sum(list_transform(list_zip(...)))
+  // accumulates left-to-right in double like the native DotProduct kernel
+  // (established bit-exact by the q26 oracle), hence every bucket sign —
+  // and so the whole candidate set — matches the Spark side exactly.
+  private def planeSql(p: Array[Double]): String =
+    p.map(_.toString).mkString("[", ", ", "]")
+  private def bucketSql(table: Int): String =
+    planes(table).zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_sum(list_transform(list_zip(v, ${planeSql(p)}), p -> p[1] * p[2])) > 0.0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+  private val pairDotSql =
+    "list_sum(list_transform(list_zip(ea.v, eb.v), p -> p[1] * p[2]))"
+  private def pairNormSql(c: String) =
+    s"sqrt(list_sum(list_transform($c, x -> x * x)))"
+  private val neardupSql = {
+    val bucketSelects = (0 until nTables).map { t =>
+      s"SELECT vec_id, $t AS t, ${bucketSql(t)} AS bucket FROM e"
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS ($bucketSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM b x JOIN b y ON x.t = y.t AND x.bucket = y.bucket
+       |    AND x.vec_id < y.vec_id)
+       |SELECT id_a, id_b, cosine FROM (
+       |  SELECT id_a, id_b,
+       |    CASE WHEN ${pairNormSql("ea.v")} * ${pairNormSql("eb.v")} <> 0.0
+       |      THEN $pairDotSql / (${pairNormSql("ea.v")} * ${pairNormSql("eb.v")}) END AS cosine
+       |  FROM cand
+       |  JOIN e ea ON ea.vec_id = cand.id_a
+       |  JOIN e eb ON eb.vec_id = cand.id_b)
+       |WHERE cosine > 0.4""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q26_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < $nQueries),
@@ -169,15 +273,7 @@ object VectorQueries {
          |r AS (SELECT *, row_number() OVER (
          |    PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM s)
          |SELECT q_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= $topK""".stripMargin,
-    "q35_embed_neardup" ->
-      s"""SELECT * FROM (
-         |  SELECT id_a, e.vec_id AS id_b,
-         |    CASE WHEN ${normSql("qe")} * ${normSql("e.embedding")} <> 0.0
-         |      THEN $dotSql / (${normSql("qe")} * ${normSql("e.embedding")}) END AS cosine
-         |  FROM (SELECT vec_id AS id_a, embedding AS qe FROM embeddings) a,
-         |    embeddings e
-         |  WHERE id_a < e.vec_id)
-         |WHERE cosine > 0.4""".stripMargin,
+    "q35_embed_neardup" -> neardupSql,
     "q28_embed_stats" ->
       s"""SELECT vec_id, label,
          |  CAST(embedding[1] AS DOUBLE) AS dim0,

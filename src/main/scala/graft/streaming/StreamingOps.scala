@@ -111,14 +111,31 @@ object StreamingOps {
         val fs      = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val staging = new org.apache.hadoop.fs.Path(path + "__staging")
         val retired = new org.apache.hadoop.fs.Path(path + "__old")
+        // FileSystem.rename reports failure by returning FALSE, not by
+        // throwing; an ignored false here would silently corrupt the table
+        // (e.g. staging moved INSIDE a still-existing target dir). Throw so
+        // the micro-batch fails and the checkpoint retries it.
+        def mustRename(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+          require(fs.rename(from, to), s"upsertSink: rename failed: $from -> $to")
+        // A completely-written table carries the Hadoop committer's _SUCCESS
+        // marker; a dir without it is a partial copy (e.g. a crashed
+        // copy+delete "rename" on object stores, where rename is not atomic).
+        def isComplete(p: org.apache.hadoop.fs.Path): Boolean =
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
         // Crash recovery BEFORE deciding new-vs-merge: a previous batch may
         // have died mid-swap. If the table is gone but __old survives, the
         // crash hit between the two renames — restore __old so this replayed
         // batch re-merges against the full history instead of treating the
         // table as new (which would silently drop everything but the current
-        // batch). If both exist, the crash hit after the swap — drop __old.
-        if (!fs.exists(hPath) && fs.exists(retired)) fs.rename(retired, hPath)
-        else if (fs.exists(retired)) fs.delete(retired, true)
+        // batch). If both exist: only discard __old when the table is a
+        // COMPLETE copy (_SUCCESS present) — on a non-atomic rename a crash
+        // can leave a partial table beside the only full copy in __old, and
+        // dropping __old then would lose data permanently.
+        if (!fs.exists(hPath) && fs.exists(retired)) mustRename(retired, hPath)
+        else if (fs.exists(retired) && fs.exists(hPath) && !isComplete(hPath)) {
+          fs.delete(hPath, true)
+          mustRename(retired, hPath)
+        } else if (fs.exists(retired)) fs.delete(retired, true)
         fs.delete(staging, true)
         val merged =
           if (fs.exists(hPath)) {
@@ -134,11 +151,11 @@ object StreamingOps {
         // MERGE-capable table format (Delta/Iceberg) here.
         merged.write.mode("overwrite").parquet(staging.toString)
         if (fs.exists(hPath)) {
-          fs.rename(hPath, retired)
-          fs.rename(staging, hPath)
+          mustRename(hPath, retired)
+          mustRename(staging, hPath)
           fs.delete(retired, true)
         } else {
-          fs.rename(staging, hPath)
+          mustRename(staging, hPath)
         }
         ()
       }

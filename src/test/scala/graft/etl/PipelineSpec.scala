@@ -1,0 +1,55 @@
+package graft.etl
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** End-to-end `runEtl` orchestration + the reference-API parity options
+  * (`table_name`, `add_timestamp`, JDBC sink — `etl_weekly_trades.py:134,
+  * 210-212, 270-281`).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private val csv = "/root/reference/trades (1) (2) (1).csv"
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-pipeline").toString
+
+  test("default run writes the 545-row aggregate and the 6-row report") {
+    val out = tmpDir()
+    val res = Pipeline.runEtl(spark, csv, out)
+    assert(res.agg.count() === 545)
+    assert(spark.read.parquet(s"$out/agg_trades_weekly").count() === 545)
+    val report = spark.read.option("header", "true").csv(s"$out/top_clients")
+    assert(report.count() === 6)
+    // append semantics (reference if_exists="append"): re-run doubles rows
+    Pipeline.runEtl(spark, csv, out)
+    assert(spark.read.parquet(s"$out/agg_trades_weekly").count() === 1090)
+  }
+
+  test("tableName names the aggregate table like the reference's load()") {
+    val out = tmpDir()
+    Pipeline.runEtl(spark, csv, out, tableName = "custom_agg")
+    assert(new java.io.File(s"$out/custom_agg").isDirectory)
+    assert(!new java.io.File(s"$out/agg_trades_weekly").exists)
+    assert(spark.read.parquet(s"$out/custom_agg").count() === 545)
+  }
+
+  test("addTimestamp prefixes the report path with %Y%m%d_%H%M%S") {
+    val out = tmpDir()
+    Pipeline.runEtl(spark, csv, out, addTimestamp = true)
+    val dirs = new java.io.File(out).list().toSeq
+    assert(dirs.exists(_.matches(raw"\d{8}_\d{6}_top_clients")), dirs.toString)
+    assert(!dirs.contains("top_clients"))
+  }
+
+  test("jdbcUrl routes the aggregate to the JDBC sink (no driver offline)") {
+    val out = tmpDir()
+    // No JDBC driver jar exists in this container, so the write must fail —
+    // proving the option plumbing reaches the JDBC path, not parquet.
+    intercept[Exception] {
+      Pipeline.runEtl(spark, csv, out,
+        jdbcUrl = Some("jdbc:sqlite:" + out + "/agg.db"))
+    }
+    assert(!new java.io.File(s"$out/agg_trades_weekly").exists)
+  }
+}

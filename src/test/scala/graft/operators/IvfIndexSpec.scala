@@ -18,6 +18,24 @@ class IvfIndexSpec extends SparkSpec {
     assert(clusters > 1 && clusters <= 8)
   }
 
+  test("seeding samples via TakeOrderedAndProject — no full-corpus shuffle") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val seeds = emb
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(64)
+    val plan = seeds.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("train is deterministic across invocations") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    def snap() = IvfIndex.train(emb, k = 8, iters = 1)
+      .orderBy("cluster_id").collect().map(_.toString).toSeq
+    assert(snap() === snap())
+  }
+
   test("IVF kNN reaches useful recall vs the exact brute force") {
     val brute = VectorQueries.queries("q26_knn_brute")(spark, sf)
       .select("q_id", "neighbor_id").collect()
