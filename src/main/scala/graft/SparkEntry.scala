@@ -42,10 +42,12 @@ object SparkEntry {
         octet_length(col("bytes")).cast("long").as("n_bytes"),
         sha2(col("bytes"), 256).as("digest"))
     }),
-    // Stub decode → per-media features via per-partition batch iteration.
+    // Stub decode → per-media byte features. Registered on the columnar
+    // Catalyst-expression path (whole-stage codegen, no object round-trip);
+    // the mapPartitions twin — for real codecs needing per-partition init —
+    // is bit-identical (MultimodalSpec).
     "q31_media_features" -> ((s, d) => {
-      Multimodal.extractFeatures(Multimodal.mediaTable(Tables.documents(s, d)))
-        .toDF()
+      Multimodal.extractFeaturesColumnar(Multimodal.mediaTable(Tables.documents(s, d)))
         .select(col("doc_id"), col("n_bytes"), col("entropy"), col("mode_byte"))
     }),
   )

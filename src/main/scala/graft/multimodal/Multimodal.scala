@@ -1,7 +1,12 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, plus a batch feature-extraction stage.
@@ -42,7 +47,7 @@ object Multimodal {
     * available. Kept per-partition so a real (expensive-to-init) decoder
     * would be instantiated once per partition, not per row.
     */
-  private def decodeStub(bytes: Array[Byte]): (Double, Int, Array[Byte]) = {
+  private[multimodal] def decodeStub(bytes: Array[Byte]): (Double, Int, Array[Byte]) = {
     val histo = new Array[Long](256)
     var i = 0
     while (i < bytes.length) { histo(bytes(i) & 0xff) += 1; i += 1 }
@@ -62,7 +67,12 @@ object Multimodal {
     (entropy, mode, sample)
   }
 
-  /** Batch feature extraction: one pass per partition, streaming. */
+  /** Batch feature extraction: one pass per partition, streaming. This is
+    * the path for a REAL codec — a JNI/native decoder with expensive
+    * per-process init is instantiated once per partition here, which no
+    * per-row expression can express. For pure byte-level features prefer
+    * [[extractFeaturesColumnar]], which stays inside whole-stage codegen.
+    */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -73,5 +83,61 @@ object Multimodal {
         MediaFeatures(r.doc_id, r.bytes.length, entropy, mode, sample)
       }
     }
+  }
+
+  /** Columnar twin of [[extractFeatures]]: the same features as a native
+    * codegen'd Catalyst expression over the binary column — no
+    * row→case-class deserialization, no codegen boundary, one tight loop
+    * per row inside the WholeStageCodegen span (the Scala-side analogue of
+    * handing batches to a vectorized UDF). Bit-identical output to the
+    * mapPartitions path (asserted in MultimodalSpec); use it whenever the
+    * "decode" is a pure byte-level function.
+    */
+  def extractFeaturesColumnar(media: DataFrame): DataFrame =
+    media
+      .select(col("doc_id"),
+        Bridge.column(MediaByteFeatures(Bridge.expression(col("bytes")))).as("f"))
+      .select(col("doc_id"), col("f.n_bytes"), col("f.entropy"),
+        col("f.mode_byte"), col("f.sample"))
+}
+
+/** `media_byte_features(bytes)`: one-pass byte histogram → struct(n_bytes,
+  * entropy, mode_byte, sample). Shares the exact kernel with the
+  * mapPartitions path so the two stay bit-identical.
+  */
+case class MediaByteFeatures(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaByteFeatures.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "media_byte_features"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"media_byte_features expects binary, got $other")
+    }
+
+  override def nullSafeEval(b: Any): Any =
+    MediaByteFeatures.compute(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.multimodal.MediaByteFeatures.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MediaByteFeatures =
+    copy(child = newChild)
+}
+
+object MediaByteFeatures {
+  val schema: StructType = StructType(Seq(
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("entropy", DoubleType, nullable = false),
+    StructField("mode_byte", IntegerType, nullable = false),
+    StructField("sample", BinaryType, nullable = false)))
+
+  def compute(bytes: Array[Byte]): InternalRow = {
+    val (entropy, mode, sample) = Multimodal.decodeStub(bytes)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bytes.length, entropy, mode, sample))
   }
 }

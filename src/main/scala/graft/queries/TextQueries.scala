@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.{TextFingerprints, TextOps}
 import graft.operators.RelationalOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication inventory over the `documents` table:
@@ -39,14 +40,17 @@ object TextQueries {
     * (tokens, then shingles) so the tokenizing split runs once per row —
     * not once per lambda element (HOF lambdas are outside CSE).
     */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private[queries] def shingledDocs(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
       .select(col("doc_id"),
         TextOps.wordShinglesFromTokens(col("toks"), 3).as("sh"))
 
-  private def sigsFrom(shingledDf: DataFrame): DataFrame =
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    shingledDocs(Tables.documents(s, d))
+
+  private[queries] def sigsFrom(shingledDf: DataFrame): DataFrame =
     shingledDf
       .select(col("doc_id"), transform(col("sh"), s => md5(s)).as("hs"))
       .select(
@@ -70,7 +74,19 @@ object TextQueries {
     * side and (at real scale, where broadcast is impossible) shuffle it
     * twice more for a sort-merge join.
     */
-  private def candidatePairsFrom(sigsDf: DataFrame): DataFrame = {
+  /** Hot-bucket guard: in-bucket pair emit is O(bucket²), so one
+    * adversarial bucket (a boilerplate shingle shared by millions of docs)
+    * would emit ~bucket²/2 pairs and stall the stage. Buckets larger than
+    * `maxBucket` are SKIPPED — the standard stop-bucket treatment: a
+    * near-dup bucket that large is boilerplate, not duplication, and its
+    * pairs are noise. Default is far above anything a real signature
+    * produces (the corpus max here is 2); [[lshBucketStats]] is the
+    * monitoring view that tells an operator the cap is in play.
+    */
+  private[queries] val defaultMaxBucket = 1000
+
+  private def candidatePairsFrom(
+      sigsDf: DataFrame, maxBucket: Int = defaultMaxBucket): DataFrame = {
     val bands = sigsDf.select(
       col("doc_id"),
       posexplode(array(
@@ -83,7 +99,7 @@ object TextQueries {
       // NULL keys as equal and emit spurious pairs (SQL's `=` never does)
       .groupBy("band", "key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(ids) > 1)
+      .filter(size(ids) > 1 && size(ids) <= maxBucket)
       .select(explode(
         flatten(transform(sequence(lit(1), size(ids) - 1), i =>
           transform(slice(ids, i + 1, size(ids)), b =>
@@ -93,8 +109,51 @@ object TextQueries {
       .distinct() // a pair may collide in both bands
   }
 
+  private[queries] def candidatePairsCapped(
+      sigsDf: DataFrame, maxBucket: Int): DataFrame =
+    candidatePairsFrom(sigsDf, maxBucket)
+
+  /** LSH bucket-size distribution — the operator's monitoring view for the
+    * hot-bucket cap: per band, the largest bucket, the candidate-pair cost
+    * (Σ size·(size−1)/2) and how many buckets the default cap would skip.
+    */
+  def lshBucketStats(s: SparkSession, d: String): DataFrame =
+    sigs(s, d)
+      .select(col("doc_id"),
+        posexplode(array(
+          concat(col("sig0"), col("sig1")),
+          concat(col("sig2"), col("sig3"))))
+          .as(Seq("band", "key")))
+      .filter(col("key").isNotNull)
+      .groupBy("band", "key").agg(count(lit(1)).as("sz"))
+      .groupBy("band").agg(
+        max(col("sz")).as("max_bucket"),
+        sum(col("sz") * (col("sz") - 1) / 2).cast("long").as("pair_cost"),
+        count(when(col("sz") > defaultMaxBucket, 1)).as("buckets_over_cap"))
+
   private def candidatePairs(s: SparkSession, d: String): DataFrame =
     candidatePairsFrom(sigs(s, d))
+
+  /** Fixed-size term vocabulary with dense ids — the vocab-building step of
+    * a tokenization pipeline. Frequency counting is the only corpus-scale
+    * shuffle; the top-`vocabSize` cut is a TakeOrderedAndProject over the
+    * AGGREGATED counts (map-side top-k, no global sort), and the dense-id
+    * window runs over ≤`vocabSize` rows — a vocabulary is bounded by
+    * construction, so the single-partition window never sees corpus-sized
+    * input. Ids are deterministic: (count desc, term asc).
+    */
+  private[graft] val vocabSize = 16 // the corpus lexicon is 31 words — a
+  // 16-term vocab makes the OOV path in q54 real, like a real vocab cutoff
+
+  private[graft] def vocab(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(TextOps.tokens(TextOps.normalized(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(vocabSize)
+      .select(col("term"), col("cnt"),
+        (row_number().over(Window.orderBy(col("cnt").desc, col("term").asc)) - 1)
+          .cast("long").as("token_id"))
 
   /** BM25 document scoring (k1=1.2, b=0.75) for a fixed term set. The
     * corpus stats (N, avgdl) ride along as a broadcast 1-row aggregate so
@@ -244,6 +303,46 @@ object TextQueries {
     "q42_bm25" -> ((s, d) => bm25(Tables.documents(s, d),
       Seq("data", "spark", "query"))),
 
+    // Vocabulary building: top-16 terms by frequency with dense token ids.
+    "q52_vocab" -> ((s, d) => vocab(Tables.documents(s, d))),
+
+    // Sequence packing: assign docs to fixed-token-budget training bins
+    // (256 tokens) by cumulative token count within a hash shard — the
+    // standard approximate packing at scale (each shard packs its own
+    // stream; the window partitions by shard, so no global single-partition
+    // sort ever happens).
+    "q53_pack_bins" -> ((s, d) => {
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("shard", pmod(col("doc_id"), lit(16L)))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("n_tokens"), col("shard"),
+          floor((col("cum") - col("n_tokens")) / lit(256)).cast("long").as("bin"))
+    }),
+
+    // Dictionary encoding: map each doc's tokens to vocab ids (OOV → -1),
+    // emit the first 64 ids in order plus OOV stats. The vocab is tiny by
+    // construction → broadcast join; one shuffle for the per-doc reassembly.
+    "q54_dict_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val v = vocab(docs).select(col("term"), col("token_id"))
+      val toks = docs.select(col("doc_id"),
+        posexplode(TextOps.tokens(TextOps.normalized(col("text"))))
+          .as(Seq("pos", "term")))
+      toks.join(broadcast(v), Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          count(when(col("token_id").isNull, 1)).as("n_oov"),
+          concat_ws(",",
+            transform(
+              slice(array_sort(collect_list(struct(col("pos"),
+                coalesce(col("token_id"), lit(-1L)).as("id")))), 1, 64),
+              x => x.getField("id").cast("string"))).as("ids_csv"))
+    }),
+
     // Fixed-size token chunking with overlap (50-token chunks, stride 40):
     // the standard training-data windowing step. One narrow pass + explode.
     "q38_chunks" -> ((s, d) => {
@@ -357,6 +456,33 @@ object TextQueries {
            |r AS (SELECT *, row_number() OVER (
            |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk FROM scored)
            |SELECT doc_id, term, tf, df, score, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    "q52_vocab" -> vocabOracleSql,
+    "q53_pack_bins" ->
+      raw"""SELECT doc_id, n_tokens, shard,
+           |  CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS bin
+           |FROM (
+           |  SELECT doc_id, n_tokens, doc_id % 16 AS shard,
+           |    sum(n_tokens) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS cum
+           |  FROM (
+           |    SELECT doc_id,
+           |      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           |    FROM documents))""".stripMargin,
+    "q54_dict_encode" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim($normSql), '\s+') AS t
+           |  FROM documents),
+           |terms AS (
+           |  SELECT doc_id, unnest(t) AS term,
+           |    generate_subscripts(t, 1) AS pos FROM toks),
+           |v AS ($vocabOracleSql)
+           |SELECT doc_id,
+           |  count(*) AS n_tokens,
+           |  count(*) FILTER (WHERE token_id IS NULL) AS n_oov,
+           |  array_to_string(list_transform(
+           |    list_slice(list(coalesce(token_id, -1) ORDER BY pos), 1, 64),
+           |    x -> CAST(x AS VARCHAR)), ',') AS ids_csv
+           |FROM terms LEFT JOIN v USING (term)
+           |GROUP BY doc_id""".stripMargin,
     "q21_minhash_sig" -> sigsSql,
     "q22_neardup_pairs" -> pairsSql,
     "q43_dedup_clusters" ->
@@ -383,4 +509,16 @@ object TextQueries {
 
   private lazy val stopwordCountSql =
     raw"len(list_filter(string_split_regex(trim($normSql), '\s+'), x -> x IN ($stopEn)))"
+
+  // row_number runs before LIMIT within the same SELECT, so ids are dense
+  // over the same (cnt desc, term asc) total order as the Spark window.
+  private lazy val vocabOracleSql =
+    raw"""SELECT term, cnt,
+         |  row_number() OVER (ORDER BY cnt DESC, term ASC) - 1 AS token_id
+         |FROM (
+         |  SELECT term, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split_regex(trim($normSql), '\s+')) AS term
+         |    FROM documents)
+         |  GROUP BY 1)
+         |ORDER BY cnt DESC, term ASC LIMIT 16""".stripMargin
 }

@@ -30,4 +30,29 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.doc_id -> r.entropy).toMap
     assert(again(2L) === f(2L).entropy)
   }
+
+  test("columnar expression path is bit-identical to mapPartitions") {
+    val media = Multimodal.mediaTable(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"))
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_bytes", "entropy", "mode_byte", "sample")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3),
+        r.getAs[Array[Byte]](4).toSeq))
+      .sortBy(_._1)
+    val viaRows     = snap(Multimodal.extractFeatures(media).toDF())
+    val viaColumnar = snap(Multimodal.extractFeaturesColumnar(media))
+    assert(viaRows.length === 500)
+    assert(viaRows === viaColumnar) // entropy compared as exact doubles
+  }
+
+  test("columnar path stays inside whole-stage codegen") {
+    val media = Multimodal.mediaTable(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val plan = Multimodal.extractFeaturesColumnar(media)
+      .queryExecution.executedPlan.toString
+    // `*(n)` prefixes mark WholeStageCodegen spans in simple-mode plans
+    assert(plan.contains("*(1) Project"), plan)
+    assert(!plan.contains("DeserializeToObject"), plan) // no object round-trip
+  }
 }
