@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   *     windows, sessionization, as-of, epoch-tumbling windows)
   *   - q17–q25: text analysis + dedup (tokens/quality/langid, exact dedup,
   *     MinHash+LSH near-dup, Jaccard verify, SimHash, winnowing)
-  *   - q26–q29: similarity search (brute cosine kNN, sign-LSH kNN,
-  *     vector stats, centroids)
-  *   - q30–q31: multimodal binary plumbing (metadata + stub decode)
+  *   - q26–q29, q35, q39, q55: similarity search + embedding ops (brute
+  *     cosine kNN, multiprobe sign-LSH kNN, vector stats, centroids,
+  *     LSH-composed near-dup, IVF index, int8 quantization)
+  *   - q30–q31: multimodal binary plumbing (metadata + byte features)
+  *   - q38, q40, q42, q52–q54: tokenization pipeline (chunking, TF-IDF,
+  *     BM25, vocabulary, sequence packing, dictionary encoding)
   */
 object SparkEntry {
 

@@ -186,6 +186,32 @@ object VectorQueries {
       IvfIndex.knn(emb, centroids, qs, topK, nprobe = 4)
     }),
 
+    // Int8 scalar quantization — the standard embedding-compression step
+    // before an ANN index (4× smaller than float32, 8× than float64): per
+    // vector, min/max range → 8-bit codes → reconstruction error. One
+    // narrow pass, no shuffle; every value is min/max (exact), a single
+    // division, or a floor — bit-reproducible in DuckDB (NOTES float-parity
+    // rules), so the full codes string is hash-checked.
+    "q55_quantize_int8" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"), col("v"),
+          array_min(col("v")).as("vmin"), array_max(col("v")).as("vmax"))
+        .withColumn("scale", (col("vmax") - col("vmin")) / lit(255.0))
+        .withColumn("codes", transform(col("v"), x =>
+          when(col("scale") === 0.0, lit(0L)).otherwise(
+            least(lit(255L),
+              floor((x - col("vmin")) / col("scale") + lit(0.5)).cast("long")))))
+        .select(col("vec_id"), col("vmin"), col("vmax"),
+          concat_ws(",", transform(col("codes"), _.cast("string"))).as("codes_csv"),
+          aggregate(
+            zip_with(col("v"), col("codes"), (x, c) => {
+              val deq = col("vmin") + c.cast("double") * col("scale")
+              (x - deq) * (x - deq)
+            }),
+            lit(0.0), (acc, e) => acc + e).as("sq_err"))
+    }),
+
     // Per-row vector stats (array access + deterministic norm).
     "q28_embed_stats" -> ((s, d) => {
       Tables.embeddings(s, d).select(
@@ -274,6 +300,22 @@ object VectorQueries {
          |    PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM s)
          |SELECT q_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= $topK""".stripMargin,
     "q35_embed_neardup" -> neardupSql,
+    "q55_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v, vmin, vmax, (vmax - vmin) / 255.0 AS scale
+        |  FROM (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM e)),
+        |c AS (
+        |  SELECT vec_id, v, vmin, vmax, scale,
+        |    list_transform(v, x -> CASE WHEN scale = 0.0 THEN CAST(0 AS BIGINT)
+        |      ELSE least(CAST(255 AS BIGINT),
+        |        CAST(floor((x - vmin) / scale + 0.5) AS BIGINT)) END) AS codes
+        |  FROM s)
+        |SELECT vec_id, vmin, vmax,
+        |  array_to_string(list_transform(codes, x -> CAST(x AS VARCHAR)), ',') AS codes_csv,
+        |  list_sum(list_transform(list_zip(v, codes),
+        |    p -> (p[1] - (vmin + p[2] * scale)) * (p[1] - (vmin + p[2] * scale)))) AS sq_err
+        |FROM c""".stripMargin,
     "q28_embed_stats" ->
       s"""SELECT vec_id, label,
          |  CAST(embedding[1] AS DOUBLE) AS dim0,

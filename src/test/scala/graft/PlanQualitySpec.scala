@@ -61,6 +61,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan("q12_anti_join").contains("LeftAnti"), plan("q12_anti_join"))
   }
 
+  test("q35: LSH-composed near-dup has no cartesian/nested-loop stage") {
+    val p = plan("q35_embed_neardup", "simple")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q52: vocab cut plans as TakeOrdered over the aggregated counts") {
+    val p = plan("q52_vocab", "simple")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q53: packing window is shard-partitioned — no single-partition sort") {
+    val p = plan("q53_pack_bins", "simple")
+    assert(p.contains("hashpartitioning"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q54: dictionary join broadcasts the vocab side") {
+    val p = plan("q54_dict_encode", "simple")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("trades clean+agg: single shuffle for the 4-key aggregate") {
     val raw   = graft.etl.TradesEtl.extract(spark, "/root/reference/trades (1) (2) (1).csv")
     val clean = graft.etl.TradesEtl.clean(raw)
