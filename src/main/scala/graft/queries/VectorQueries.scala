@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorOps
-import graft.operators.{IvfIndex, RelationalOps}
+import graft.operators.{IvfIndex, PqIndex, RelationalOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -184,6 +184,21 @@ object VectorQueries {
       val qs = emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
       IvfIndex.knn(emb, centroids, qs, topK, nprobe = 4)
+    }),
+
+    // Product-quantized kNN (Jégou TPAMI'11): 8 sub-codebooks × 32 codes
+    // trained driver-side on a hash sample, corpus encoded to 8 codes per
+    // vector in one narrow pass, search via ADC lookup tables — 8 adds per
+    // candidate instead of 64 multiplies, and the index is 32× smaller
+    // than the float64 vectors. Approximate by construction → rows-only;
+    // PqIndexSpec bounds recall vs the exact L2 brute force and pins
+    // planted-duplicate retrieval.
+    "q56_knn_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val books = PqIndex.train(emb, m = 8, k = 32, iters = 4)
+      val qs = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      PqIndex.knn(PqIndex.encode(emb, books), qs, books, topK)
     }),
 
     // Int8 scalar quantization — the standard embedding-compression step

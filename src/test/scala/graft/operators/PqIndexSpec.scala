@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class PqIndexSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("codebooks have exactly k codewords per subspace; encode is in range") {
+    val emb   = Tables.embeddings(spark, sf)
+    val books = PqIndex.train(emb, m = 8, k = 32, iters = 4)
+    assert(books.length === 8)
+    books.foreach { b =>
+      assert(b.length === 32)
+      b.foreach(c => assert(c.length === 8)) // 64 dims / 8 subspaces
+    }
+    val codes = PqIndex.encode(emb, books)
+    val flat = codes.select(explode(col("codes")).as("c"))
+    val mm = flat.agg(min("c"), max("c"), count(lit(1))).head
+    assert(mm.getInt(0) >= 0 && mm.getInt(1) <= 31)
+    assert(mm.getLong(2) === 500L * 8L)
+  }
+
+  test("train and encode are deterministic across invocations") {
+    val emb = Tables.embeddings(spark, sf)
+    def snap() = {
+      val books = PqIndex.train(emb, m = 8, k = 32, iters = 4)
+      PqIndex.encode(emb, books).orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+    }
+    assert(snap() === snap())
+  }
+
+  test("ADC kNN recalls the exact L2 neighbors at a useful rate") {
+    val emb = Tables.embeddings(spark, sf)
+    // exact L2 brute force — same metric family PQ approximates
+    val exact = emb
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))),
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.VectorOps.l2Sq(col("qe"), col("embedding")).as("d"))
+    val truth = RelationalOps.topKPerGroup(
+        exact, Seq("q_id"), Seq(col("d").asc, col("neighbor_id").asc), 5)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val books = PqIndex.train(emb, m = 8, k = 32, iters = 4)
+    val pq = graft.queries.VectorQueries.queries("q56_knn_pq")(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(pq).size.toDouble / truth.size
+    info(s"PQ ADC recall@5 vs exact L2 = $recall (uniform-random corpus)")
+    assert(recall >= 0.2, s"recall $recall")
+  }
+
+  test("planted duplicates encode to the same codes and rank first") {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val copies = base.map { case (id, v) =>
+      val rnd  = new scala.util.Random(id)
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val eps  = 0.02 * norm / math.sqrt(v.length.toDouble)
+      (id + 100000L, v.map(x => x + (rnd.nextGaussian() * eps).toFloat))
+    }
+    val corpus = (base ++ copies).toSeq.toDF("vec_id", "embedding").repartition(4)
+    val books = PqIndex.train(corpus, m = 8, k = 32, iters = 4)
+    val nQ = 50
+    val qs = corpus.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val top1 = PqIndex.knn(PqIndex.encode(corpus, books), qs, books, topK = 1)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val hit = top1.count { case (q, n) => n == q + 100000L }
+    info(s"PQ planted-dup top-1 hits: $hit / $nQ")
+    assert(hit >= (nQ * 0.8).toInt, s"$hit of $nQ")
+  }
+}
