@@ -31,7 +31,9 @@ object SparkEntry {
     // The complete reference-shaped ETL (extract → clean → weekly PnL agg),
     // run on the reference's own CSV regardless of sfDir — benches the
     // end-to-end pipeline per round against BASELINE.md's stage timings.
-    // Rows-only check (545 rows; golden parity is asserted in TradesEtlSpec).
+    // Hash-checked: the oracle below replays the ENTIRE pipeline in DuckDB
+    // over the same CSV, bit-for-bit (golden parity additionally asserted
+    // in TradesEtlSpec against the reference's checked-in artifacts).
     "q44_trades_etl" -> ((s, _) => {
       val raw = graft.etl.TradesEtl.extract(
         s, "/root/reference/trades (1) (2) (1).csv")
@@ -60,6 +62,56 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  sha256(text) AS digest
         |FROM documents""".stripMargin,
+    // Full replica of the reference pipeline (clean → derive → weekly agg →
+    // mark price → PnL) over the reference's own CSV — flips the flagship
+    // q44 from rows-only to hash-checked. Bit-exactness holds because both
+    // engines read the single 800-row file sequentially, so every double
+    // sum accumulates in the same (file) order, and every other value is a
+    // single cast/division/product (NOTES float-parity rules).
+    "q44_trades_etl" ->
+      """WITH raw AS (
+        |  SELECT * FROM read_csv('/root/reference/trades (1) (2) (1).csv',
+        |    header=true, all_varchar=true)),
+        |clean AS (
+        |  SELECT
+        |    try_strptime(timestamp, '%Y-%m-%d %H:%M:%S') AS ts,
+        |    TRY_CAST(user_id AS BIGINT) AS user_id,
+        |    client_type, symbol, side,
+        |    TRY_CAST(quantity AS DOUBLE) AS quantity,
+        |    TRY_CAST(price AS DOUBLE) AS price
+        |  FROM raw
+        |  WHERE try_strptime(timestamp, '%Y-%m-%d %H:%M:%S') IS NOT NULL
+        |    AND TRY_CAST(user_id AS BIGINT) IS NOT NULL
+        |    AND client_type IS NOT NULL AND symbol IS NOT NULL AND side IS NOT NULL
+        |    AND TRY_CAST(quantity AS DOUBLE) IS NOT NULL
+        |    AND TRY_CAST(price AS DOUBLE) IS NOT NULL),
+        |derived AS (
+        |  SELECT *, CAST(date_trunc('week', ts) AS DATE) AS week_start_date,
+        |    quantity * price AS total_volume
+        |  FROM clean),
+        |mark AS (
+        |  SELECT symbol, arg_max(price, ts) AS mark_price FROM derived GROUP BY symbol),
+        |agg AS (
+        |  SELECT week_start_date, client_type, user_id, symbol,
+        |    coalesce(sum(CASE WHEN side = 'buy' THEN quantity END), 0.0) AS buy_qty,
+        |    coalesce(sum(CASE WHEN side = 'sell' THEN quantity END), 0.0) AS sell_qty,
+        |    coalesce(sum(CASE WHEN side = 'buy' THEN total_volume END), 0.0) AS buy_value,
+        |    coalesce(sum(CASE WHEN side = 'sell' THEN total_volume END), 0.0) AS sell_value,
+        |    sum(total_volume) AS total_volume,
+        |    count(ts) AS trade_count
+        |  FROM derived GROUP BY 1, 2, 3, 4),
+        |pnl AS (
+        |  SELECT agg.*, mark.mark_price,
+        |    CASE WHEN buy_qty <> 0.0 THEN buy_value / buy_qty END AS avg_buy_price,
+        |    buy_qty - sell_qty AS net_qty
+        |  FROM agg LEFT JOIN mark USING (symbol))
+        |SELECT week_start_date, client_type, user_id, symbol, buy_qty, sell_qty,
+        |  buy_value, sell_value, total_volume, trade_count, avg_buy_price, net_qty,
+        |  sell_value - avg_buy_price * sell_qty AS realized_pnl, mark_price,
+        |  (mark_price - avg_buy_price) * (buy_qty - sell_qty) AS unrealized_pnl,
+        |  (sell_value - avg_buy_price * sell_qty)
+        |    + (mark_price - avg_buy_price) * (buy_qty - sell_qty) AS total_pnl
+        |FROM pnl""".stripMargin,
   )
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */

@@ -55,6 +55,34 @@ class PqIndexSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("ADC distance equals the directly-computed quantized distance") {
+    val emb   = Tables.embeddings(spark, sf)
+    val books = PqIndex.train(emb, m = 8, k = 32, iters = 4)
+    val codes = PqIndex.encode(emb, books)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toArray)).toMap
+    val vecs = emb.select("vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    val adc = graft.queries.VectorQueries.queries("q56_knn_pq")(spark, sf)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(adc.nonEmpty)
+    val ds = 8
+    adc.foreach { case ((q, n), dist) =>
+      // Σ_j (‖c_j‖² − 2·q_j·c_j) re-derived from raw codebooks and codes
+      val expected = (0 until 8).map { j =>
+        val c  = books(j)(codes(n)(j))
+        val qv = vecs(q)
+        var dot = 0.0
+        var cn  = 0.0
+        var t = 0
+        while (t < ds) { dot += qv(j * ds + t) * c(t); cn += c(t) * c(t); t += 1 }
+        cn - 2.0 * dot
+      }.sum
+      assert(math.abs(dist - expected) <= 1e-9, s"($q,$n): $dist vs $expected")
+    }
+  }
+
   test("planted duplicates encode to the same codes and rank first") {
     import spark.implicits._
     val base = Tables.embeddings(spark, sf)
