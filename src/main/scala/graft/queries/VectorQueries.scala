@@ -283,12 +283,41 @@ object VectorQueries {
     "list_sum(list_transform(list_zip(ea.v, eb.v), p -> p[1] * p[2]))"
   private def pairNormSql(c: String) =
     s"sqrt(list_sum(list_transform($c, x -> x * x)))"
-  private val neardupSql = {
+  private lazy val bucketCteSql = {
     val bucketSelects = (0 until nTables).map { t =>
       s"SELECT vec_id, $t AS t, ${bucketSql(t)} AS bucket FROM e"
     }.mkString("\nUNION ALL ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |b AS ($bucketSelects),
+       |b AS ($bucketSelects)""".stripMargin
+  }
+
+  /** q27 oracle: replay multiprobe sign-LSH candidate generation — a
+    * corpus bucket collides with a query probe iff the codes differ in ≤1
+    * bit (own bucket + the nBits Hamming-1 flips) — then exact cosine and
+    * the same (cosine desc, id asc) top-k. Fully deterministic, so the
+    * approximate ANN query is hash-checked end to end.
+    */
+  private lazy val knnLshSql =
+    s"""$bucketCteSql,
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+       |  FROM b q JOIN b c ON q.t = c.t
+       |    AND bit_count(xor(q.bucket, c.bucket)) <= 1
+       |  WHERE q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
+       |s AS (
+       |  SELECT q_id, neighbor_id,
+       |    CASE WHEN ${pairNormSql("eq.v")} * ${pairNormSql("ec.v")} <> 0.0
+       |      THEN list_sum(list_transform(list_zip(eq.v, ec.v), p -> p[1] * p[2]))
+       |        / (${pairNormSql("eq.v")} * ${pairNormSql("ec.v")}) END AS cosine
+       |  FROM cand
+       |  JOIN e eq ON eq.vec_id = cand.q_id
+       |  JOIN e ec ON ec.vec_id = cand.neighbor_id),
+       |r AS (SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM s)
+       |SELECT q_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= $topK""".stripMargin
+
+  private lazy val neardupSql = {
+    s"""$bucketCteSql,
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
        |  FROM b x JOIN b y ON x.t = y.t AND x.bucket = y.bucket
@@ -315,6 +344,7 @@ object VectorQueries {
          |    PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM s)
          |SELECT q_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= $topK""".stripMargin,
     "q35_embed_neardup" -> neardupSql,
+    "q27_knn_lsh" -> knnLshSql,
     "q55_quantize_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (
