@@ -91,6 +91,23 @@ object IvfIndex {
       nearestCol(col("embedding"), cents).as("cluster_id"))
   }
 
+  /** Nearest-cluster id as a narrow Column — composable into a wider
+    * one-pass projection (e.g. IVF-PQ encodes codes + cluster in the same
+    * corpus scan, [[PqIndex.knnIvfPq]]).
+    */
+  def nearestClusterCol(emb: Column, centroids: DataFrame): Column =
+    nearestCol(emb, collectCodebook(centroids))
+
+  /** The `nprobe` nearest cluster ids for a query column, as an array —
+    * a narrow per-row sort over the ≤k-entry codebook.
+    */
+  def probeClustersCol(qe: Column, centroids: DataFrame, nprobe: Int): Column = {
+    val cents = collectCodebook(centroids)
+    transform(
+      slice(array_sort(array(scoredStructs(qe, cents): _*)), 1, nprobe),
+      p => p.getField("cid"))
+  }
+
   /** Approximate top-k cosine neighbors for `queries` (must have columns
     * q_id, qe): each query scores only vectors assigned to its `nprobe`
     * nearest clusters. Probe selection is a narrow per-row sort over the

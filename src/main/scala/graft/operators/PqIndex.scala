@@ -130,6 +130,43 @@ object PqIndex {
         scored, Seq("q_id"), Seq(col("adc_dist").asc, col("neighbor_id").asc),
         topK, rankCol = "rnk")
   }
+
+  /** IVF-PQ — the canonical billion-scale ANN layout (coarse quantizer
+    * prunes WHICH vectors to score, product quantizer prunes HOW MUCH each
+    * costs): the corpus is read ONCE, emitting (cluster_id, codes) in a
+    * single narrow projection; a query then joins only its `nprobe`
+    * clusters and pays m adds per candidate. At 100 TB with the corpus
+    * bucketed by cluster_id this is a partition-pruned scan of ~nprobe/k
+    * of the data per query batch.
+    */
+  def knnIvfPq(
+      emb: DataFrame, centroids: DataFrame, queries: DataFrame,
+      books: Codebooks, topK: Int, nprobe: Int): DataFrame = {
+    val k = books(0).length
+    val coded = emb.select(
+      col("vec_id"),
+      Bridge.column(PqEncode(
+        Bridge.expression(col("embedding").cast("array<double>")), books))
+        .as("codes"),
+      IvfIndex.nearestClusterCol(col("embedding"), centroids).as("cluster_id"))
+    val q = queries.select(
+      col("q_id"),
+      lutCol(col("qe").cast("array<double>"), books).as("lut"),
+      explode(IvfIndex.probeClustersCol(col("qe"), centroids, nprobe))
+        .as("cluster_id"))
+    val scored = coded
+      .join(broadcast(q), Seq("cluster_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"), col("vec_id").as("neighbor_id"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(books.length - 1)),
+            (c, j) => element_at(col("lut"), j * k + c + 1)),
+          lit(0.0), (acc, x) => acc + x).as("adc_dist"))
+    RelationalOps.topKPerGroup(
+        scored, Seq("q_id"), Seq(col("adc_dist").asc, col("neighbor_id").asc),
+        topK, rankCol = "rnk")
+  }
 }
 
 /** `pq_encode(v)`: argmin codeword per subspace, one tight loop (see

@@ -201,6 +201,20 @@ object VectorQueries {
       PqIndex.knn(PqIndex.encode(emb, books), qs, books, topK)
     }),
 
+    // IVF-PQ: the coarse quantizer restricts WHICH vectors each query
+    // scores (nprobe of 16 clusters), the product quantizer makes each
+    // score m adds — the canonical billion-scale ANN composition, both
+    // halves reused from q39/q56. Approximate → rows-only; PqIndexSpec
+    // bounds recall.
+    "q57_knn_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = IvfIndex.train(emb, k = 16, iters = 2)
+      val books = PqIndex.train(emb, m = 8, k = 32, iters = 4)
+      val qs = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      PqIndex.knnIvfPq(emb, centroids, qs, books, topK, nprobe = 8)
+    }),
+
     // Int8 scalar quantization — the standard embedding-compression step
     // before an ANN index (4× smaller than float32, 8× than float64): per
     // vector, min/max range → 8-bit codes → reconstruction error. One

@@ -83,6 +83,15 @@ class PqIndexSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ composition returns full top-k and respects cluster pruning") {
+    val r = graft.queries.VectorQueries.queries("q57_knn_ivfpq")(spark, sf)
+      .collect()
+    assert(r.length === 50) // 10 queries × top-5
+    // a pruned search can never return a candidate twice
+    val pairs = r.map(x => (x.getLong(0), x.getLong(1)))
+    assert(pairs.distinct.length === pairs.length)
+  }
+
   test("planted duplicates encode to the same codes and rank first") {
     import spark.implicits._
     val base = Tables.embeddings(spark, sf)

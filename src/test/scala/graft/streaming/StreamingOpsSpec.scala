@@ -139,6 +139,41 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("upsert sink recovery prefers __old over a partial table (no _SUCCESS)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir   = java.nio.file.Files.createTempDirectory("graft_upsert_rec")
+    val table = s"$dir/table"
+    // Simulate a crash mid non-atomic rename (object-store copy+delete):
+    // the only COMPLETE copy of history lives in __old; the table path
+    // holds a partial copy without the committer's _SUCCESS marker.
+    Seq((1L, 5L, 50.0), (9L, 3L, 33.0)).toDF("user_id", "n", "total")
+      .coalesce(1).write.parquet(s"${table}__old")
+    Seq((1L, 1L, 1.0)).toDF("user_id", "n", "total")
+      .coalesce(1).write.parquet(table)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(table, "_SUCCESS"), false)
+
+    val input = MemoryStream[(Long, Double, Timestamp)]
+    val counts = input.toDF().toDF("user_id", "value", "event_time")
+      .groupBy("user_id")
+      .agg(count("value").as("n"), sum("value").as("total"))
+    val query = StreamingOps.upsertSink(
+      counts, Seq("user_id"), table, s"$dir/ckpt")
+    try {
+      input.addData((1L, 10.0, ts("2023-01-01 10:00:00")))
+      query.processAllAvailable()
+      val out = spark.read.parquet(table)
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+      // user 9 survives ONLY if recovery restored __old (the partial table
+      // did not contain it); user 1 is the batch's fresh row
+      assert(out === Map(1L -> (1L, 10.0), 9L -> (3L, 33.0)))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${table}__old")))
+    } finally query.stop()
+  }
+
   test("streaming dedup drops same-fingerprint docs within the watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
