@@ -28,20 +28,23 @@ object VectorOps {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Per-key mean vectors: one shuffle on (key, dim), re-assembled in dim
-    * order. Shared by centroid queries and IVF training — float-sum order
-    * is partition-dependent, so results are approximate across runs.
+  /** Per-key mean vectors via mllib's `Summarizer.mean` — ONE shuffle with
+    * map-side partial aggregation of whole-vector sums (the previous
+    * posexplode + (key, dim) formulation shuffled dim× the row count and
+    * needed a second shuffle to re-assemble). Used by IVF training;
+    * float-sum order is partition-dependent, so results are approximate
+    * across runs (the bit-exact sorted-fold variant lives in q29).
     */
   def meanVectors(
       df: org.apache.spark.sql.DataFrame, key: String, vec: String,
       out: String = "centroid"): org.apache.spark.sql.DataFrame =
-    df.select(col(key), posexplode(col(vec)).as(Seq("dim", "v")))
-      .groupBy(key, "dim")
-      .agg(avg(col("v")).as("m"))
+    df.select(col(key),
+        org.apache.spark.ml.functions.array_to_vector(
+          col(vec).cast(dbl)).as("__mlv"))
       .groupBy(key)
-      .agg(transform(
-        array_sort(collect_list(struct(col("dim"), col("m")))),
-        s => s.getField("m")).as(out))
+      .agg(org.apache.spark.ml.stat.Summarizer.mean(col("__mlv")).as("__mv"))
+      .select(col(key),
+        org.apache.spark.ml.functions.vector_to_array(col("__mv")).as(out))
 
   /** Squared L2 distance (monotone in L2 — cheaper for kNN ranking). */
   def l2Sq(a: Column, b: Column): Column =

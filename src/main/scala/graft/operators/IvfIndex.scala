@@ -101,12 +101,13 @@ object IvfIndex {
   /** The `nprobe` nearest cluster ids for a query column, as an array —
     * a narrow per-row sort over the ≤k-entry codebook.
     */
-  def probeClustersCol(qe: Column, centroids: DataFrame, nprobe: Int): Column = {
-    val cents = collectCodebook(centroids)
+  def probeClustersCol(qe: Column, centroids: DataFrame, nprobe: Int): Column =
+    probeClustersCol(qe, collectCodebook(centroids), nprobe)
+
+  private def probeClustersCol(qe: Column, cents: Codebook, nprobe: Int): Column =
     transform(
       slice(array_sort(array(scoredStructs(qe, cents): _*)), 1, nprobe),
       p => p.getField("cid"))
-  }
 
   /** Approximate top-k cosine neighbors for `queries` (must have columns
     * q_id, qe): each query scores only vectors assigned to its `nprobe`
@@ -120,9 +121,7 @@ object IvfIndex {
     val cents = collectCodebook(centroids)
     val probes = queries.select(
       col("q_id"), col("qe"),
-      explode(transform(
-        slice(array_sort(array(scoredStructs(col("qe"), cents): _*)), 1, nprobe),
-        p => p.getField("cid"))).as("cluster_id"))
+      explode(probeClustersCol(col("qe"), cents, nprobe)).as("cluster_id"))
     val assigned = emb.select(
       col("vec_id"), col("embedding"),
       nearestCol(col("embedding"), cents).as("cluster_id"))

@@ -37,7 +37,11 @@ object PqIndex {
 
   /** Plain local Lloyd: deterministic init (first k distinct points of the
     * hash-ordered sample), empty clusters keep their previous centroid so
-    * the codebook stays exactly k entries (codes must index 0..k-1).
+    * the codebook size never shrinks mid-training. When the sample holds
+    * FEWER than k distinct subvectors (low-cardinality subspace — e.g. a
+    * zero-padded prefix), the codebook is legitimately smaller than k;
+    * every consumer indexes LUTs by per-subspace OFFSETS, never by a
+    * uniform k stride, so ragged codebooks stay correct.
     */
   private[operators] def localKmeans(
       points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
@@ -79,6 +83,7 @@ object PqIndex {
       .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
       .limit(sampleSize)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "PQ training sample is empty (empty corpus?)")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val ds = dim / m
@@ -99,13 +104,39 @@ object PqIndex {
         Bridge.expression(col("embedding").cast("array<double>")), books))
         .as("codes"))
 
-  /** ADC lookup table for one query column, flattened to m·k doubles:
-    * entry j·k+ci = ‖q_j‖²-invariant partial = ‖c‖² − 2·q_j·c, so
-    * dist(q, x) ≈ Σ_j lut[j·k + codes_j] ranks exactly like the quantized
-    * L2 distance.
+  /** ADC lookup table for one query column, flattened to Σ_j k_j doubles:
+    * entry offset_j+ci = ‖q_j‖²-invariant partial = ‖c‖² − 2·q_j·c, so
+    * dist(q, x) ≈ Σ_j lut[offset_j + codes_j] ranks exactly like the
+    * quantized L2 distance. Offsets (not a uniform k stride) keep ragged
+    * codebooks — a subspace with < k distinct training subvectors — exact.
     */
   private def lutCol(qe: Column, books: Codebooks): Column =
     Bridge.column(PqLut(Bridge.expression(qe), books))
+
+  /** Per-subspace start offsets into the flattened LUT. */
+  private def lutOffsets(books: Codebooks): Seq[Int] =
+    books.scanLeft(0)(_ + _.length).init.toSeq
+
+  /** Shared ADC scoring + top-k: input carries (vec_id, codes, q_id, lut);
+    * scoring one candidate is m lookups + adds, then the per-query top-k.
+    * One place owns the offset indexing and the tie rule for both the flat
+    * [[knn]] and the cluster-pruned [[knnIvfPq]].
+    */
+  private def adcTopK(
+      withLut: DataFrame, books: Codebooks, topK: Int): DataFrame = {
+    val offsets = typedlit(lutOffsets(books))
+    val scored = withLut
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"), col("vec_id").as("neighbor_id"),
+        aggregate(
+          zip_with(col("codes"), offsets,
+            (c, off) => element_at(col("lut"), off + c + 1)),
+          lit(0.0), (acc, x) => acc + x).as("adc_dist"))
+    RelationalOps.topKPerGroup(
+        scored, Seq("q_id"), Seq(col("adc_dist").asc, col("neighbor_id").asc),
+        topK, rankCol = "rnk")
+  }
 
   /** Approximate top-k by ADC: the (small) query set carries its LUT and is
     * broadcast against the coded corpus; scoring one candidate is m array
@@ -114,21 +145,9 @@ object PqIndex {
   def knn(
       codes: DataFrame, queries: DataFrame, books: Codebooks,
       topK: Int): DataFrame = {
-    val k = books(0).length
     val q = queries.select(col("q_id"),
       lutCol(col("qe").cast("array<double>"), books).as("lut"))
-    val scored = codes
-      .crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(
-        col("q_id"), col("vec_id").as("neighbor_id"),
-        aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(books.length - 1)),
-            (c, j) => element_at(col("lut"), j * k + c + 1)),
-          lit(0.0), (acc, x) => acc + x).as("adc_dist"))
-    RelationalOps.topKPerGroup(
-        scored, Seq("q_id"), Seq(col("adc_dist").asc, col("neighbor_id").asc),
-        topK, rankCol = "rnk")
+    adcTopK(codes.crossJoin(broadcast(q)), books, topK)
   }
 
   /** IVF-PQ — the canonical billion-scale ANN layout (coarse quantizer
@@ -142,7 +161,6 @@ object PqIndex {
   def knnIvfPq(
       emb: DataFrame, centroids: DataFrame, queries: DataFrame,
       books: Codebooks, topK: Int, nprobe: Int): DataFrame = {
-    val k = books(0).length
     val coded = emb.select(
       col("vec_id"),
       Bridge.column(PqEncode(
@@ -154,18 +172,7 @@ object PqIndex {
       lutCol(col("qe").cast("array<double>"), books).as("lut"),
       explode(IvfIndex.probeClustersCol(col("qe"), centroids, nprobe))
         .as("cluster_id"))
-    val scored = coded
-      .join(broadcast(q), Seq("cluster_id"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(
-        col("q_id"), col("vec_id").as("neighbor_id"),
-        aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(books.length - 1)),
-            (c, j) => element_at(col("lut"), j * k + c + 1)),
-          lit(0.0), (acc, x) => acc + x).as("adc_dist"))
-    RelationalOps.topKPerGroup(
-        scored, Seq("q_id"), Seq(col("adc_dist").asc, col("neighbor_id").asc),
-        topK, rankCol = "rnk")
+    adcTopK(coded.join(broadcast(q), Seq("cluster_id")), books, topK)
   }
 }
 
@@ -250,10 +257,13 @@ object PqKernels {
     new GenericArrayData(out)
   }
 
+  // Offset-indexed (ragged-safe): subspace j's block starts at Σ_{i<j} k_i,
+  // matching PqIndex.lutOffsets — a uniform books(0).length stride would
+  // corrupt or overrun the table when codebook sizes differ.
   def lut(qe: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
     val ds  = checkDims(qe, books)
-    val k   = books(0).length
-    val out = new Array[Double](books.length * k)
+    val out = new Array[Double](books.map(_.length).sum)
+    var off = 0
     var j = 0
     while (j < books.length) {
       val book = books(j)
@@ -269,9 +279,10 @@ object PqKernels {
           cn  += cv * cv
           t   += 1
         }
-        out(j * k + ci) = cn - 2.0 * dot
+        out(off + ci) = cn - 2.0 * dot
         ci += 1
       }
+      off += book.length
       j += 1
     }
     new GenericArrayData(out)

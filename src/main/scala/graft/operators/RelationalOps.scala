@@ -34,6 +34,35 @@ object RelationalOps {
       .filter(col(rankCol) <= k)
   }
 
+  /** LSH-style in-bucket pair expansion, shared by the MinHash text path
+    * (q22) and the sign-LSH embedding path (q35): group ids per bucket and
+    * emit ordered in-bucket pairs with a nested HOF — ONE shuffle of
+    * (bucket, id) rows, never a self-join of the underlying table. Output
+    * ids satisfy `outA < outB` (sorted in-bucket) and are deduped across
+    * buckets (a pair may collide in several bands/tables).
+    *
+    * `maxBucket` is the hot-bucket guard: pair emit is O(bucket²), so a
+    * bucket larger than the cap (boilerplate content, zero-vector padding)
+    * is SKIPPED — the standard stop-bucket treatment; its pairs are noise
+    * and its cost is quadratic.
+    */
+  def inBucketPairs(
+      buckets: DataFrame, bucketCols: Seq[String], idCol: String,
+      outA: String, outB: String, maxBucket: Int): DataFrame = {
+    val ids = col("ids")
+    buckets
+      .groupBy(bucketCols.map(col): _*)
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(ids) > 1 && size(ids) <= maxBucket)
+      .select(explode(
+        flatten(transform(sequence(lit(1), size(ids) - 1), i =>
+          transform(slice(ids, i + 1, size(ids)), b =>
+            struct(element_at(ids, i).as(outA), b.as(outB))))))
+        .as("p"))
+      .select(col(s"p.$outA"), col(s"p.$outB"))
+      .distinct()
+  }
+
   /** Gap-based sessionization: one shuffle on `userCol`, two window passes
     * over the same (user, ts) sort order — Spark reuses the sort. Emits the
     * input plus a per-user `session_id` (0-based).

@@ -85,7 +85,7 @@ object TextQueries {
     */
   private[queries] val defaultMaxBucket = 1000
 
-  private def candidatePairsFrom(
+  private[queries] def candidatePairsFrom(
       sigsDf: DataFrame, maxBucket: Int = defaultMaxBucket): DataFrame = {
     val bands = sigsDf.select(
       col("doc_id"),
@@ -93,25 +93,11 @@ object TextQueries {
         concat(col("sig0"), col("sig1")),
         concat(col("sig2"), col("sig3"))))
         .as(Seq("band", "key")))
-    val ids = col("ids")
-    bands
-      .filter(col("key").isNotNull) // NULL-text docs: groupBy would treat
-      // NULL keys as equal and emit spurious pairs (SQL's `=` never does)
-      .groupBy("band", "key")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(ids) > 1 && size(ids) <= maxBucket)
-      .select(explode(
-        flatten(transform(sequence(lit(1), size(ids) - 1), i =>
-          transform(slice(ids, i + 1, size(ids)), b =>
-            struct(element_at(ids, i).as("doc_a"), b.as("doc_b"))))))
-        .as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct() // a pair may collide in both bands
+    RelationalOps.inBucketPairs(
+      bands.filter(col("key").isNotNull), // NULL-text docs: groupBy would
+        // treat NULL keys as equal and emit spurious pairs (`=` never does)
+      Seq("band", "key"), "doc_id", "doc_a", "doc_b", maxBucket)
   }
-
-  private[queries] def candidatePairsCapped(
-      sigsDf: DataFrame, maxBucket: Int): DataFrame =
-    candidatePairsFrom(sigsDf, maxBucket)
 
   /** LSH bucket-size distribution — the operator's monitoring view for the
     * hot-bucket cap: per band, the largest bucket, the candidate-pair cost

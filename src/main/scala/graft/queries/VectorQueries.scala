@@ -48,29 +48,20 @@ object VectorQueries {
       posexplode(array((0 until nTables).map(t => bucketCol(col("embedding"), t)): _*))
         .as(Seq("table", "bucket")))
 
-  /** All candidate pairs sharing an LSH bucket in ≥1 table, via bucket
-    * expansion (the q22 pattern): group vec_ids per (table, bucket) and
-    * emit in-bucket pairs with a nested HOF — ONE shuffle of (table,
+  /** All candidate pairs sharing an LSH bucket in ≥1 table, via the shared
+    * bucket-expansion helper (the q22 pattern): ONE shuffle of (table,
     * bucket, id) triples, never a self-join of the embedding table. Output
-    * ids are sorted (`id_a < id_b`) and deduped across tables. In-bucket
-    * emit is O(bucket²); with `nBits`-bit buckets the expected bucket is
-    * N/2^nBits, so candidates stay near-linear until buckets saturate.
+    * ids are sorted (`id_a < id_b`) and deduped across tables. With
+    * `nBits`-bit buckets the expected bucket is N/2^nBits, so candidates
+    * stay near-linear — and the same hot-bucket cap as the text path
+    * guards the degenerate corpus (zero-vector padding collapsing into one
+    * bucket), whose O(bucket²) pairs are noise.
     */
-  private[queries] def lshCandidatePairs(emb: DataFrame): DataFrame = {
-    val ids = col("ids")
-    withBuckets(emb)
-      .select(col("table"), col("bucket"), col("vec_id"))
-      .groupBy("table", "bucket")
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(ids) > 1)
-      .select(explode(
-        flatten(transform(sequence(lit(1), size(ids) - 1), i =>
-          transform(slice(ids, i + 1, size(ids)), b =>
-            struct(element_at(ids, i).as("id_a"), b.as("id_b"))))))
-        .as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
-  }
+  private[queries] def lshCandidatePairs(emb: DataFrame): DataFrame =
+    RelationalOps.inBucketPairs(
+      withBuckets(emb).select(col("table"), col("bucket"), col("vec_id")),
+      Seq("table", "bucket"), "vec_id", "id_a", "id_b",
+      maxBucket = TextQueries.defaultMaxBucket)
 
   /** Exact all-pairs cosine-threshold join — O(N²), verification scale
     * ONLY. Kept as the truth reference for EmbedNeardupSpec's recall

@@ -117,9 +117,19 @@ object StreamingOps {
         // the micro-batch fails and the checkpoint retries it.
         def mustRename(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
           require(fs.rename(from, to), s"upsertSink: rename failed: $from -> $to")
+        // Deletes that gate later correctness must also fail loudly: an
+        // ignored false from delete would leave a stale __old that a LATER
+        // batch's recovery could mistake for crash state and restore over
+        // committed data.
+        def mustDelete(p: org.apache.hadoop.fs.Path): Unit =
+          require(fs.delete(p, true) || !fs.exists(p),
+            s"upsertSink: delete failed: $p")
         // A completely-written table carries the Hadoop committer's _SUCCESS
         // marker; a dir without it is a partial copy (e.g. a crashed
         // copy+delete "rename" on object stores, where rename is not atomic).
+        // (If the cluster disables marksuccessfuljobs, NEITHER dir has the
+        // marker and recovery falls through to the drop-__old branch — never
+        // to a rollback of a live table.)
         def isComplete(p: org.apache.hadoop.fs.Path): Boolean =
           fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
         // Crash recovery BEFORE deciding new-vs-merge: a previous batch may
@@ -127,16 +137,19 @@ object StreamingOps {
         // crash hit between the two renames — restore __old so this replayed
         // batch re-merges against the full history instead of treating the
         // table as new (which would silently drop everything but the current
-        // batch). If both exist: only discard __old when the table is a
-        // COMPLETE copy (_SUCCESS present) — on a non-atomic rename a crash
-        // can leave a partial table beside the only full copy in __old, and
-        // dropping __old then would lose data permanently.
+        // batch). If both exist: discard the TABLE only when it is a partial
+        // copy (_SUCCESS absent) AND __old is a complete one — on a
+        // non-atomic rename a crash can leave a partial table beside the
+        // only full copy in __old, and dropping __old then would lose data
+        // permanently; requiring isComplete(retired) prevents the inverse
+        // mistake of restoring a partial __old over a usable table.
         if (!fs.exists(hPath) && fs.exists(retired)) mustRename(retired, hPath)
-        else if (fs.exists(retired) && fs.exists(hPath) && !isComplete(hPath)) {
-          fs.delete(hPath, true)
+        else if (fs.exists(retired) && fs.exists(hPath) &&
+            !isComplete(hPath) && isComplete(retired)) {
+          mustDelete(hPath)
           mustRename(retired, hPath)
-        } else if (fs.exists(retired)) fs.delete(retired, true)
-        fs.delete(staging, true)
+        } else if (fs.exists(retired)) mustDelete(retired)
+        mustDelete(staging)
         val merged =
           if (fs.exists(hPath)) {
             val existing = spark.read.parquet(path)
@@ -153,7 +166,7 @@ object StreamingOps {
         if (fs.exists(hPath)) {
           mustRename(hPath, retired)
           mustRename(staging, hPath)
-          fs.delete(retired, true)
+          mustDelete(retired)
         } else {
           mustRename(staging, hPath)
         }

@@ -83,6 +83,44 @@ class PqIndexSpec extends SparkSpec {
     }
   }
 
+  test("ragged codebooks (low-cardinality subspace) keep ADC exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // first subspace is constant zero → its codebook collapses to ONE
+    // codeword; a uniform k stride would corrupt every later LUT block
+    val data = (0L until 200L).map { i =>
+      (i, Array.fill(8)(0.0f) ++ Array.fill(56)(rnd.nextGaussian().toFloat))
+    }
+    val df = data.toSeq.toDF("vec_id", "embedding").repartition(4)
+    val books = PqIndex.train(df, m = 8, k = 32, iters = 2)
+    assert(books(0).length === 1)
+    assert(books(1).length > 1)
+    val codes = PqIndex.encode(df, books)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toArray)).toMap
+    val qs = df.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val out = PqIndex.knn(codes = PqIndex.encode(df, books), queries = qs,
+      books = books, topK = 3).collect()
+    assert(out.length === 15)
+    // re-derive each adc_dist from raw codebooks + codes with offset
+    // indexing — catches any stride/offset mismatch
+    val vecs = data.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val ds = 8
+    out.foreach { r =>
+      val (q, n, dist) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val expected = books.indices.map { j =>
+        val c  = books(j)(codes(n)(j))
+        val qv = vecs(q)
+        var dot = 0.0
+        var cn  = 0.0
+        var t = 0
+        while (t < ds) { dot += qv(j * ds + t) * c(t); cn += c(t) * c(t); t += 1 }
+        cn - 2.0 * dot
+      }.sum
+      assert(math.abs(dist - expected) <= 1e-9, s"($q,$n): $dist vs $expected")
+    }
+  }
+
   test("IVF-PQ composition returns full top-k and respects cluster pruning") {
     val r = graft.queries.VectorQueries.queries("q57_knn_ivfpq")(spark, sf)
       .collect()
@@ -93,16 +131,7 @@ class PqIndexSpec extends SparkSpec {
   }
 
   test("planted duplicates encode to the same codes and rank first") {
-    import spark.implicits._
-    val base = Tables.embeddings(spark, sf)
-      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
-    val copies = base.map { case (id, v) =>
-      val rnd  = new scala.util.Random(id)
-      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
-      val eps  = 0.02 * norm / math.sqrt(v.length.toDouble)
-      (id + 100000L, v.map(x => x + (rnd.nextGaussian() * eps).toFloat))
-    }
-    val corpus = (base ++ copies).toSeq.toDF("vec_id", "embedding").repartition(4)
+    val corpus = graft.TestFixtures.plantedCopies(spark, sf, noise = 0.02)
     val books = PqIndex.train(corpus, m = 8, k = 32, iters = 4)
     val nQ = 50
     val qs = corpus.filter(col("vec_id") < nQ)

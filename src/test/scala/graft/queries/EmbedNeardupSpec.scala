@@ -21,22 +21,10 @@ class EmbedNeardupSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   /** Base corpus + one perturbed copy per vector (relative noise ~0.1 →
-    * cosine ≈ 0.995). Deterministic: fixed RNG seed, order-independent
-    * per-vector streams.
+    * cosine ≈ 0.995) — the shared planted-dup fixture.
     */
-  private lazy val planted: DataFrame = {
-    import spark.implicits._
-    val base = Tables.embeddings(spark, sf)
-      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
-    val copies = base.map { case (id, v) =>
-      val rnd  = new scala.util.Random(id) // per-vector stream: order-free
-      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
-      val eps  = 0.1 * norm / math.sqrt(v.length.toDouble)
-      (id + 100000L, v.map(x => x + (rnd.nextGaussian() * eps).toFloat))
-    }
-    (base ++ copies).toSeq.toDF("vec_id", "embedding")
-      .repartition(4) // spread pairs across partitions like a real corpus
-  }
+  private lazy val planted: DataFrame =
+    graft.TestFixtures.plantedCopies(spark, sf, noise = 0.1)
 
   test("LSH candidates reach >=0.95 recall on planted near-duplicates") {
     val truth = VectorQueries.neardupExact(planted, 0.9)

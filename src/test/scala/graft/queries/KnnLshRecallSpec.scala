@@ -35,16 +35,8 @@ class KnnLshRecallSpec extends SparkSpec {
   }
 
   test("planted near-duplicates surface as the top hit for >=90% of queries") {
-    import spark.implicits._
-    val base = Tables.embeddings(spark, "/root/testdata/sf0.001")
-      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
-    val copies = base.map { case (id, v) =>
-      val rnd  = new scala.util.Random(id)
-      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
-      val eps  = 0.1 * norm / math.sqrt(v.length.toDouble)
-      (id + 100000L, v.map(x => x + (rnd.nextGaussian() * eps).toFloat))
-    }
-    val corpus = (base ++ copies).toSeq.toDF("vec_id", "embedding").repartition(4)
+    val corpus = graft.TestFixtures.plantedCopies(
+      spark, "/root/testdata/sf0.001", noise = 0.1)
     val nQ = 50
     val top1 = VectorQueries.knnLsh(corpus, col("vec_id") < nQ)
       .filter(col("rnk") === 1)

@@ -19,15 +19,15 @@ class LshGuardSpec extends SparkSpec {
     // every doc shares every band → one bucket of 1200 per band; with the
     // default cap of 1000 both buckets are skipped → zero candidates
     // instead of ~1.4M pairs
-    assert(TextQueries.candidatePairsCapped(sigs, 1000).count() === 0)
+    assert(TextQueries.candidatePairsFrom(sigs, 1000).count() === 0)
     // and a cap above the bucket size would admit them (guard, not a bug)
-    assert(TextQueries.candidatePairsCapped(sigs, 1500).limit(1).count() === 1)
+    assert(TextQueries.candidatePairsFrom(sigs, 1500).limit(1).count() === 1)
   }
 
   test("default cap changes nothing on a healthy corpus") {
     val sigs = TextQueries.sigsFrom(
       TextQueries.shingledDocs(Tables.documents(spark, sf)))
-    def pairs(cap: Int) = TextQueries.candidatePairsCapped(sigs, cap)
+    def pairs(cap: Int) = TextQueries.candidatePairsFrom(sigs, cap)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs(Int.MaxValue) === pairs(TextQueries.defaultMaxBucket))
   }
