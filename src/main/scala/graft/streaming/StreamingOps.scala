@@ -106,69 +106,20 @@ object StreamingOps {
         // NOT a latest-wins reduction (feed aggregated state, not raw rows)
         val deduped = batch.dropDuplicates(keys)
         // existence via the path's own FileSystem — java.io.File would be
-        // always-false on hdfs:///s3a:// and silently overwrite the table
-        val hPath   = new org.apache.hadoop.fs.Path(path)
-        val fs      = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val staging = new org.apache.hadoop.fs.Path(path + "__staging")
-        val retired = new org.apache.hadoop.fs.Path(path + "__old")
-        // FileSystem.rename reports failure by returning FALSE, not by
-        // throwing; an ignored false here would silently corrupt the table
-        // (e.g. staging moved INSIDE a still-existing target dir). Throw so
-        // the micro-batch fails and the checkpoint retries it.
-        def mustRename(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
-          require(fs.rename(from, to), s"upsertSink: rename failed: $from -> $to")
-        // Deletes that gate later correctness must also fail loudly: an
-        // ignored false from delete would leave a stale __old that a LATER
-        // batch's recovery could mistake for crash state and restore over
-        // committed data.
-        def mustDelete(p: org.apache.hadoop.fs.Path): Unit =
-          require(fs.delete(p, true) || !fs.exists(p),
-            s"upsertSink: delete failed: $p")
-        // A completely-written table carries the Hadoop committer's _SUCCESS
-        // marker; a dir without it is a partial copy (e.g. a crashed
-        // copy+delete "rename" on object stores, where rename is not atomic).
-        // (If the cluster disables marksuccessfuljobs, NEITHER dir has the
-        // marker and recovery falls through to the drop-__old branch — never
-        // to a rollback of a live table.)
-        def isComplete(p: org.apache.hadoop.fs.Path): Boolean =
-          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
-        // Crash recovery BEFORE deciding new-vs-merge: a previous batch may
-        // have died mid-swap. If the table is gone but __old survives, the
-        // crash hit between the two renames — restore __old so this replayed
-        // batch re-merges against the full history instead of treating the
-        // table as new (which would silently drop everything but the current
-        // batch). If both exist: discard the TABLE only when it is a partial
-        // copy (_SUCCESS absent) AND __old is a complete one — on a
-        // non-atomic rename a crash can leave a partial table beside the
-        // only full copy in __old, and dropping __old then would lose data
-        // permanently; requiring isComplete(retired) prevents the inverse
-        // mistake of restoring a partial __old over a usable table.
-        if (!fs.exists(hPath) && fs.exists(retired)) mustRename(retired, hPath)
-        else if (fs.exists(retired) && fs.exists(hPath) &&
-            !isComplete(hPath) && isComplete(retired)) {
-          mustDelete(hPath)
-          mustRename(retired, hPath)
-        } else if (fs.exists(retired)) mustDelete(retired)
-        mustDelete(staging)
-        val merged =
-          if (fs.exists(hPath)) {
-            val existing = spark.read.parquet(path)
-            existing
-              .join(deduped.select(keys.map(col): _*), keys, "left_anti")
-              .unionByName(deduped)
-          } else deduped
-        // stage-then-swap: write the merge to __staging, retire the current
-        // table to __old (rename, NOT delete — every crash window leaves a
-        // complete copy under either the table path or __old), move staging
-        // into place, then drop __old. A real deployment would use a
-        // MERGE-capable table format (Delta/Iceberg) here.
-        merged.write.mode("overwrite").parquet(staging.toString)
-        if (fs.exists(hPath)) {
-          mustRename(hPath, retired)
-          mustRename(staging, hPath)
-          mustDelete(retired)
-        } else {
-          mustRename(staging, hPath)
+        // always-false on hdfs:///s3a:// and silently overwrite the table.
+        // TableSwap.replace runs crash recovery FIRST, so this check and
+        // the merge read see the restored table; a failed rename/delete
+        // throws, failing the micro-batch so the checkpoint retries it.
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val fs    = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        graft.sources.TableSwap.replace(spark, path) { staging =>
+          val merged =
+            if (fs.exists(hPath)) {
+              spark.read.parquet(path)
+                .join(deduped.select(keys.map(col): _*), keys, "left_anti")
+                .unionByName(deduped)
+            } else deduped
+          merged.write.mode("overwrite").parquet(staging)
         }
         ()
       }
