@@ -40,7 +40,7 @@ object TextQueries {
     * (tokens, then shingles) so the tokenizing split runs once per row —
     * not once per lambda element (HOF lambdas are outside CSE).
     */
-  private[queries] def shingledDocs(docs: DataFrame): DataFrame =
+  private[graft] def shingledDocs(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
         TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
@@ -50,7 +50,7 @@ object TextQueries {
   private def shingled(s: SparkSession, d: String): DataFrame =
     shingledDocs(Tables.documents(s, d))
 
-  private[queries] def sigsFrom(shingledDf: DataFrame): DataFrame =
+  private[graft] def sigsFrom(shingledDf: DataFrame): DataFrame =
     shingledDf
       .select(col("doc_id"), transform(col("sh"), s => md5(s)).as("hs"))
       .select(
@@ -62,6 +62,24 @@ object TextQueries {
 
   private def sigs(s: SparkSession, d: String): DataFrame =
     sigsFrom(shingled(s, d))
+
+  /** Column-preserving variant of the signature pipeline: adds sig0–sig3
+    * next to the input's own columns (the batch path uses staged SELECTs;
+    * streaming consumers need the event-time column to ride along for
+    * watermarking — see [[graft.streaming.StreamingOps.neardupCandidates]]).
+    * Same staging discipline: tokens → shingles → hashes as real
+    * projections, one evaluation per row.
+    */
+  def withSignatures(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__toks", TextOps.tokens(TextOps.normalized(col("text"))))
+      .withColumn("__sh", TextOps.wordShinglesFromTokens(col("__toks"), 3))
+      .withColumn("__hs", transform(col("__sh"), s => md5(s)))
+      .withColumn("sig0", minhashSig(col("__hs"), 0))
+      .withColumn("sig1", minhashSig(col("__hs"), 1))
+      .withColumn("sig2", minhashSig(col("__hs"), 2))
+      .withColumn("sig3", minhashSig(col("__hs"), 3))
+      .drop("__toks", "__sh", "__hs")
 
   /** LSH banding, b=2 bands × r=2 rows: a candidate pair must agree on BOTH
     * sigs of some band — collision probability j² per band (vs j for r=1),
@@ -85,7 +103,7 @@ object TextQueries {
     */
   private[queries] val defaultMaxBucket = 1000
 
-  private[queries] def candidatePairsFrom(
+  private[graft] def candidatePairsFrom(
       sigsDf: DataFrame, maxBucket: Int = defaultMaxBucket): DataFrame = {
     val bands = sigsDf.select(
       col("doc_id"),

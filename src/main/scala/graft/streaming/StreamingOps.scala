@@ -125,6 +125,93 @@ object StreamingOps {
       }
       .start()
 
+  // ---- streaming near-duplicate candidates ------------------------------
+
+  case class BandedDoc(band: Int, key: String, doc_id: Long, event_us: Long)
+
+  case class BucketState(docs: List[(Long, Long)]) // (doc_id, event_us)
+
+  case class NeardupCandidate(doc_a: Long, doc_b: Long, band: Int)
+
+  /** Streaming twin of the batch LSH near-dup candidate generator (q22):
+    * documents are MinHash-signed and banded as they arrive (narrow, per
+    * row); state keyed by (band, key) holds the bucket's doc ids seen
+    * within the watermark horizon, so each new document emits a candidate
+    * pair against every bucket-mate no older than `delay` — then expires.
+    * Unbounded stream, bounded state.
+    *
+    * Contract differences vs the batch form, both resolved by the Jaccard
+    * verify stage downstream: a pair colliding in both bands is emitted
+    * per band (the batch form dedups), and the hot-bucket guard DROPS
+    * documents once a bucket holds `maxBucket` live entries (the batch
+    * form skips the whole bucket).
+    */
+  def neardupCandidates(
+      docs: DataFrame,
+      eventTime: String = "event_time",
+      delay: String = "1 hour",
+      maxBucket: Int = 1000): Dataset[NeardupCandidate] = {
+    import docs.sparkSession.implicits._
+    val interval = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(delay))
+    require(interval.months == 0, "neardupCandidates: delay must be day-time")
+    val horizonMs = interval.days * 86400000L + interval.microseconds / 1000L
+
+    def fn(
+        bucket: (Int, String),
+        rows: Iterator[BandedDoc],
+        state: GroupState[BucketState]): Iterator[NeardupCandidate] = {
+      val sorted = rows.toSeq.sortBy(d => (d.event_us, d.doc_id))
+      var docsInBucket = state.getOption.map(_.docs).getOrElse(Nil)
+      val out = Seq.newBuilder[NeardupCandidate]
+
+      def prune(): Unit = {
+        val cutoffUs = (state.getCurrentWatermarkMs() - horizonMs) * 1000L
+        docsInBucket = docsInBucket.filter(_._2 >= cutoffUs)
+      }
+
+      if (sorted.isEmpty) prune() // event-time timeout fired
+      else {
+        prune()
+        sorted.foreach { d =>
+          if (docsInBucket.size < maxBucket) {
+            docsInBucket.foreach { case (otherId, _) =>
+              if (otherId != d.doc_id) out += NeardupCandidate(
+                math.min(otherId, d.doc_id), math.max(otherId, d.doc_id),
+                bucket._1)
+            }
+            docsInBucket = (d.doc_id, d.event_us) :: docsInBucket
+          } // else: stop-bucket — boilerplate flood, pairs are noise
+        }
+      }
+
+      if (docsInBucket.isEmpty) state.remove()
+      else {
+        state.update(BucketState(docsInBucket))
+        // wake when the OLDEST live doc leaves the horizon; clamp above the
+        // watermark (a timeout at/behind it kills the query)
+        val oldestMs = docsInBucket.map(_._2).min / 1000L
+        state.setTimeoutTimestamp(math.max(
+          oldestMs + horizonMs + 1L, state.getCurrentWatermarkMs() + 1L))
+      }
+      out.result().iterator
+    }
+
+    graft.queries.TextQueries.withSignatures(docs)
+      .select(col("doc_id"), col(eventTime),
+        posexplode(array(
+          concat(col("sig0"), col("sig1")),
+          concat(col("sig2"), col("sig3"))))
+          .as(Seq("band", "key")))
+      .filter(col("key").isNotNull)
+      .withWatermark(eventTime, delay)
+      .withColumn("event_us", unix_micros(col(eventTime)))
+      .as[BandedDoc]
+      .groupByKey(d => (d.band, d.key))
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   // ---- stateful sessionization ------------------------------------------
 
   case class SessionEvent(user_id: Long, ts_micros: Long)

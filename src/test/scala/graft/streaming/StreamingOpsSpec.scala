@@ -196,6 +196,64 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming near-dup candidates match the batch LSH pairs") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // dup of 1
+      (3L, "completely different content about streaming watermarks and state"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup
+    )
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val query = StreamingOps.neardupCandidates(
+        input.toDF().toDF("doc_id", "text", "event_time"))
+      .writeStream.format("memory").queryName("neardup_cand")
+      .outputMode("append").start()
+    try {
+      input.addData(texts.map { case (id, t) =>
+        (id, t, ts(s"2023-01-01 10:0$id:00")) })
+      query.processAllAvailable()
+      val stream = spark.table("neardup_cand")
+        .select("doc_a", "doc_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.queries.TextQueries
+        .candidatePairsFrom(graft.queries.TextQueries.sigsFrom(
+          graft.queries.TextQueries.shingledDocs(
+            texts.toDF("doc_id", "text"))))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.contains((1L, 2L))) // sanity: the dup pair exists at all
+      assert(stream === batch)
+    } finally query.stop()
+  }
+
+  test("near-dup candidate state expires past the watermark horizon") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dup = "the quick brown fox jumps over the lazy dog near the river bank"
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val query = StreamingOps.neardupCandidates(
+        input.toDF().toDF("doc_id", "text", "event_time"),
+        delay = "10 minutes")
+      .writeStream.format("memory").queryName("neardup_exp")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, dup, ts("2023-01-01 10:00:00")))
+      query.processAllAvailable()
+      // push the watermark far past doc 1's horizon
+      input.addData((2L, "unrelated filler text to advance the watermark only",
+        ts("2023-01-01 12:00:00")))
+      query.processAllAvailable()
+      // doc 3 duplicates doc 1 but arrives hours later: state must be gone
+      input.addData((3L, dup, ts("2023-01-01 12:01:00")))
+      query.processAllAvailable()
+      val pairs = spark.table("neardup_exp")
+        .select("doc_a", "doc_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!pairs.contains((1L, 3L)), pairs.toString)
+    } finally query.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and keeps open ones") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
