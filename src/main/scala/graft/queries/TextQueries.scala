@@ -300,6 +300,21 @@ object TextQueries {
     "q43_dedup_clusters" -> ((s, d) =>
       graft.operators.DedupClustering.connectedComponents(candidatePairs(s, d))),
 
+    // Apply the dedup: the corpus with every non-canonical near-dup REMOVED
+    // (each cluster keeps its minimum doc_id) — the terminal step a
+    // training-data pipeline actually ships. Anti-join against the loser
+    // set; singletons never appear in clusters, so they pass through free.
+    "q58_dedup_apply" -> ((s, d) => {
+      val losers = graft.operators.DedupClustering
+        .connectedComponents(candidatePairs(s, d))
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+      Tables.documents(s, d)
+        .join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    }),
+
     // BM25 document scoring for a fixed term set (k1=1.2, b=0.75).
     // Uses real log idf → not bit-reproducible across engines' libm
     // (SURVEY float-parity rules) → rows-only check; the rational-idf
@@ -389,6 +404,19 @@ object TextQueries {
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM e a JOIN e b ON a.band = b.band AND a.key = b.key
        |  AND a.doc_id < b.doc_id""".stripMargin
+
+  // Shared recursive-CTE connected components over the LSH pairs — the
+  // oracle twin of DedupClustering (used by q43 and the q58 dedup apply).
+  private lazy val clustersCteSql =
+    s"""pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, r) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.src),
+       |clusters AS (SELECT src AS doc_id, min(r) AS cluster_id FROM reach GROUP BY src)""".stripMargin
 
   private val stopEn = TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
   private def hitsSql(lang: String): String = {
@@ -490,15 +518,15 @@ object TextQueries {
     "q21_minhash_sig" -> sigsSql,
     "q22_neardup_pairs" -> pairsSql,
     "q43_dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS ($pairsSql),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(src, r) AS (
-         |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
-         |  UNION
-         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.src)
-         |SELECT src AS doc_id, min(r) AS cluster_id FROM reach GROUP BY src""".stripMargin,
+      s"""WITH RECURSIVE $clustersCteSql
+         |SELECT doc_id, cluster_id FROM clusters""".stripMargin,
+    "q58_dedup_apply" ->
+      raw"""WITH RECURSIVE $clustersCteSql,
+           |losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+           |SELECT d.doc_id,
+           |  CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n_tokens
+           |FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+           |WHERE l.doc_id IS NULL""".stripMargin,
     "q23_jaccard" ->
       s"""WITH pairs AS ($pairsSql),
          |sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents)
