@@ -30,9 +30,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val a = timeOnce(fn)
-      val b = if (a >= 0) timeOnce(fn) else -1.0
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      // min of the VALID runs: a transient failure on one run must not
+      // discard the other's real measurement
+      val runs = Seq(timeOnce(fn), timeOnce(fn)).filter(_ >= 0)
+      name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)

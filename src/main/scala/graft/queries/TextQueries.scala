@@ -50,15 +50,28 @@ object TextQueries {
   private def shingled(s: SparkSession, d: String): DataFrame =
     shingledDocs(Tables.documents(s, d))
 
+  /** The four signature projections over a staged shingle-hash column —
+    * THE definition of the signature family, shared by the batch
+    * (`sigsFrom`) and column-preserving (`withSignatures`) pipelines.
+    */
+  private def sigCols(hs: Column): Seq[Column] =
+    (0 to 3).map(q => minhashSig(hs, q).as(s"sig$q"))
+
+  /** The banding generator (b=2 bands × r=2 sig concatenation) — THE
+    * definition of the band layout, shared by the batch pair expansion,
+    * the bucket-stats view, and the streaming candidate generator
+    * ([[graft.streaming.StreamingOps.neardupCandidates]]); alias with
+    * `.as(Seq("band", "key"))`.
+    */
+  private[graft] def bandsExploded: Column =
+    posexplode(array(
+      concat(col("sig0"), col("sig1")),
+      concat(col("sig2"), col("sig3"))))
+
   private[graft] def sigsFrom(shingledDf: DataFrame): DataFrame =
     shingledDf
       .select(col("doc_id"), transform(col("sh"), s => md5(s)).as("hs"))
-      .select(
-        col("doc_id"),
-        minhashSig(col("hs"), 0).as("sig0"),
-        minhashSig(col("hs"), 1).as("sig1"),
-        minhashSig(col("hs"), 2).as("sig2"),
-        minhashSig(col("hs"), 3).as("sig3"))
+      .select(col("doc_id") +: sigCols(col("hs")): _*)
 
   private def sigs(s: SparkSession, d: String): DataFrame =
     sigsFrom(shingled(s, d))
@@ -75,10 +88,7 @@ object TextQueries {
       .withColumn("__toks", TextOps.tokens(TextOps.normalized(col("text"))))
       .withColumn("__sh", TextOps.wordShinglesFromTokens(col("__toks"), 3))
       .withColumn("__hs", transform(col("__sh"), s => md5(s)))
-      .withColumn("sig0", minhashSig(col("__hs"), 0))
-      .withColumn("sig1", minhashSig(col("__hs"), 1))
-      .withColumn("sig2", minhashSig(col("__hs"), 2))
-      .withColumn("sig3", minhashSig(col("__hs"), 3))
+      .select(col("*") +: sigCols(col("__hs")): _*) // same family as sigsFrom
       .drop("__toks", "__sh", "__hs")
 
   /** LSH banding, b=2 bands × r=2 rows: a candidate pair must agree on BOTH
@@ -106,11 +116,7 @@ object TextQueries {
   private[graft] def candidatePairsFrom(
       sigsDf: DataFrame, maxBucket: Int = defaultMaxBucket): DataFrame = {
     val bands = sigsDf.select(
-      col("doc_id"),
-      posexplode(array(
-        concat(col("sig0"), col("sig1")),
-        concat(col("sig2"), col("sig3"))))
-        .as(Seq("band", "key")))
+      col("doc_id"), bandsExploded.as(Seq("band", "key")))
     RelationalOps.inBucketPairs(
       bands.filter(col("key").isNotNull), // NULL-text docs: groupBy would
         // treat NULL keys as equal and emit spurious pairs (`=` never does)
@@ -123,11 +129,7 @@ object TextQueries {
     */
   def lshBucketStats(s: SparkSession, d: String): DataFrame =
     sigs(s, d)
-      .select(col("doc_id"),
-        posexplode(array(
-          concat(col("sig0"), col("sig1")),
-          concat(col("sig2"), col("sig3"))))
-          .as(Seq("band", "key")))
+      .select(col("doc_id"), bandsExploded.as(Seq("band", "key")))
       .filter(col("key").isNotNull)
       .groupBy("band", "key").agg(count(lit(1)).as("sz"))
       .groupBy("band").agg(

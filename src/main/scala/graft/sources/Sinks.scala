@@ -25,26 +25,43 @@ object Sinks {
       .partitionBy("p_date")
       .parquet(path)
 
-  /** Small-file compaction: rewrite the parquet table at `path` into
-    * `numFiles` files per partition (streaming appends and per-batch
-    * upserts accrete small files; at 100 TB the scan's task count — and the
-    * NameNode/listing pressure — follows the FILE count, not the byte
-    * count). The rewrite is crash-safe via the same stage-then-swap
-    * protocol as the streaming upsert sink ([[TableSwap.replace]]); data is
-    * byte-identical, only the file layout changes (CompactionSpec asserts
-    * both). `partitionCols` must name the table's hive-partition columns,
-    * if any, so the layout is preserved.
+  /** Small-file compaction: rewrite the parquet table at `path` into at
+    * most `numFiles` files per hive partition (streaming appends and
+    * per-batch upserts accrete small files; at 100 TB the scan's task
+    * count — and the NameNode/listing pressure — follows the FILE count,
+    * not the byte count). The rewrite is crash-safe via the same
+    * stage-then-swap protocol as the streaming upsert sink
+    * ([[TableSwap.replace]]); rows and partition directory values are
+    * preserved exactly, only the file layout changes (CompactionSpec
+    * asserts both). `partitionCols` must name the table's hive-partition
+    * columns, if any, so the layout is preserved.
+    *
+    * Two scale traps handled explicitly:
+    *   - partition-column TYPE INFERENCE is disabled for the rewrite read:
+    *     inferred types re-encode directory values (string "00" → int 0
+    *     merges two distinct partitions — silent data loss). Reading them
+    *     as plain strings round-trips every directory name verbatim.
+    *   - the shuffle key is (partitionCols, salt): repartitioning by the
+    *     partition columns alone would funnel each hive partition into ONE
+    *     task and one giant file; the salt keeps `numFiles`-way
+    *     parallelism and output files per partition.
     */
   def compact(
       spark: org.apache.spark.sql.SparkSession, path: String,
       numFiles: Int = 1, partitionCols: Seq[String] = Nil): Unit =
     TableSwap.replace(spark, path) { staging =>
-      val df = spark.read.parquet(path)
-      val writer =
-        (if (partitionCols.isEmpty) df.repartition(numFiles)
-         else df.repartition(numFiles, partitionCols.map(col): _*))
-          .write.mode(SaveMode.Overwrite)
-      (if (partitionCols.isEmpty) writer
-       else writer.partitionBy(partitionCols: _*)).parquet(staging)
+      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val saved    = spark.conf.get(inferKey)
+      spark.conf.set(inferKey, "false")
+      try {
+        val df = spark.read.parquet(path)
+        val writer =
+          (if (partitionCols.isEmpty) df.repartition(numFiles)
+           else df.repartition(
+             partitionCols.map(col) :+ pmod(spark_partition_id(), lit(numFiles)): _*))
+            .write.mode(SaveMode.Overwrite)
+        (if (partitionCols.isEmpty) writer
+         else writer.partitionBy(partitionCols: _*)).parquet(staging)
+      } finally spark.conf.set(inferKey, saved)
     }
 }

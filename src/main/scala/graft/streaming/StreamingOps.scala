@@ -174,14 +174,18 @@ object StreamingOps {
       else {
         prune()
         sorted.foreach { d =>
-          if (docsInBucket.size < maxBucket) {
+          // at-least-once sources re-deliver: a doc_id already in state is
+          // skipped entirely — re-inserting would re-emit its pairs AND
+          // burn a hot-bucket cap slot a distinct document needs
+          if (docsInBucket.size < maxBucket &&
+              !docsInBucket.exists(_._1 == d.doc_id)) {
             docsInBucket.foreach { case (otherId, _) =>
-              if (otherId != d.doc_id) out += NeardupCandidate(
+              out += NeardupCandidate(
                 math.min(otherId, d.doc_id), math.max(otherId, d.doc_id),
                 bucket._1)
             }
             docsInBucket = (d.doc_id, d.event_us) :: docsInBucket
-          } // else: stop-bucket — boilerplate flood, pairs are noise
+          } // else: duplicate delivery, or stop-bucket boilerplate flood
         }
       }
 
@@ -199,10 +203,7 @@ object StreamingOps {
 
     graft.queries.TextQueries.withSignatures(docs)
       .select(col("doc_id"), col(eventTime),
-        posexplode(array(
-          concat(col("sig0"), col("sig1")),
-          concat(col("sig2"), col("sig3"))))
-          .as(Seq("band", "key")))
+        graft.queries.TextQueries.bandsExploded.as(Seq("band", "key")))
       .filter(col("key").isNotNull)
       .withWatermark(eventTime, delay)
       .withColumn("event_us", unix_micros(col(eventTime)))

@@ -32,6 +32,22 @@ class CompactionSpec extends SparkSpec {
     assert(!new java.io.File(s"${path}__old").exists)
   }
 
+  test("compact preserves ambiguous string partition values verbatim") {
+    import spark.implicits._
+    val dir  = Files.createTempDirectory("graft-compact-str").toString
+    val path = s"$dir/t"
+    // "0" and "00" are distinct partitions; partition TYPE INFERENCE would
+    // read both back as int 0 and silently merge them on rewrite
+    Seq((1L, "0"), (2L, "00")).toDF("id", "p")
+      .write.partitionBy("p").parquet(path)
+
+    Sinks.compact(spark, path, numFiles = 1, partitionCols = Seq("p"))
+
+    assert(new java.io.File(s"$path/p=0").isDirectory)
+    assert(new java.io.File(s"$path/p=00").isDirectory)
+    assert(spark.read.parquet(path).count() === 2)
+  }
+
   test("compact preserves a hive-partitioned layout") {
     import spark.implicits._
     val dir  = Files.createTempDirectory("graft-compact-part").toString
@@ -42,8 +58,12 @@ class CompactionSpec extends SparkSpec {
 
     Sinks.compact(spark, path, numFiles = 4, partitionCols = Seq("p"))
 
-    // hash-partitioned by p into 4 tasks → ≤1 file per hive partition each
-    assert(parquetFiles(path).size <= 8)
+    // salted shuffle key: at most numFiles files per hive partition, and
+    // NOT one giant file per partition (parallelism preserved)
+    (0 to 3).foreach { pv =>
+      val n = parquetFiles(s"$path/p=$pv").size
+      assert(n >= 1 && n <= 4, s"p=$pv has $n files")
+    }
     assert(new java.io.File(s"$path/p=0").isDirectory) // layout preserved
     // hive partition values read back type-inferred (p=0 → int)
     val rows = spark.read.parquet(path)
