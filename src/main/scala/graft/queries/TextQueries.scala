@@ -302,6 +302,27 @@ object TextQueries {
     "q43_dedup_clusters" -> ((s, d) =>
       graft.operators.DedupClustering.connectedComponents(candidatePairs(s, d))),
 
+    // MinHash Jaccard ESTIMATE for the candidate pairs: the fraction of
+    // agreeing signatures (each an independent min-hash, so agreement
+    // probability = true Jaccard). The sketch-side answer the verify stage
+    // (q23) refines — at 100 TB the estimate costs a 4-string compare per
+    // pair where the exact intersection rereads both shingle sets.
+    "q59_minhash_est" -> ((s, d) => {
+      val sg = sigs(s, d)
+      val agree = (a: String) =>
+        when(col(s"a_$a") === col(s"b_$a"), 1).otherwise(0)
+      candidatePairs(s, d)
+        .join(sg.select(col("doc_id").as("doc_a"),
+          col("sig0").as("a_sig0"), col("sig1").as("a_sig1"),
+          col("sig2").as("a_sig2"), col("sig3").as("a_sig3")), "doc_a")
+        .join(sg.select(col("doc_id").as("doc_b"),
+          col("sig0").as("b_sig0"), col("sig1").as("b_sig1"),
+          col("sig2").as("b_sig2"), col("sig3").as("b_sig3")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          ((agree("sig0") + agree("sig1") + agree("sig2") + agree("sig3"))
+            .cast("double") / lit(4.0)).as("est_jaccard"))
+    }),
+
     // Apply the dedup: the corpus with every non-canonical near-dup REMOVED
     // (each cluster keeps its minimum doc_id) — the terminal step a
     // training-data pipeline actually ships. Anti-join against the loser
@@ -519,6 +540,17 @@ object TextQueries {
            |GROUP BY doc_id""".stripMargin,
     "q21_minhash_sig" -> sigsSql,
     "q22_neardup_pairs" -> pairsSql,
+    "q59_minhash_est" ->
+      s"""WITH sigs AS ($sigsSql), pairs AS ($pairsSql)
+         |SELECT doc_a, doc_b,
+         |  CAST((CASE WHEN a.sig0 = b.sig0 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN a.sig1 = b.sig1 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN a.sig2 = b.sig2 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN a.sig3 = b.sig3 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / 4.0 AS est_jaccard
+         |FROM pairs
+         |JOIN sigs a ON a.doc_id = pairs.doc_a
+         |JOIN sigs b ON b.doc_id = pairs.doc_b""".stripMargin,
     "q43_dedup_clusters" ->
       s"""WITH RECURSIVE $clustersCteSql
          |SELECT doc_id, cluster_id FROM clusters""".stripMargin,
