@@ -254,6 +254,55 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("custom sessionizer agrees with the engine-native session_window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // same event set through both: our flatMapGroupsWithState sessionizer
+    // and Spark's built-in session_window aggregation (the Spark-first
+    // preference — the custom operator must earn its keep by agreeing)
+    val eventsData = Seq(
+      (1L, ts("2023-01-01 10:00:00")), (1L, ts("2023-01-01 10:05:00")),
+      (1L, ts("2023-01-01 11:00:00")), // >30min gap → new session
+      (2L, ts("2023-01-01 10:10:00")))
+    val gap = "30 minutes"
+
+    val input = MemoryStream[StreamingOps.SessionEvent]
+    val q1 = StreamingOps.sessionize(input.toDS(), gapMicros = 30L * 60 * 1000000)
+      .writeStream.format("memory").queryName("sess_custom")
+      .outputMode("append").start()
+    val input2 = MemoryStream[(Long, Timestamp)]
+    val q2 = input2.toDF().toDF("user_id", "event_time")
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"))
+      .writeStream.format("memory").queryName("sess_native")
+      .outputMode("append").start()
+    try {
+      input.addData(eventsData.map { case (u, t) =>
+        StreamingOps.SessionEvent(u, t.getTime * 1000L) })
+      // advance both watermarks far enough to close and emit every session
+      input.addData(StreamingOps.SessionEvent(99L, ts("2023-01-02 00:00:00").getTime * 1000L))
+      q1.processAllAvailable()
+      input2.addData(eventsData)
+      input2.addData((99L, ts("2023-01-02 00:00:00")))
+      q2.processAllAvailable()
+
+      def sessions(table: String) = spark.table(table)
+        .filter(col("user_id") =!= 99L)
+        .select("user_id", "session_start_us", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val custom = spark.table("sess_custom")
+        .filter(col("user_id") =!= 99L)
+        .select("user_id", "session_start_us", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+      assert(custom === sessions("sess_native"))
+      assert(custom.size === 3) // two sessions for user 1, one for user 2
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("stateful sessionization closes sessions on gap and keeps open ones") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
