@@ -84,6 +84,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q55: int8 quantization is fully narrow — zero exchanges") {
+    val p = plan("q55_quantize_int8", "simple")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q58: dedup apply prunes with a real anti-join, no row duplication") {
+    val p = plan("q58_dedup_apply", "simple")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("trades clean+agg: single shuffle for the 4-key aggregate") {
     val raw   = graft.etl.TradesEtl.extract(spark, "/root/reference/trades (1) (2) (1).csv")
     val clean = graft.etl.TradesEtl.clean(raw)
