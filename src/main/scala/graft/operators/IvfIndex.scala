@@ -109,6 +109,48 @@ object IvfIndex {
       slice(array_sort(array(scoredStructs(qe, cents): _*)), 1, nprobe),
       p => p.getField("cid"))
 
+  /** The 100 TB final form: the index IS the table layout. Write the
+    * corpus hive-partitioned by its IVF cluster so probe-time reads prune
+    * whole partitions — a query batch touching `nprobe` of `k` clusters
+    * scans ~nprobe/k of the data, at PLANNING time, before any executor
+    * runs (asserted via `PartitionFilters` in IvfIndexSpec).
+    */
+  def writeClustered(emb: DataFrame, centroids: DataFrame, path: String): Unit = {
+    val cents = collectCodebook(centroids)
+    emb
+      .select(col("*"), nearestCol(col("embedding"), cents).as("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+  }
+
+  /** kNN over the clustered layout — identical results to [[knn]] on the
+    * same codebook, but the corpus scan reads ONLY the probed partitions.
+    * The probed cluster set is |queries|·nprobe ids (tiny, driver-side), so
+    * it becomes a literal `isin` the planner turns into partition pruning;
+    * the per-query probe map then joins by broadcast as usual.
+    */
+  def knnClustered(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: DataFrame, queries: DataFrame,
+      topK: Int, nprobe: Int): DataFrame = {
+    val cents = collectCodebook(centroids)
+    val probes = queries.select(
+      col("q_id"), col("qe"),
+      explode(probeClustersCol(col("qe"), cents, nprobe)).as("cluster_id"))
+    val wanted = probes.select("cluster_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(wanted: _*))
+    val scored = corpus
+      .join(broadcast(probes), Seq("cluster_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"), col("vec_id").as("neighbor_id"),
+        VectorOps.cosine(col("qe"), col("embedding")).as("cosine"))
+    RelationalOps.topKPerGroup(
+        scored, Seq("q_id"), Seq(col("cosine").desc, col("neighbor_id").asc), topK,
+        rankCol = "rnk")
+  }
+
   /** Approximate top-k cosine neighbors for `queries` (must have columns
     * q_id, qe): each query scores only vectors assigned to its `nprobe`
     * nearest clusters. Probe selection is a narrow per-row sort over the

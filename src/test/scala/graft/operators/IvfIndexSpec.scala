@@ -36,6 +36,30 @@ class IvfIndexSpec extends SparkSpec {
     assert(snap() === snap())
   }
 
+  test("clustered layout prunes partitions and matches the in-memory kNN") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val centroids = IvfIndex.train(emb, k = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_layout").toString
+    IvfIndex.writeClustered(emb, centroids, dir)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("cluster_id=")), dirs.toSeq)
+
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val clustered = IvfIndex.knnClustered(spark, dir, centroids, qs,
+      topK = 5, nprobe = 2)
+    val plan = clustered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.contains("cluster_id"), plan)
+
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._4))
+    assert(snap(clustered) ===
+      snap(IvfIndex.knn(emb, centroids, qs, topK = 5, nprobe = 2)))
+  }
+
   test("IVF kNN reaches useful recall vs the exact brute force") {
     val brute = VectorQueries.queries("q26_knn_brute")(spark, sf)
       .select("q_id", "neighbor_id").collect()
