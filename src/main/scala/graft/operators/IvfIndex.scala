@@ -129,8 +129,7 @@ object IvfIndex {
     * the per-query probe map then joins by broadcast as usual.
     */
   def knnClustered(
-      spark: org.apache.spark.sql.SparkSession, path: String,
-      centroids: DataFrame, queries: DataFrame,
+      path: String, centroids: DataFrame, queries: DataFrame,
       topK: Int, nprobe: Int): DataFrame = {
     val cents = collectCodebook(centroids)
     val probes = queries.select(
@@ -138,7 +137,7 @@ object IvfIndex {
       explode(probeClustersCol(col("qe"), cents, nprobe)).as("cluster_id"))
     val wanted = probes.select("cluster_id").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val corpus = spark.read.parquet(path)
+    val corpus = queries.sparkSession.read.parquet(path)
       .filter(col("cluster_id").isin(wanted: _*))
     val scored = corpus
       .join(broadcast(probes), Seq("cluster_id"))

@@ -308,10 +308,13 @@ object TextQueries {
     // (q23) refines — at 100 TB the estimate costs a 4-string compare per
     // pair where the exact intersection rereads both shingle sets.
     "q59_minhash_est" -> ((s, d) => {
-      val sg = sigs(s, d)
+      // the signature table feeds three consumers (pair generation + both
+      // join sides) — localCheckpoint materializes the corpus-scale
+      // signature computation once, not three times (the q23 trade)
+      val sg = sigs(s, d).localCheckpoint()
       val agree = (a: String) =>
         when(col(s"a_$a") === col(s"b_$a"), 1).otherwise(0)
-      candidatePairs(s, d)
+      candidatePairsFrom(sg)
         .join(sg.select(col("doc_id").as("doc_a"),
           col("sig0").as("a_sig0"), col("sig1").as("a_sig1"),
           col("sig2").as("a_sig2"), col("sig3").as("a_sig3")), "doc_a")

@@ -46,12 +46,13 @@ class IvfIndexSpec extends SparkSpec {
 
     val qs = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-    val clustered = IvfIndex.knnClustered(spark, dir, centroids, qs,
+    val clustered = IvfIndex.knnClustered(dir, centroids, qs,
       topK = 5, nprobe = 2)
     val plan = clustered.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
-    assert(plan.contains("PartitionFilters: ["), plan)
-    assert(plan.contains("cluster_id"), plan)
+    // the filter list must be NON-EMPTY and name the partition column —
+    // bare "PartitionFilters: [" matches even a fully unpruned scan
+    assert(raw"PartitionFilters: \[[^\]]*cluster_id".r.findFirstIn(plan).isDefined, plan)
 
     def snap(df: org.apache.spark.sql.DataFrame) = df
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))

@@ -290,14 +290,13 @@ class StreamingOpsSpec extends SparkSpec {
       input2.addData((99L, ts("2023-01-02 00:00:00")))
       q2.processAllAvailable()
 
+      // n_events is Int on the custom side, Long on the native — normalize
       def sessions(table: String) = spark.table(table)
         .filter(col("user_id") =!= 99L)
-        .select("user_id", "session_start_us", "n_events").collect()
+        .select(col("user_id"), col("session_start_us"),
+          col("n_events").cast("long")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      val custom = spark.table("sess_custom")
-        .filter(col("user_id") =!= 99L)
-        .select("user_id", "session_start_us", "n_events").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+      val custom = sessions("sess_custom")
       assert(custom === sessions("sess_native"))
       assert(custom.size === 3) // two sessions for user 1, one for user 2
     } finally { q1.stop(); q2.stop() }
