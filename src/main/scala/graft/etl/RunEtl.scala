@@ -1,19 +1,31 @@
 package graft.etl
 
 /** CLI entry point mirroring the reference's `__main__` guard
-  * (`etl_weekly_trades.py:283-292`): run the full ETL with defaults,
-  * print the head of the aggregate.
+  * (`etl_weekly_trades.py:283-292`): run the full ETL, print the head of
+  * the aggregate. Flags mirror `run_etl`'s keyword options
+  * (`etl_weekly_trades.py:270-281`).
   *
-  * Usage: runMain graft.etl.RunEtl <input.csv> <outDir> [--no-pnl]
+  * Usage: runMain graft.etl.RunEtl <input.csv> <outDir>
+  *          [--no-pnl] [--add-timestamp] [--table-name=NAME] [--jdbc-url=URL]
   */
 object RunEtl {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: RunEtl <input.csv> <outDir> [--no-pnl]")
+    require(args.length >= 2,
+      "usage: RunEtl <input.csv> <outDir> [--no-pnl] [--add-timestamp] " +
+        "[--table-name=NAME] [--jdbc-url=URL]")
     val Array(inputCsv, outDir) = args.take(2)
-    val computePnl = !args.contains("--no-pnl")
+    val flags = args.drop(2)
+    def opt(name: String): Option[String] =
+      flags.collectFirst { case f if f.startsWith(s"--$name=") =>
+        f.stripPrefix(s"--$name=") }
     val spark = graft.GraftSession.create("graft-etl")
     spark.sparkContext.setLogLevel("WARN")
-    val result = Pipeline.runEtl(spark, inputCsv, outDir, computePnl)
+    val result = Pipeline.runEtl(
+      spark, inputCsv, outDir,
+      computePnl = !flags.contains("--no-pnl"),
+      tableName = opt("table-name").getOrElse("agg_trades_weekly"),
+      jdbcUrl = opt("jdbc-url"),
+      addTimestamp = flags.contains("--add-timestamp"))
     println(s"agg rows: ${result.agg.count()}")
     result.agg.orderBy(Transform.groupKeys.map(org.apache.spark.sql.functions.col): _*).show(5)
     println(s"report rows: ${result.report.count()}")
