@@ -48,20 +48,43 @@ object VectorQueries {
       posexplode(array((0 until nTables).map(t => bucketCol(col("embedding"), t)): _*))
         .as(Seq("table", "bucket")))
 
-  /** All candidate pairs sharing an LSH bucket in ≥1 table, via the shared
-    * bucket-expansion helper (the q22 pattern): ONE shuffle of (table,
-    * bucket, id) triples, never a self-join of the embedding table. Output
-    * ids are sorted (`id_a < id_b`) and deduped across tables. With
-    * `nBits`-bit buckets the expected bucket is N/2^nBits, so candidates
-    * stay near-linear — and the same hot-bucket cap as the text path
-    * guards the degenerate corpus (zero-vector padding collapsing into one
-    * bucket), whose O(bucket²) pairs are noise.
+  /** All candidate pairs whose sign-LSH codes agree within Hamming
+    * distance ≤ 1 in ≥1 table — the pair-level MULTIPROBE: a pair lands in
+    * the candidate set when one member's home bucket is the other's home
+    * bucket OR any of its `nBits` one-bit flips, which roughly quadruples
+    * recall at moderate similarity over exact-bucket collision for a ×9
+    * candidate budget. Never a self-join of the embedding table: the join
+    * carries only (table, bucket, id) triples — home entries on one side,
+    * home+flip probe entries on the other — and joins EQUI on (table,
+    * bucket) (a direct `bit_count(xor) ≤ 1` predicate would plan as a
+    * nested loop over all id pairs).
+    *
+    * The hot-bucket cap survives the multiprobe form: bucket sizes are a
+    * tiny aggregate, and BOTH sides drop members of over-cap home buckets
+    * before pairing (the stop-bucket rule — a zero-vector-padding bucket's
+    * O(bucket²) pairs are noise). A pair is emitted iff both home buckets
+    * are under the cap and the codes differ in ≤1 bit — exactly the rule
+    * the DuckDB oracle replays.
     */
-  private[queries] def lshCandidatePairs(emb: DataFrame): DataFrame =
-    RelationalOps.inBucketPairs(
-      withBuckets(emb).select(col("table"), col("bucket"), col("vec_id")),
-      Seq("table", "bucket"), "vec_id", "id_a", "id_b",
-      maxBucket = TextQueries.defaultMaxBucket)
+  private[queries] def lshCandidatePairs(emb: DataFrame): DataFrame = {
+    val maxBucket = TextQueries.defaultMaxBucket
+    val home = withBuckets(emb).select(col("table"), col("bucket"), col("vec_id"))
+    val okBuckets = home.groupBy("table", "bucket")
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= maxBucket)
+      .select("table", "bucket")
+    val homeOk = home.join(broadcast(okBuckets), Seq("table", "bucket"))
+    val probeBuckets = col("bucket") +:
+      (0 until nBits).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+    val probesOk = homeOk.select(col("table"),
+        explode(array(probeBuckets: _*)).as("bucket"),
+        col("vec_id").as("probe_id"))
+    homeOk
+      .join(probesOk, Seq("table", "bucket"))
+      .filter(col("vec_id") < col("probe_id"))
+      .select(col("vec_id").as("id_a"), col("probe_id").as("id_b"))
+      .distinct()
+  }
 
   /** Exact all-pairs cosine-threshold join — O(N²), verification scale
     * ONLY. Kept as the truth reference for EmbedNeardupSpec's recall
@@ -146,16 +169,18 @@ object VectorQueries {
       knnLsh(Tables.embeddings(s, d), col("vec_id") < nQueries)),
 
     // Embedding-cosine near-duplicate pairs, composed exactly like the
-    // q22 → q23 text pipeline: sign-LSH bucket candidates (near-linear),
-    // then exact fused-cosine verification of ONLY those candidates —
-    // never an all-pairs scan. Semantics are "verified LSH candidates":
-    // recall is ~1 in the true near-dup regime (cosine ≳ 0.9, where
-    // bucket collision is near-certain — EmbedNeardupSpec plants such
-    // pairs and bounds recall ≥ 0.95) and intentionally partial for the
-    // sub-0.7 noise tail, where NO sub-quadratic exact method exists
-    // (candidate fraction ≥ tables/2^bits for ≥0.95 recall at cosine 0.4
-    // — i.e. all pairs). The DuckDB oracle replays the same hyperplanes
-    // bit-exactly, so the full candidate+verify pipeline is hash-checked.
+    // q22 → q23 text pipeline: multiprobe sign-LSH candidates (Hamming ≤ 1
+    // bucket agreement in ≥1 table — near-linear), then exact fused-cosine
+    // verification of ONLY those candidates — never an all-pairs scan.
+    // Semantics are "verified LSH candidates": recall is ~1 in the true
+    // near-dup regime (cosine ≳ 0.9, where bucket collision is
+    // near-certain — EmbedNeardupSpec plants such pairs and bounds recall
+    // ≥ 0.95) and intentionally partial for the sub-0.7 noise tail, where
+    // NO sub-quadratic exact method exists (even with multiprobe, ≥0.95
+    // recall at cosine 0.4 needs a near-all-pairs candidate budget). The
+    // DuckDB oracle replays the same hyperplanes, multiprobe rule, and
+    // hot-bucket cap bit-exactly, so the full candidate+verify pipeline
+    // is hash-checked.
     "q35_embed_neardup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       lshCandidatePairs(emb)
@@ -323,10 +348,16 @@ object VectorQueries {
 
   private lazy val neardupSql = {
     s"""$bucketCteSql,
+       |sz AS (SELECT t, bucket, count(*) AS n FROM b GROUP BY 1, 2),
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-       |  FROM b x JOIN b y ON x.t = y.t AND x.bucket = y.bucket
-       |    AND x.vec_id < y.vec_id)
+       |  FROM b x JOIN b y ON x.t = y.t
+       |    AND bit_count(xor(x.bucket, y.bucket)) <= 1
+       |    AND x.vec_id < y.vec_id
+       |  JOIN sz sx ON sx.t = x.t AND sx.bucket = x.bucket
+       |    AND sx.n <= ${TextQueries.defaultMaxBucket}
+       |  JOIN sz sy ON sy.t = y.t AND sy.bucket = y.bucket
+       |    AND sy.n <= ${TextQueries.defaultMaxBucket})
        |SELECT id_a, id_b, cosine FROM (
        |  SELECT id_a, id_b,
        |    CASE WHEN ${pairNormSql("ea.v")} * ${pairNormSql("eb.v")} <> 0.0
