@@ -125,6 +125,19 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming vocabulary maintenance: running term counts over a document
+    * stream — the incremental twin of the batch vocab build (q52). State is
+    * one row per distinct term; the term universe is bounded (a vocabulary,
+    * not a corpus), so complete-mode output stays cheap and a downstream
+    * consumer applies the same top-k/dense-id cut as the batch path.
+    * Parity with batch counts on the same rows is spec-asserted.
+    */
+  def termCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(graft.functions.TextOps.tokens(
+        graft.functions.TextOps.normalized(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+
   // ---- streaming near-duplicate candidates ------------------------------
 
   case class BandedDoc(band: Int, key: String, doc_id: Long, event_us: Long)

@@ -196,6 +196,34 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming vocabulary counts equal the batch counts, batch over batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingOps.termCounts(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("vocab_stream")
+      .outputMode("complete").start()
+    try {
+      def counts(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch1 = Seq((1L, "the quick fox"), (2L, "the lazy dog"))
+      input.addData(batch1)
+      query.processAllAvailable()
+      val expected1 = counts(
+        StreamingOps.termCounts(batch1.toDF("doc_id", "text")))
+      assert(counts(spark.table("vocab_stream")) === expected1)
+      assert(expected1("the") === 2L)
+      // counts keep accumulating across micro-batches
+      val batch2 = Seq((3L, "the quick brown fox"))
+      input.addData(batch2)
+      query.processAllAvailable()
+      val expectedAll = counts(
+        StreamingOps.termCounts((batch1 ++ batch2).toDF("doc_id", "text")))
+      assert(counts(spark.table("vocab_stream")) === expectedAll)
+      assert(expectedAll("the") === 3L)
+    } finally query.stop()
+  }
+
   test("streaming near-dup candidates match the batch LSH pairs") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
