@@ -46,6 +46,10 @@ object GraftExtensions {
     ("cosine_sim",
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))),
+    ("media_byte_features",
+      new ExpressionInfo(
+        classOf[graft.multimodal.MediaByteFeatures].getName, "media_byte_features"),
+      (args: Seq[Expression]) => graft.multimodal.MediaByteFeatures(args.head)),
   )
 
   /** Register the functions on an already-built session (tests, REPLs). */

@@ -17,6 +17,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(2) >= r.getInt(1)) // smaller window ⇒ more fingerprints
   }
 
+  test("media_byte_features callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT media_byte_features(encode('aaaa', 'UTF-8')) AS f").head
+    val f = r.getStruct(0)
+    assert(f.getAs[Int]("n_bytes") === 4)
+    assert(f.getAs[Double]("entropy") === 0.0)
+    assert(f.getAs[Int]("mode_byte") === 'a'.toInt)
+  }
+
   test("dot_product and cosine_sim callable from SQL") {
     GraftExtensions.register(spark)
     val r = spark.sql(
