@@ -34,6 +34,37 @@ object RelationalOps {
       .filter(col(rankCol) <= k)
   }
 
+  /** Aggregation-based per-group top-k over (group, id, score) rows, built
+    * on the bounded-buffer [[graft.functions.TopKByValue]] Aggregator: each
+    * map task keeps at most k rows PER GROUP before the shuffle, so the
+    * exchange moves ≤ k·groups rows however large the candidate fan-in —
+    * where [[topKPerGroup]]'s window first shuffles EVERY candidate row to
+    * sort it. The trade-off: typed aggregation leaves whole-stage codegen
+    * (object hash aggregate), so prefer the window at moderate fan-in and
+    * this form when candidates-per-group ≫ k (e.g. ANN scoring against a
+    * large probed set). Same contract as topKPerGroup: score desc, ties to
+    * the smaller id, rank emitted as BIGINT; equivalence is spec-asserted.
+    */
+  def topKPerGroupAgg(
+      df: DataFrame, groupCol: String, idCol: String, scoreCol: String,
+      k: Int, rankCol: String = "rn"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("long"), col(idCol).cast("long"),
+        col(scoreCol).cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._3, r._2))
+      .agg(new graft.functions.TopKByValue(k).toColumn)
+      .toDF(groupCol, "__topk")
+      .select(col(groupCol),
+        posexplode(col("__topk")).as(Seq("__pos", "__entry")))
+      .select(col(groupCol),
+        col(s"__entry._2").as(idCol),
+        col(s"__entry._1").as(scoreCol),
+        (col("__pos") + 1).cast("long").as(rankCol))
+  }
+
   /** LSH-style in-bucket pair expansion, shared by the MinHash text path
     * (q22) and the sign-LSH embedding path (q35): group ids per bucket and
     * emit ordered in-bucket pairs with a nested HOF — ONE shuffle of
