@@ -51,6 +51,17 @@ class EmbedNeardupSpec extends SparkSpec {
     assert(got.forall { case (a, b, c) => a < b && c > 0.4 })
   }
 
+  test("hot-bucket cap drops a degenerate identical-vector flood") {
+    import spark.implicits._
+    // 1200 identical vectors land in ONE home bucket per table (> cap
+    // 1000): the O(bucket²) pair flood must be dropped entirely, on both
+    // the home and probe sides of the multiprobe join
+    val v = Array.fill(64)(0.5f)
+    val flood = (0L until 1200L).map(i => (i, v)).toDF("vec_id", "embedding")
+      .repartition(4)
+    assert(VectorQueries.lshCandidatePairs(flood).count() === 0)
+  }
+
   test("candidate pairs are unique, ordered, and bucket-justified") {
     val cand = VectorQueries.lshCandidatePairs(planted)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
