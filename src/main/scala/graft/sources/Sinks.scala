@@ -12,18 +12,23 @@ import org.apache.spark.sql.functions._
 object Sinks {
 
   /** Write `df` hive-partitioned by the DATE of `tsCol` (a derived
-    * `p_date` column — the original column is preserved).
+    * `p_date` column — the original column is preserved). `format` is any
+    * file datasource on the classpath — parquet (default) and orc both
+    * ship with Spark and both supply the column stats/pushdown the layout
+    * relies on (OrcRoundTripSpec pins the orc path).
     */
   def writeDatePartitioned(
       df: DataFrame, tsCol: String, path: String,
       maxRecordsPerFile: Long = 5000000L,
-      mode: SaveMode = SaveMode.Overwrite): Unit =
+      mode: SaveMode = SaveMode.Overwrite,
+      format: String = "parquet"): Unit =
     df.withColumn("p_date", to_date(col(tsCol)))
       .write
       .mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("p_date")
-      .parquet(path)
+      .format(format)
+      .save(path)
 
   /** Small-file compaction: rewrite the parquet table at `path` into at
     * most `numFiles` files per hive partition (streaming appends and
