@@ -49,7 +49,10 @@ object GraftExtensions {
     ("media_byte_features",
       new ExpressionInfo(
         classOf[graft.multimodal.MediaByteFeatures].getName, "media_byte_features"),
-      (args: Seq[Expression]) => graft.multimodal.MediaByteFeatures(args.head)),
+      (args: Seq[Expression]) => args match {
+        case Seq(bytes) => graft.multimodal.MediaByteFeatures(bytes)
+        case _ => throw new IllegalArgumentException("media_byte_features(bytes)")
+      }),
   )
 
   /** Register the functions on an already-built session (tests, REPLs). */

@@ -10,10 +10,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      // repartition(1), NOT coalesce(1): coalesce collapses the WHOLE
-      // upstream plan to one task (the query runs single-threaded);
-      // repartition keeps the query parallel and only funnels the final
-      // result into one output file for the driver's compare.
+      // repartition(1), NOT coalesce(1): coalesce collapses the FINAL
+      // stage (back to the last shuffle boundary) into one task — narrow
+      // queries would run fully single-threaded; repartition keeps every
+      // stage parallel and only funnels the result into one output file
+      // for the driver's compare.
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

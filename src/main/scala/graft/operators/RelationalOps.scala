@@ -42,15 +42,31 @@ object RelationalOps {
     * sort it. The trade-off: typed aggregation leaves whole-stage codegen
     * (object hash aggregate), so prefer the window at moderate fan-in and
     * this form when candidates-per-group ≫ k (e.g. ANN scoring against a
-    * large probed set). Same contract as topKPerGroup: score desc, ties to
-    * the smaller id, rank emitted as BIGINT; equivalence is spec-asserted.
+    * large probed set). Ordering contract matches topKPerGroup — score
+    * desc, ties to the smaller id, rank emitted as BIGINT — with two
+    * DOCUMENTED differences: group/id must be integral columns (they ride
+    * the typed encoder as longs; a non-integral key fails fast here rather
+    * than null-collapsing at runtime), and NULL/NaN scores are DROPPED
+    * (the window form ranks NaN FIRST under desc — Spark orders NaN above
+    * every double — which is almost never the wanted top-k). Equivalence
+    * with the window form on integral-keyed, NaN-free data is
+    * spec-asserted.
     */
   def topKPerGroupAgg(
       df: DataFrame, groupCol: String, idCol: String, scoreCol: String,
       k: Int, rankCol: String = "rn"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(groupCol).cast("long"), col(idCol).cast("long"),
+    import org.apache.spark.sql.types._
+    def requireIntegral(c: String): Unit = df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"topKPerGroupAgg: $c must be integral, got $other")
+    }
+    requireIntegral(groupCol)
+    requireIntegral(idCol)
+    df.filter(col(scoreCol).isNotNull) // NaN is dropped inside the buffer
+      .select(col(groupCol).cast("long"), col(idCol).cast("long"),
         col(scoreCol).cast("double"))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)

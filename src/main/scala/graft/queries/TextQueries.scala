@@ -151,10 +151,18 @@ object TextQueries {
   private[graft] val vocabSize = 16 // the corpus lexicon is 31 words — a
   // 16-term vocab makes the OOV path in q54 real, like a real vocab cutoff
 
-  private[graft] def vocab(docs: DataFrame): DataFrame =
+  /** Corpus-wide term counts — THE counting stage, shared by the batch
+    * vocab cut below and the streaming twin
+    * ([[graft.streaming.StreamingOps.termCounts]]) so the tokenizer can
+    * never silently diverge between them.
+    */
+  private[graft] def termCountsOf(docs: DataFrame): DataFrame =
     docs
       .select(explode(TextOps.tokens(TextOps.normalized(col("text")))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
+
+  private[graft] def vocab(docs: DataFrame): DataFrame =
+    termCountsOf(docs)
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(vocabSize)
       .select(col("term"), col("cnt"),

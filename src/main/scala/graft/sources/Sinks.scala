@@ -53,20 +53,21 @@ object Sinks {
     */
   def compact(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      numFiles: Int = 1, partitionCols: Seq[String] = Nil): Unit =
+      numFiles: Int = 1, partitionCols: Seq[String] = Nil,
+      format: String = "parquet"): Unit =
     TableSwap.replace(spark, path) { staging =>
       val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
       val saved    = spark.conf.get(inferKey)
       spark.conf.set(inferKey, "false")
       try {
-        val df = spark.read.parquet(path)
+        val df = spark.read.format(format).load(path)
         val writer =
           (if (partitionCols.isEmpty) df.repartition(numFiles)
            else df.repartition(
              partitionCols.map(col) :+ pmod(spark_partition_id(), lit(numFiles)): _*))
-            .write.mode(SaveMode.Overwrite)
+            .write.mode(SaveMode.Overwrite).format(format)
         (if (partitionCols.isEmpty) writer
-         else writer.partitionBy(partitionCols: _*)).parquet(staging)
+         else writer.partitionBy(partitionCols: _*)).save(staging)
       } finally spark.conf.set(inferKey, saved)
     }
 }

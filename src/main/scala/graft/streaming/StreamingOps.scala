@@ -133,10 +133,7 @@ object StreamingOps {
     * Parity with batch counts on the same rows is spec-asserted.
     */
   def termCounts(docs: DataFrame): DataFrame =
-    docs
-      .select(explode(graft.functions.TextOps.tokens(
-        graft.functions.TextOps.normalized(col("text")))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    graft.queries.TextQueries.termCountsOf(docs) // shared counting stage
 
   // ---- streaming near-duplicate candidates ------------------------------
 

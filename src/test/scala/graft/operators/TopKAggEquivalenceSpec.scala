@@ -33,6 +33,26 @@ class TopKAggEquivalenceSpec extends SparkSpec {
     assert(viaAgg === viaWindow)
   }
 
+  test("NaN and null scores are dropped, not ranked first") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, 0.9), (1L, 11L, Double.NaN), (1L, 12L, 0.8),
+      (2L, 20L, Double.NaN)) // all-NaN group disappears entirely
+      .toDF("g", "id", "s")
+    val out = RelationalOps.topKPerGroupAgg(df, "g", "id", "s", 2, "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSet === Set((1L, 10L, 1L), (1L, 12L, 2L)))
+  }
+
+  test("non-integral group keys fail fast with a clear error") {
+    import spark.implicits._
+    val df = Seq(("books", 1L, 0.5)).toDF("g", "id", "s")
+    val e = intercept[IllegalArgumentException] {
+      RelationalOps.topKPerGroupAgg(df, "g", "id", "s", 2)
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
+
   test("partial aggregation bounds the buffers before the exchange") {
     // contract check on the Aggregator itself: reduce never grows past k
     val agg = new graft.functions.TopKByValue(3)

@@ -37,4 +37,17 @@ class OrcRoundTripSpec extends SparkSpec {
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p2.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]"), p2)
   }
+
+  test("compaction handles ORC tables via the format parameter") {
+    import spark.implicits._
+    val dir  = Files.createTempDirectory("graft_orc_compact").toString
+    val path = s"$dir/t"
+    val df = (0L until 500L).map(i => (i, s"v$i")).toDF("id", "v")
+    df.repartition(8).write.orc(path)
+    Sinks.compact(spark, path, numFiles = 1, format = "orc")
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(".orc")).toSeq
+    assert(files.size === 1)
+    assert(spark.read.orc(path).count() === 500)
+  }
 }
