@@ -1,8 +1,10 @@
 package graft.functions
 
+import java.security.MessageDigest
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -12,15 +14,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * interpreted `eval` and from generated code (a single static call per row
   * keeps the operator inside WholeStageCodegen — preferred over a Scala UDF,
   * which would box through `AnyRef` and break codegen).
+  *
+  * Hash family: both fingerprints derive their 64-bit unit hashes from md5
+  * (first 8 digest bytes, big-endian — i.e. the first 16 hex chars), the
+  * same family as the q21 MinHash signatures. A seeded xxhash64 is ~3×
+  * faster per byte, but md5 is what DuckDB exposes, which makes BOTH
+  * fingerprints bit-replayable by the SQL oracle — the whole approximate
+  * dedup surface stays hash-checked, not rows-only. The hash quality
+  * requirement here (uniform bits over short strings) is met by either.
   */
 object TextKernels {
-  private final val Seed = 42L
 
-  def hashUtf8(s: UTF8String, seed: Long): Long =
-    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+  // MessageDigest is stateful and not thread-safe; one per executor thread.
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
 
-  /** 64-bit SimHash over an array of tokens: each token votes its xxhash64
-    * bits up/down; the sign of each bit's tally forms the fingerprint.
+  /** First 8 bytes of md5(s) as a big-endian long — numerically equal to
+    * parsing the first 16 hex chars of the digest (the DuckDB oracle's
+    * `substr(md5(s), 1, 16)`).
+    */
+  def md5Hash64(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    java.nio.ByteBuffer.wrap(md.digest(s.getBytes)).getLong
+  }
+
+  /** 64-bit SimHash over an array of tokens: each token votes its md5-derived
+    * hash bits up/down; the sign of each bit's tally forms the fingerprint.
     * Near-duplicate texts land within small Hamming distance.
     */
   def simhash(tokens: ArrayData): Long = {
@@ -29,7 +50,7 @@ object TextKernels {
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val h = hashUtf8(tokens.getUTF8String(i), Seed)
+        val h = md5Hash64(tokens.getUTF8String(i))
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
@@ -47,26 +68,34 @@ object TextKernels {
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
   /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03):
-    * hash every k-gram (bytes), slide a window of size w keeping each
-    * window's minimum (rightmost minimum on ties), emit the distinct minima
-    * sorted. Robust to local edits; output size ~ len/w.
+    * hash every k-gram (CODE POINTS, so the SQL oracle's character-based
+    * `substr` sees identical grams on non-ASCII text), slide a window of
+    * size w keeping each window's minimum (unsigned order, rightmost
+    * minimum on ties), emit the distinct minima sorted ascending unsigned,
+    * formatted as 16-char lowercase hex — lexicographic order on that fixed
+    * width equals unsigned numeric order, so the oracle can sort/min on the
+    * strings directly. Robust to local edits; output size ~ len/w.
     */
   def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val bytes = text.getBytes
-    val n     = bytes.length
-    if (n < k) return new GenericArrayData(Array.empty[Long])
-    val m      = n - k + 1
+    val m = text.numChars() - k + 1
+    if (m < 1) return new GenericArrayData(Array.empty[Any])
     val hashes = new Array[Long](m)
     var i = 0
     while (i < m) {
-      hashes(i) = XXH64.hashUnsafeBytes(bytes,
-        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + i, k, Seed)
+      hashes(i) = md5Hash64(text.substringSQL(i + 1, k))
       i += 1
     }
-    val out = new java.util.TreeSet[java.lang.Long]()
+    val out = new java.util.TreeSet[java.lang.Long](
+      new java.util.Comparator[java.lang.Long] {
+        override def compare(a: java.lang.Long, b: java.lang.Long): Int =
+          java.lang.Long.compareUnsigned(a, b)
+      })
     if (m <= w) {
       var min = hashes(0); i = 1
-      while (i < m) { if (hashes(i) <= min) min = hashes(i); i += 1 }
+      while (i < m) {
+        if (java.lang.Long.compareUnsigned(hashes(i), min) <= 0) min = hashes(i)
+        i += 1
+      }
       out.add(min)
     } else {
       // monotone deque of indices, O(m)
@@ -74,17 +103,22 @@ object TextKernels {
       var head = 0; var tail = 0 // [head, tail)
       i = 0
       while (i < m) {
-        while (tail > head && hashes(deque(tail - 1)) >= hashes(i)) tail -= 1
+        while (tail > head &&
+            java.lang.Long.compareUnsigned(hashes(deque(tail - 1)), hashes(i)) >= 0)
+          tail -= 1
         deque(tail) = i; tail += 1
         if (deque(head) <= i - w) head += 1
         if (i >= w - 1) out.add(hashes(deque(head)))
         i += 1
       }
     }
-    val arr = new Array[Long](out.size)
+    val arr = new Array[Any](out.size)
     val it  = out.iterator()
     i = 0
-    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    while (it.hasNext) {
+      arr(i) = UTF8String.fromString(f"${it.next().longValue()}%016x")
+      i += 1
+    }
     new GenericArrayData(arr)
   }
 }
