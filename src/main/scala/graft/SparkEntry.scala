@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Query inventory (each key has a matching DuckDB oracle unless the
-  * computation is not SQL-expressible — xxhash64 fingerprints, float-sum
-  * centroids, the mapPartitions media stub — which get rows-only checks):
+  * computation is not SQL-expressible — sketch internals, ANN index probes,
+  * libm-log scoring — which get rows-only checks plus spec coverage):
   *   - q01–q16: relational ops (SURVEY §2 A/P/T/U families + joins,
   *     windows, sessionization, as-of, epoch-tumbling windows)
   *   - q17–q25: text analysis + dedup (tokens/quality/langid, exact dedup,
@@ -121,7 +121,9 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
-    * rows-only check (q24/q25: xxhash64; q29: float-sum order; q31: stub).
+    * rows-only check (q36: sketches; q39/q56/q57: ANN recall-bounded in
+    * specs; q42: libm log). The md5 fingerprint family (q24/q25) IS
+    * oracle-replayed.
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ TextQueries.oracleSql ++

@@ -141,13 +141,14 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `winnow_fingerprint(text, k, w)`: winnowing fingerprint as sorted
-  * array<bigint> of selected k-gram hashes.
+/** `winnow_fingerprint(text, k, w)`: winnowing fingerprint as a sorted
+  * array<string> of 16-char lowercase hex hashes (lexicographic order on the
+  * fixed width equals unsigned numeric order on the underlying 64-bit hash).
   */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
   require(k > 0 && w > 0, "k and w must be positive")
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "winnow_fingerprint"
 

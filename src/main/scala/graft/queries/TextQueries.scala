@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   *
   * All oracle-checked queries use only per-row deterministic arithmetic
   * (integer counts, single divisions, lexicographic mins of md5 hex) so
-  * DuckDB reproduces values bit-for-bit. SimHash/winnow use xxhash64 —
-  * not expressible in DuckDB → registered without an oracle (rows-only
-  * check), with ScalaTest property coverage instead.
+  * DuckDB reproduces values bit-for-bit. SimHash/winnow derive their
+  * 64-bit unit hashes from md5 (first 16 hex chars) for exactly this
+  * reason — both fingerprints are bit-replayed by the DuckDB oracle
+  * (hex-digit bit extraction for simhash, k-gram substr+md5+window-min
+  * for winnow), with ScalaTest property coverage on top.
   */
 object TextQueries {
 
@@ -259,7 +261,9 @@ object TextQueries {
         .select("doc_a", "doc_b", "jaccard")
     }),
 
-    // SimHash64 via custom codegen'd Catalyst expression (no SQL oracle).
+    // SimHash64 via custom codegen'd Catalyst expression. The md5 hash
+    // family makes this bit-replayable by the DuckDB oracle (per-token
+    // hex-digit bit votes — see oracleSql below).
     "q24_simhash" -> ((s, d) => {
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -267,16 +271,16 @@ object TextQueries {
           .as("simhash"))
     }),
 
-    // Winnowing fingerprint (SIGMOD'03) via custom expression (no oracle).
-    // Emitted as a comma-joined string, not array<bigint>: the driver's
-    // rows-only check sorts output values in pandas, which cannot hash raw
-    // array cells (round-1 q25 errored on exactly that).
+    // Winnowing fingerprint (SIGMOD'03) via custom expression, oracle-
+    // replayed in DuckDB (char-based k-gram substr + md5 + window-min; the
+    // hex strings make lexicographic min = unsigned numeric min). Emitted
+    // as a comma-joined string, not a raw array: the driver's compare
+    // hashes scalar cells, not array cells (round-1 q25 errored on that).
     "q25_winnow" -> ((s, d) => {
       Tables.documents(s, d).select(
         col("doc_id"),
         concat_ws(",",
-          TextFingerprints.winnowFingerprint(TextOps.normalized(col("text")), 8, 16)
-            .cast("array<string>"))
+          TextFingerprints.winnowFingerprint(TextOps.normalized(col("text")), 8, 16))
           .as("fingerprint"))
     }),
 
@@ -549,6 +553,48 @@ object TextQueries {
            |    x -> CAST(x AS VARCHAR)), ',') AS ids_csv
            |FROM terms LEFT JOIN v USING (term)
            |GROUP BY doc_id""".stripMargin,
+    // Bit-exact simhash replay: per token, parse each of the 64 bits of the
+    // first-16-hex-chars-of-md5 hash out of its hex digit (strpos gives the
+    // nibble value, shift+mask the bit), vote ±1, then rebuild the signed
+    // BIGINT from the per-bit majorities (bit 63 contributes the sign term
+    // -2^63 — two's complement — so everything stays in BIGINT/HUGEINT).
+    "q24_simhash" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim($normSql), '\s+')) AS tok
+           |  FROM documents),
+           |h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM toks),
+           |acc AS (
+           |  SELECT doc_id, j,
+           |    sum(CASE WHEN (((strpos('0123456789abcdef',
+           |          substr(h, CAST(16 - j // 4 AS INT), 1)) - 1)
+           |        >> CAST(j % 4 AS INT)) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+           |  FROM h CROSS JOIN range(0, 64) t(j)
+           |  GROUP BY 1, 2),
+           |sh AS (
+           |  SELECT doc_id, CAST(sum(
+           |    CASE WHEN acc <= 0 THEN 0
+           |         WHEN j = 63 THEN -9223372036854775808
+           |         ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END) AS BIGINT)
+           |    AS simhash
+           |  FROM acc GROUP BY doc_id)
+           |SELECT d.doc_id, sh.simhash FROM documents d LEFT JOIN sh USING (doc_id)""".stripMargin,
+    // Winnow replay: char k-grams (k=8) of normalized text, md5 → first 16
+    // hex chars, sliding window w=16 minima (lexicographic min on fixed-width
+    // hex = unsigned numeric min), distinct + sort + comma-join. NULL/short
+    // text → '' (Spark's concat_ws skips the NULL array).
+    "q25_winnow" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN hs IS NULL THEN ''
+         |  ELSE array_to_string(list_sort(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(hs) - 15, 1)),
+         |    i -> list_aggregate(list_slice(hs, i, i + 15), 'min')))), ',')
+         |  END AS fingerprint
+         |FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN norm IS NULL OR length(norm) < 8 THEN NULL
+         |    ELSE list_transform(generate_series(1, length(norm) - 7),
+         |      i -> substr(md5(substr(norm, i, 8)), 1, 16)) END AS hs
+         |  FROM (SELECT doc_id, $normSql AS norm FROM documents))""".stripMargin,
     "q21_minhash_sig" -> sigsSql,
     "q22_neardup_pairs" -> pairsSql,
     "q59_minhash_est" ->

@@ -72,7 +72,7 @@ class TextOpsSpec extends SparkSpec {
     val df = Seq(("a", base), ("b", edit)).toDF("k", "t")
     val fp = df.select(col("k"),
         TextFingerprints.winnowFingerprint(col("t"), 8, 16).as("f"))
-      .as[(String, Seq[Long])].collect().toMap
+      .as[(String, Seq[String])].collect().toMap
     val inter = fp("a").toSet.intersect(fp("b").toSet).size
     // winnowing guarantee: shared regions → shared fingerprints
     assert(inter.toDouble / fp("a").size > 0.5)
@@ -83,7 +83,7 @@ class TextOpsSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq("ab", "abcdefgh", "abcdefghi").toDF("t")
     val out = df.select(TextFingerprints.winnowFingerprint(col("t"), 8, 16).as("f"))
-      .as[Seq[Long]].collect()
+      .as[Seq[String]].collect()
     assert(out(0) === Seq.empty) // shorter than k
     assert(out(1).length === 1)  // exactly one k-gram
     assert(out(2).length === 1)  // window covers both k-grams → one min
