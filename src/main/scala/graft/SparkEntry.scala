@@ -50,10 +50,16 @@ object SparkEntry {
     // Stub decode → per-media byte features. Registered on the columnar
     // Catalyst-expression path (whole-stage codegen, no object round-trip);
     // the mapPartitions twin — for real codecs needing per-partition init —
-    // is bit-identical (MultimodalSpec).
+    // is bit-identical (MultimodalSpec). Registered projection is the
+    // INTEGER/hex features (n_bytes, mode_byte, strided-sample hex) so the
+    // DuckDB oracle replays them exactly; entropy (libm log, not
+    // bit-portable across engines) stays fixture-checked in MultimodalSpec.
     "q31_media_features" -> ((s, d) => {
       Multimodal.extractFeaturesColumnar(Multimodal.mediaTable(Tables.documents(s, d)))
-        .select(col("doc_id"), col("n_bytes"), col("entropy"), col("mode_byte"))
+        .select(col("doc_id"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          col("mode_byte").cast("long").as("mode_byte"),
+          hex(col("sample")).as("sample_hex"))
     }),
   )
 
@@ -62,6 +68,38 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  sha256(text) AS digest
         |FROM documents""".stripMargin,
+    // Byte-feature replay over the UTF-8 bytes: histogram mode via hex-pair
+    // unnest (fixed-width uppercase hex → lexicographic order = numeric
+    // order; row_number tie-breaks to the smallest byte, matching the
+    // kernel's strict-> ascending scan), strided sample rebuilt from the
+    // same hex string. Empty bytes → mode 0 / '' (the kernel's defaults).
+    "q31_media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, n),
+        |    i -> substr(hx, (i - 1) * 2 + 1, 2))) AS bv
+        |  FROM m),
+        |c AS (SELECT doc_id, bv, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |md AS (
+        |  SELECT doc_id,
+        |    CAST((strpos('0123456789ABCDEF', substr(bv, 1, 1)) - 1) * 16
+        |       + (strpos('0123456789ABCDEF', substr(bv, 2, 1)) - 1) AS BIGINT)
+        |      AS mode_byte
+        |  FROM (SELECT doc_id, bv,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bv ASC) AS rn
+        |    FROM c) WHERE rn = 1)
+        |SELECT m.doc_id,
+        |  CAST(m.n AS BIGINT) AS n_bytes,
+        |  CASE WHEN m.n = 0 THEN CAST(0 AS BIGINT) ELSE md.mode_byte END AS mode_byte,
+        |  CASE WHEN m.n IS NULL THEN NULL
+        |  ELSE array_to_string(list_transform(
+        |    generate_series(0, least(16, m.n) - 1),
+        |    k -> substr(m.hx, k * greatest(m.n // 16, 1) * 2 + 1, 2)), '')
+        |  END AS sample_hex
+        |FROM m LEFT JOIN md USING (doc_id)""".stripMargin,
     // Full replica of the reference pipeline (clean → derive → weekly agg →
     // mark price → PnL) over the reference's own CSV — flips the flagship
     // q44 from rows-only to hash-checked. Bit-exactness holds because both

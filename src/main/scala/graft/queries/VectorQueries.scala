@@ -265,16 +265,34 @@ object VectorQueries {
         VectorOps.l2Norm(col("embedding")).as("l2_norm"))
     }),
 
+    // Per-label centroid on the SCALE path: one shuffle of whole-vector
+    // partial sums ([[VectorOps.meanVectors]], mllib Summarizer — map-side
+    // combine of 64-double sums per label), then a post-agg explode of the
+    // ≤|labels| result rows into flat (label, dim, centroid) for the
+    // driver's compare. No per-group materialization, no dim× row blowup —
+    // this is the plan that survives 100 TB, and the one that gets benched.
+    // Float-sum order is partition-dependent → rows+schema check only; the
+    // bit-exact sorted-fold twin (q60) carries the DuckDB hash check, and
+    // CentroidDriftSpec bounds the two against each other at ≤1e-9.
+    "q29_centroid" -> ((s, d) => {
+      VectorOps.meanVectors(
+          Tables.embeddings(s, d)
+            .select(col("label").cast("int").as("label"), col("embedding")),
+          "label", "embedding")
+        .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "centroid")))
+        .select(col("label"), col("dim").cast("int").as("dim"), col("centroid"))
+    }),
+
     // Per-label, per-dimension centroid, bit-exact: each (label, dim)
     // group's values are summed left-to-right in vec_id order (sort_array
     // over collect_list'd (vec_id, v) structs → HOF fold), so the result
     // is deterministic and DuckDB-oracled — unlike a plain avg(), whose
     // float-add order is partition-dependent. This is the VERIFIABLE
-    // formulation; [[VectorOps.meanVectors]] (shuffle-agg avg, no per-group
-    // materialization) stays the 100 TB scale path used by IVF training,
-    // where ±1 ulp in a centroid is irrelevant. Flat (label, dim, centroid)
-    // output — no array columns, which the driver's compare cannot sort.
-    "q29_centroid" -> ((s, d) => {
+    // oracle twin of q29's scale path (fine at verification scale, wrong
+    // shape at 100 TB: it shuffles dim× the rows and materializes per-group
+    // arrays). Flat (label, dim, centroid) output — no array columns,
+    // which the driver's compare cannot sort.
+    "q60_centroid_fold" -> ((s, d) => {
       Tables.embeddings(s, d)
         .select(col("label").cast("int").as("label"), col("vec_id"),
           posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
@@ -404,7 +422,9 @@ object VectorQueries {
          |FROM embeddings""".stripMargin,
     // list(v ORDER BY vec_id) + list_sum is a left-to-right fold in vec_id
     // order — same accumulation order as the Spark side, hence bit-exact.
-    "q29_centroid" ->
+    // (q29 itself is the Summarizer scale path — partition-order float sums,
+    // rows-only check; this twin carries the hash check.)
+    "q60_centroid_fold" ->
       """WITH e AS (
         |  SELECT CAST(label AS INT) AS label, vec_id,
         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,

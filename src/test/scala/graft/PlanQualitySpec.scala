@@ -89,6 +89,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q29: centroid scale path — whole-vector partial agg, no collect_list") {
+    val p = plan("q29_centroid", "simple")
+    assert(!p.contains("collect_list"), p)
+    // one shuffle: the per-label Summarizer aggregate (partial + final);
+    // the posexplode runs over the ≤|labels| aggregated rows after it
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
   test("q58: dedup apply prunes with a real anti-join, no row duplication") {
     val p = plan("q58_dedup_apply", "simple")
     assert(p.contains("LeftAnti"), p)
