@@ -55,11 +55,13 @@ object Pipeline {
           .option("dbtable", tableName)
           .save()
       case None =>
+        val target = s"$outDir/$tableName"
+        guardAppendSchema(spark, target, sorted)
         val writer = sorted.write.mode(SaveMode.Append)
         if (partitionByWeek)
-          writer.partitionBy("week_start_date").parquet(s"$outDir/$tableName")
+          writer.partitionBy("week_start_date").parquet(target)
         else
-          writer.parquet(s"$outDir/$tableName")
+          writer.parquet(target)
     }
 
     val metrics = if (computePnl) Seq("total_volume", "total_pnl") else Seq("total_volume")
@@ -78,4 +80,25 @@ object Pipeline {
 
     EtlResult(agg, report)
   }
+
+  /** Append-schema guard: parquet append onto a table with a DIFFERENT
+    * column set would succeed file-by-file and corrupt the table silently —
+    * later whole-table reads surface nulls or schema-merge errors far from
+    * the write that caused them. (The reference README documents this exact
+    * trap: its SQLite append fails on a pnl/no-pnl column mismatch only at
+    * read time.) Compares column NAME SETS, not order/types: parquet resolves
+    * columns by name, and a type change surfaces as its own loud read error.
+    */
+  private def guardAppendSchema(
+      spark: SparkSession, target: String, next: DataFrame): Unit =
+    scala.util.Try(spark.read.parquet(target).columns.toSet).foreach { existing =>
+      // Try: an absent/empty target means first write — nothing to guard
+      val incoming = next.columns.toSet
+      if (existing != incoming) throw new IllegalStateException(
+        s"schema mismatch appending to $target: existing table has columns " +
+          s"${existing.toSeq.sorted.mkString("[", ", ", "]")} but this run produces " +
+          s"${incoming.toSeq.sorted.mkString("[", ", ", "]")} (did computePnl change " +
+          "between runs?). Write to a different tableName/outDir, delete the " +
+          "existing table, or rerun with the original settings.")
+    }
 }

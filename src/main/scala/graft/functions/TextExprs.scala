@@ -77,12 +77,39 @@ object TextKernels {
     * strings directly. Robust to local edits; output size ~ len/w.
     */
   def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val m = text.numChars() - k + 1
+    val nChars = text.numChars()
+    val m = nChars - k + 1
     if (m < 1) return new GenericArrayData(Array.empty[Any])
+    // Hash each k-gram straight out of the text's UTF-8 bytes via a sliding
+    // code-point offset table — one getBytes, one MessageDigest.update per
+    // gram over a shared slice, one reused 16-byte digest buffer. The
+    // obvious substringSQL(i+1, k) form allocates a UTF8String + byte[] +
+    // digest array PER GRAM (m allocations per row — measurable on long
+    // documents). Hashes identical bytes, so the DuckDB oracle's
+    // char-based substr replay is unaffected.
+    val bytes = text.getBytes
+    val offsets = new Array[Int](nChars + 1) // code point i starts at offsets(i)
+    var ci = 0
+    var bi = 0
+    while (ci < nChars) {
+      offsets(ci) = bi
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+      ci += 1
+    }
+    offsets(nChars) = bytes.length
+    val md     = md5Local.get()
+    val digest = new Array[Byte](16)
     val hashes = new Array[Long](m)
     var i = 0
     while (i < m) {
-      hashes(i) = md5Hash64(text.substringSQL(i + 1, k))
+      md.reset()
+      md.update(bytes, offsets(i), offsets(i + k) - offsets(i))
+      md.digest(digest, 0, 16)
+      hashes(i) =
+        ((digest(0) & 0xffL) << 56) | ((digest(1) & 0xffL) << 48) |
+        ((digest(2) & 0xffL) << 40) | ((digest(3) & 0xffL) << 32) |
+        ((digest(4) & 0xffL) << 24) | ((digest(5) & 0xffL) << 16) |
+        ((digest(6) & 0xffL) << 8) | (digest(7) & 0xffL)
       i += 1
     }
     val out = new java.util.TreeSet[java.lang.Long](

@@ -135,6 +135,11 @@ object IvfIndex {
     val probes = queries.select(
       col("q_id"), col("qe"),
       explode(probeClustersCol(col("qe"), cents, nprobe)).as("cluster_id"))
+    // BOUNDED collect: ≤ |queries|·nprobe ≤ k cluster ids (k = codebook
+    // size, driver-trained, ≤ a few thousand by construction) — never
+    // corpus-proportional. The collect is what lets the id set become a
+    // LITERAL isin, which is the only form the planner folds into parquet
+    // partition pruning; a join would scan every partition.
     val wanted = probes.select("cluster_id").distinct()
       .collect().map(_.getInt(0)).toSeq
     val corpus = queries.sparkSession.read.parquet(path)

@@ -23,6 +23,13 @@ object TextQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Reliable-checkpoint dir for iterative operators (q43/q58), from the
+    * session conf — unset (local mode default) means executor-local
+    * checkpointing; see [[graft.operators.DedupClustering.connectedComponents]].
+    */
+  private def ccCheckpointDir(s: SparkSession): Option[String] =
+    s.conf.getOption("spark.graft.checkpoint.dir")
+
   /** MinHash signature: lexicographic min over the shingle set of one
     * quarter of each shingle's md5 hex (the 128 md5 bits are uniform —
     * each 8-hex-char quarter is an independent MinHash family member, so
@@ -311,8 +318,11 @@ object TextQueries {
     // Duplicate clusters: connected components over the LSH candidate
     // pairs — each near-dup group labeled by its minimum doc_id (the
     // canonical document to keep). Min-label propagation to fixpoint.
+    // `spark.graft.checkpoint.dir` (session conf) switches the iteration
+    // state from executor-local to reliable checkpointing for cluster runs.
     "q43_dedup_clusters" -> ((s, d) =>
-      graft.operators.DedupClustering.connectedComponents(candidatePairs(s, d))),
+      graft.operators.DedupClustering.connectedComponents(
+        candidatePairs(s, d), checkpointDir = ccCheckpointDir(s))),
 
     // MinHash Jaccard ESTIMATE for the candidate pairs: the fraction of
     // agreeing signatures (each an independent min-hash, so agreement
@@ -344,7 +354,7 @@ object TextQueries {
     // set; singletons never appear in clusters, so they pass through free.
     "q58_dedup_apply" -> ((s, d) => {
       val losers = graft.operators.DedupClustering
-        .connectedComponents(candidatePairs(s, d))
+        .connectedComponents(candidatePairs(s, d), checkpointDir = ccCheckpointDir(s))
         .filter(col("doc_id") =!= col("cluster_id"))
         .select("doc_id")
       Tables.documents(s, d)

@@ -42,6 +42,23 @@ class PipelineSpec extends SparkSpec {
     assert(!dirs.contains("top_clients"))
   }
 
+  test("append with a different column set fails actionably, not silently") {
+    val out = tmpDir()
+    Pipeline.runEtl(spark, csv, out, computePnl = true) // 16-col aggregate
+    // the reference README's documented trap: a later no-pnl run appends a
+    // 6-column frame onto the 16-column table
+    val e = intercept[IllegalStateException] {
+      Pipeline.runEtl(spark, csv, out, computePnl = false)
+    }
+    assert(e.getMessage.contains("schema mismatch"), e.getMessage)
+    assert(e.getMessage.contains("computePnl"), e.getMessage)
+    // the guarded table is untouched: still exactly one run's rows
+    assert(spark.read.parquet(s"$out/agg_trades_weekly").count() === 545)
+    // same-schema append still works (guard compares names, not file counts)
+    Pipeline.runEtl(spark, csv, out, computePnl = true)
+    assert(spark.read.parquet(s"$out/agg_trades_weekly").count() === 1090)
+  }
+
   test("jdbcUrl routes the aggregate to the JDBC sink (no driver offline)") {
     val out = tmpDir()
     // No JDBC driver jar exists in this container, so the write must fail —

@@ -28,4 +28,46 @@ class DedupClusteringSpec extends SparkSpec {
     assert(cc.values.toSet === Set(1L))
     assert(cc.size === 10)
   }
+
+  // Adversarial topology: a 30-node path's diameter exceeds the default
+  // iteration budget — the operator must FAIL LOUDLY, never return labels
+  // that silently split one component into several clusters.
+  test("30-node chain: loud failure when maxIters < diameter, converges above") {
+    import spark.implicits._
+    val chain = (1L to 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      DedupClustering.connectedComponents(chain, maxIters = 5)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    val cc = DedupClustering.connectedComponents(chain, maxIters = 40)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size === 30)
+    assert(cc.values.toSet === Set(1L))
+  }
+
+  // Star with the min label on a LEAF: the label must cross two hops
+  // (leaf → hub → all other leaves), exercising propagation THROUGH a
+  // high-degree node rather than from it.
+  test("star graph with min label on a leaf labels every node via the hub") {
+    import spark.implicits._
+    val hub = 30L
+    val star = (1L to 29L).map(leaf => (hub, leaf)).toDF("doc_a", "doc_b")
+    val cc = DedupClustering.connectedComponents(star)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size === 30)
+    assert(cc === (1L to 30L).map(_ -> 1L).toMap)
+  }
+
+  test("reliable checkpointDir produces identical labels and writes state") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val cc = DedupClustering.connectedComponents(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // reliable mode actually wrote RDD state under the dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .anyMatch(p => p.getFileName.toString.startsWith("rdd-"))
+    assert(wrote, s"no rdd-* checkpoint dirs under $dir")
+  }
 }
