@@ -410,6 +410,55 @@ object TextQueries {
               x => x.getField("id").cast("string"))).as("ids_csv"))
     }),
 
+    // Training-data EXPORT — the terminal artifact a pipeline actually
+    // ships: documents that (a) survive near-dup dedup (cluster canonical,
+    // q43/q58 semantics), (b) clear the quality threshold, joined with
+    // their int8-quantized embedding codes (q55 family), carrying token
+    // count and language tag. Composes the oracled building blocks, so the
+    // END-TO-END artifact is itself hash-checked. Scale shape: anti-join
+    // against the loser set, narrow scoring/quantization, one equi-join on
+    // doc_id.
+    "q61_training_export" -> ((s, d) => {
+      val losers = graft.operators.DedupClustering
+        .connectedComponents(candidatePairs(s, d), checkpointDir = ccCheckpointDir(s))
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+      val kept = Tables.documents(s, d)
+        .join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("text"),
+          TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          TextOps.langIdFromTokens(col("toks"), col("text")).as("lang_pred"))
+        .filter(col("quality") >= 0.5)
+      val codes = VectorQueries.withInt8Codes(Tables.embeddings(s, d))
+        .select(col("vec_id").as("doc_id"),
+          concat_ws(",", transform(col("codes"), _.cast("string"))).as("codes_csv"))
+      kept.join(codes, Seq("doc_id"))
+    }),
+
+    // Corpus composition report: per (predicted language, 50-token length
+    // band), document count and token totals — the monitoring histogram a
+    // multilingual training pipeline watches. Integer aggregates only
+    // (count/sum/min/max of longs are order-free exact), so it stays
+    // bit-oracled.
+    "q62_lang_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
+        .select(
+          TextOps.langIdFromTokens(col("toks"), col("text")).as("lang_pred"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .groupBy(col("lang_pred"),
+          floor(col("n_tokens") / lit(50)).cast("long").as("len_band"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+    }),
+
     // Fixed-size token chunking with overlap (50-token chunks, stride 40):
     // the standard training-data windowing step. One narrow pass + explode.
     "q38_chunks" -> ((s, d) => {
@@ -485,27 +534,45 @@ object TextQueries {
            |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS avg_word_len
            |FROM documents""".stripMargin,
     "q18_lang_id" ->
-      s"""SELECT doc_id,
-         |  CASE
-         |    WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
-         |    WHEN ${hitsSql("en")} >= ${hitsSql("de")}
-         |     AND ${hitsSql("en")} >= ${hitsSql("es")}
-         |     AND ${hitsSql("en")} >= ${hitsSql("fr")} THEN 'en'
-         |    WHEN ${hitsSql("de")} >= ${hitsSql("es")}
-         |     AND ${hitsSql("de")} >= ${hitsSql("fr")} THEN 'de'
-         |    WHEN ${hitsSql("es")} >= ${hitsSql("fr")} THEN 'es'
-         |    ELSE 'fr'
-         |  END AS lang_pred
+      s"""SELECT doc_id, $langCaseSql AS lang_pred
          |FROM documents""".stripMargin,
     "q19_quality" ->
-      raw"""SELECT doc_id,
-           |  least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
-           |  + least((CAST($stopwordCountSql AS DOUBLE)
-           |      / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)) * 5.0, 1.0) * 0.3
-           |  + greatest(1.0 - (CAST(len(regexp_extract_all($normSql, '[^a-z0-9\s]')) AS DOUBLE)
-           |      / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)) * 2.0,
-           |      0.0) * 0.3 AS quality
-           |FROM documents""".stripMargin,
+      s"""SELECT doc_id, $qualitySql AS quality
+         |FROM documents""".stripMargin,
+    // The export replays its three oracled ingredients — recursive-CTE
+    // dedup clusters, the quality/lang expressions, the int8 code family —
+    // and joins them exactly like the Spark plan.
+    "q61_training_export" ->
+      s"""WITH RECURSIVE $clustersCteSql,
+         |losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    $qualitySql AS quality,
+         |    $langCaseSql AS lang_pred
+         |  FROM documents d
+         |  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)),
+         |codes AS (
+         |  SELECT vec_id AS doc_id,
+         |    array_to_string(list_transform(
+         |      list_transform(v, x -> CASE WHEN scale = 0.0 THEN CAST(0 AS BIGINT)
+         |        ELSE least(CAST(255 AS BIGINT),
+         |          CAST(floor((x - vmin) / scale + 0.5) AS BIGINT)) END),
+         |      c -> CAST(c AS VARCHAR)), ',') AS codes_csv
+         |  FROM (SELECT vec_id, v, vmin, vmax, (vmax - vmin) / 255.0 AS scale
+         |    FROM (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax
+         |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))))
+         |SELECT scored.doc_id, n_tokens, quality, lang_pred, codes_csv
+         |FROM scored JOIN codes USING (doc_id)
+         |WHERE quality >= 0.5""".stripMargin,
+    "q62_lang_stats" ->
+      s"""SELECT lang_pred, CAST(floor(n_tokens / 50) AS BIGINT) AS len_band,
+         |  count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+         |FROM (SELECT $langCaseSql AS lang_pred,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |GROUP BY 1, 2""".stripMargin,
     "q20_dedup_exact" ->
       s"""SELECT md5($normSql) AS fingerprint, min(doc_id) AS canonical_id,
          |  count(*) AS cnt
@@ -642,6 +709,29 @@ object TextQueries {
 
   private lazy val stopwordCountSql =
     raw"len(list_filter(string_split_regex(trim($normSql), '\s+'), x -> x IN ($stopEn)))"
+
+  // Factored oracle expressions for the q18 language vote and q19 quality
+  // score — shared verbatim by the q61 export and q62 composition report,
+  // so the composed oracles can never drift from the per-row ones.
+  private lazy val langCaseSql =
+    s"""CASE
+       |    WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+       |    WHEN ${hitsSql("en")} >= ${hitsSql("de")}
+       |     AND ${hitsSql("en")} >= ${hitsSql("es")}
+       |     AND ${hitsSql("en")} >= ${hitsSql("fr")} THEN 'en'
+       |    WHEN ${hitsSql("de")} >= ${hitsSql("es")}
+       |     AND ${hitsSql("de")} >= ${hitsSql("fr")} THEN 'de'
+       |    WHEN ${hitsSql("es")} >= ${hitsSql("fr")} THEN 'es'
+       |    ELSE 'fr'
+       |  END""".stripMargin
+
+  private lazy val qualitySql =
+    raw"""least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.4
+         |  + least((CAST($stopwordCountSql AS DOUBLE)
+         |      / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)) * 5.0, 1.0) * 0.3
+         |  + greatest(1.0 - (CAST(len(regexp_extract_all($normSql, '[^a-z0-9\s]')) AS DOUBLE)
+         |      / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)) * 2.0,
+         |      0.0) * 0.3""".stripMargin
 
   // row_number runs before LIMIT within the same SELECT, so ids are dense
   // over the same (cnt desc, term asc) total order as the Spark window.

@@ -143,6 +143,21 @@ object VectorQueries {
         rankCol = "rnk")
   }
 
+  /** Shared int8-quantization stage (vec_id, v, vmin, vmax, scale, codes) —
+    * THE definition of the code family, used by q55 and the q61 training
+    * export so the two can never diverge. Fully narrow.
+    */
+  private[graft] def withInt8Codes(emb: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"),
+        array_min(col("v")).as("vmin"), array_max(col("v")).as("vmax"))
+      .withColumn("scale", (col("vmax") - col("vmin")) / lit(255.0))
+      .withColumn("codes", transform(col("v"), x =>
+        when(col("scale") === 0.0, lit(0L)).otherwise(
+          least(lit(255L),
+            floor((x - col("vmin")) / col("scale") + lit(0.5)).cast("long")))))
+
   private def knnFrom(base: DataFrame, queries: DataFrame): DataFrame = {
     val scored = base
       .join(broadcast(queries), col("vec_id") =!= col("q_id"))
@@ -238,15 +253,7 @@ object VectorQueries {
     // division, or a floor — bit-reproducible in DuckDB (NOTES float-parity
     // rules), so the full codes string is hash-checked.
     "q55_quantize_int8" -> ((s, d) => {
-      Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .select(col("vec_id"), col("v"),
-          array_min(col("v")).as("vmin"), array_max(col("v")).as("vmax"))
-        .withColumn("scale", (col("vmax") - col("vmin")) / lit(255.0))
-        .withColumn("codes", transform(col("v"), x =>
-          when(col("scale") === 0.0, lit(0L)).otherwise(
-            least(lit(255L),
-              floor((x - col("vmin")) / col("scale") + lit(0.5)).cast("long")))))
+      withInt8Codes(Tables.embeddings(s, d))
         .select(col("vec_id"), col("vmin"), col("vmax"),
           concat_ws(",", transform(col("codes"), _.cast("string"))).as("codes_csv"),
           aggregate(
