@@ -103,6 +103,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q61: export composes anti-join dedup + equi-join, no cartesian") {
+    val p = plan("q61_training_export", "simple")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("trades clean+agg: single shuffle for the 4-key aggregate") {
     val raw   = graft.etl.TradesEtl.extract(spark, "/root/reference/trades (1) (2) (1).csv")
     val clean = graft.etl.TradesEtl.clean(raw)
