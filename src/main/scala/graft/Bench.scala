@@ -58,7 +58,11 @@ object Bench {
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = all.map { case (k, v) => s""""$k":${f3(v)}""" }
       .mkString("{", ",", "}")
-    val total = all.map(_._2).filter(_ >= 0).sum
+    // total covers the REGISTERED queries only: the scaled-ETL twins are
+    // reported per-key but excluded so the headline stays comparable with
+    // earlier rounds' BENCH_rNN.json (and q44's pipeline isn't triple-
+    // counted into the total)
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(
       s"""{"metric":"total_query_sec","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

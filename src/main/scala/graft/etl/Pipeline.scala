@@ -56,7 +56,7 @@ object Pipeline {
           .save()
       case None =>
         val target = s"$outDir/$tableName"
-        guardAppendSchema(spark, target, sorted)
+        guardAppendSchema(spark, target, sorted, partitionByWeek)
         val writer = sorted.write.mode(SaveMode.Append)
         if (partitionByWeek)
           writer.partitionBy("week_start_date").parquet(target)
@@ -82,23 +82,49 @@ object Pipeline {
   }
 
   /** Append-schema guard: parquet append onto a table with a DIFFERENT
-    * column set would succeed file-by-file and corrupt the table silently —
-    * later whole-table reads surface nulls or schema-merge errors far from
-    * the write that caused them. (The reference README documents this exact
-    * trap: its SQLite append fails on a pnl/no-pnl column mismatch only at
-    * read time.) Compares column NAME SETS, not order/types: parquet resolves
-    * columns by name, and a type change surfaces as its own loud read error.
+    * column set or partition layout would succeed file-by-file and corrupt
+    * the table silently — later whole-table reads surface nulls, schema-
+    * merge errors, or "Conflicting directory structures" far from the write
+    * that caused them. (The reference README documents this exact trap: its
+    * SQLite append fails on a pnl/no-pnl column mismatch only at read
+    * time.) Columns compare as NAME SETS, not order/types: parquet resolves
+    * columns by name, and a type change surfaces as its own loud read
+    * error. Only a missing/empty target (first write) skips the guard —
+    * any other read failure (corrupt footer, permissions) must ABORT the
+    * append, not silently disable the check.
     */
   private def guardAppendSchema(
-      spark: SparkSession, target: String, next: DataFrame): Unit =
-    scala.util.Try(spark.read.parquet(target).columns.toSet).foreach { existing =>
-      // Try: an absent/empty target means first write — nothing to guard
+      spark: SparkSession, target: String, next: DataFrame,
+      partitionByWeek: Boolean): Unit = {
+    val existing =
+      try Some(spark.read.parquet(target).columns.toSet)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(c =>
+              c.contains("PATH_NOT_FOUND") || c.contains("UNABLE_TO_INFER_SCHEMA")) =>
+          None // first write
+      }
+    existing.foreach { cols =>
       val incoming = next.columns.toSet
-      if (existing != incoming) throw new IllegalStateException(
+      if (cols != incoming) throw new IllegalStateException(
         s"schema mismatch appending to $target: existing table has columns " +
-          s"${existing.toSeq.sorted.mkString("[", ", ", "]")} but this run produces " +
+          s"${cols.toSeq.sorted.mkString("[", ", ", "]")} but this run produces " +
           s"${incoming.toSeq.sorted.mkString("[", ", ", "]")} (did computePnl change " +
           "between runs?). Write to a different tableName/outDir, delete the " +
           "existing table, or rerun with the original settings.")
+      // Layout check: a flat append onto a hive-partitioned table (or vice
+      // versa) passes the column check but breaks every later read.
+      val fs = new org.apache.hadoop.fs.Path(target).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val partitioned = fs.listStatus(new org.apache.hadoop.fs.Path(target))
+        .exists(st => st.isDirectory &&
+          st.getPath.getName.startsWith("week_start_date="))
+      if (partitioned != partitionByWeek) throw new IllegalStateException(
+        s"partition-layout mismatch appending to $target: existing table is " +
+          s"${if (partitioned) "hive-partitioned by week_start_date" else "flat"} " +
+          s"but this run has partitionByWeek=$partitionByWeek. Appending would mix " +
+          "layouts and break later reads (conflicting directory structures). " +
+          "Match the existing layout or write to a different tableName/outDir.")
     }
+  }
 }

@@ -27,12 +27,23 @@ object TradesGen {
     "AAPL" -> 157.0, "SPY" -> 411.0, "QQQ" -> 330.0,
     "MSFT" -> 280.0, "GOOGL" -> 2700.0)
 
-  /** Write `rows` trades (+header) to `path`. Idempotent on (rows, seed). */
+  // Locale.ROOT: f"%.2f" under a comma-decimal default locale would emit
+  // "5,43" — an extra CSV field per number (same trap Bench guards for its
+  // JSON) and a broken byte-determinism contract across machines.
+  private def d2(v: Double): String =
+    "%.2f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Write `rows` trades (+header) to `path`. Idempotent on (rows, seed).
+    * Writes via temp file + atomic rename so an interrupted run never
+    * leaves a truncated file at the final path (which [[ensure]] would
+    * then trust forever).
+    */
   def generate(path: String, rows: Int, seed: Long = 42L): Unit = {
     val f = new File(path)
     Option(f.getParentFile).foreach(_.mkdirs())
+    val tmp = new File(path + ".tmp")
     val rnd = new java.util.Random(seed)
-    val out = new BufferedWriter(new FileWriter(f), 1 << 20)
+    val out = new BufferedWriter(new FileWriter(tmp), 1 << 20)
     try {
       out.write("timestamp,user_id,client_type,symbol,side,quantity,price\n")
       val t0  = java.time.LocalDateTime.of(2023, 1, 1, 0, 0)
@@ -43,8 +54,8 @@ object TradesGen {
         val (sym, base) = symbols(rnd.nextInt(symbols.size))
         val side = if (rnd.nextBoolean()) "buy" else "sell"
         var ts   = t0.plusMinutes(rnd.nextInt(90 * 24 * 60).toLong).format(fmt)
-        val qty  = f"${1.0 + rnd.nextDouble() * 9.0}%.2f"
-        val prc  = f"${base * (0.95 + rnd.nextDouble() * 0.10)}%.2f"
+        val qty  = d2(1.0 + rnd.nextDouble() * 9.0)
+        val prc  = d2(base * (0.95 + rnd.nextDouble() * 0.10))
         var symS = sym; var qtyS = qty; var prcS = prc
         if (rnd.nextDouble() < 10.0 / 800.0) rnd.nextInt(5) match {
           case 0 => ts = ""
@@ -57,6 +68,9 @@ object TradesGen {
         i += 1
       }
     } finally out.close()
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Generate only if absent (the file is derived, gitignored state). */

@@ -31,9 +31,10 @@ object VectorOps {
   /** Per-key mean vectors via mllib's `Summarizer.mean` — ONE shuffle with
     * map-side partial aggregation of whole-vector sums (the previous
     * posexplode + (key, dim) formulation shuffled dim× the row count and
-    * needed a second shuffle to re-assemble). Used by IVF training;
-    * float-sum order is partition-dependent, so results are approximate
-    * across runs (the bit-exact sorted-fold variant lives in q29).
+    * needed a second shuffle to re-assemble). Used by IVF training and the
+    * registered q29; float-sum order is partition-dependent, so results are
+    * approximate across runs (the bit-exact sorted-fold twin is
+    * q60_centroid_fold; CentroidDriftSpec bounds the drift at 1e-9).
     */
   def meanVectors(
       df: org.apache.spark.sql.DataFrame, key: String, vec: String,

@@ -31,7 +31,13 @@ object DedupClustering {
     *     scale) — state survives executor loss; Spark recomputes downstream
     *     tasks from the checkpoint instead of failing the job. Right for
     *     long iterative runs on real clusters, at the cost of one
-    *     write+read of the label table per iteration.
+    *     write+read of the label table per iteration. Superseded iteration
+    *     state is PRUNED as the loop advances (only the live label table,
+    *     the edge table, and the in-flight iteration exist on the FS at any
+    *     time — Spark itself only cleans checkpoints if
+    *     `spark.cleaner.referenceTracking.cleanCheckpoints` is on, and then
+    *     only at GC time); on return just the final label table's files
+    *     remain. NOTE: sets the session's global checkpoint dir.
     *
     * The registered q43/q58 thread `spark.graft.checkpoint.dir` (session
     * conf) into this parameter, so a cluster operator flips semantics
@@ -40,18 +46,41 @@ object DedupClustering {
   def connectedComponents(
       pairs: DataFrame, maxIters: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
-    val persist: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint()
-      case None => df => df.localCheckpoint()
-    }
-    val edges = persist(
+    val sc = pairs.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    val fs = checkpointDir.map(dir =>
+      new org.apache.hadoop.fs.Path(dir).getFileSystem(sc.hadoopConfiguration))
+
+    // Reliable-mode checkpoint files live at <dir>/<app-uuid>/rdd-<id>;
+    // snapshot-diff around each checkpoint() call attributes rdd dirs to
+    // the DataFrame that created them so superseded state can be deleted.
+    def rddDirs(): Set[org.apache.hadoop.fs.Path] =
+      checkpointDir.zip(fs).map { case (dir, f) =>
+        val base = new org.apache.hadoop.fs.Path(dir)
+        if (!f.exists(base)) Set.empty[org.apache.hadoop.fs.Path]
+        else f.listStatus(base).filter(_.isDirectory).flatMap(u =>
+          f.listStatus(u.getPath)
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("rdd-"))
+            .map(_.getPath)).toSet
+      }.getOrElse(Set.empty)
+    def delete(dirs: Set[org.apache.hadoop.fs.Path]): Unit =
+      fs.foreach(f => dirs.foreach(p => f.delete(p, true)))
+
+    // persist + the set of checkpoint dirs the call created (empty in
+    // localCheckpoint mode, where executor block cleanup is reference-based)
+    def persist(df: DataFrame): (DataFrame, Set[org.apache.hadoop.fs.Path]) =
+      if (checkpointDir.isDefined) {
+        val before = rddDirs()
+        val out = df.checkpoint()
+        (out, rddDirs() -- before)
+      } else (df.localCheckpoint(), Set.empty)
+
+    val (edges, edgeDirs) = persist(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .distinct())
 
-    var labels = persist(
+    var (labels, labelDirs) = persist(
       edges.groupBy(col("src").as("doc_id"))
         .agg(least(min(col("dst")), first(col("src"))).as("cluster_id")))
 
@@ -66,17 +95,20 @@ object DedupClustering {
       // carry old + new label through the checkpoint: the convergence probe
       // then filters the MATERIALIZED partitions instead of re-joining next
       // against labels (which would cost an extra shuffle join per round)
-      val next = persist(
+      val (next, nextDirs) = persist(
         labels.join(viaNeighbors, Seq("doc_id"), "left")
           .select(col("doc_id"), col("cluster_id").as("old_id"),
             least(col("cluster_id"), coalesce(col("n_label"), col("cluster_id")))
               .as("cluster_id")))
       // labels only ever decrease, so "changed" is new < old
       val changed = next.filter(col("cluster_id") < col("old_id")).count()
+      delete(labelDirs) // next is materialized — the old labels are dead state
       labels = next.select("doc_id", "cluster_id")
+      labelDirs = nextDirs
       converged = changed == 0
       i += 1
     }
+    if (converged) delete(edgeDirs) // the result references only labelDirs
     // returning unconverged labels would silently split one component into
     // several clusters — fail loudly instead (diameter exceeded maxIters)
     if (!converged) throw new IllegalStateException(

@@ -30,6 +30,16 @@ object TextQueries {
   private def ccCheckpointDir(s: SparkSession): Option[String] =
     s.conf.getOption("spark.graft.checkpoint.dir")
 
+  /** Non-canonical members of every near-dup cluster — THE loser set the
+    * dedup apply removes, shared by q58 and the q61 export so their
+    * semantics (clustering, canonical tie-break, filter) can never diverge.
+    */
+  private def dedupLosers(s: SparkSession, d: String): DataFrame =
+    graft.operators.DedupClustering
+      .connectedComponents(candidatePairs(s, d), checkpointDir = ccCheckpointDir(s))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+
   /** MinHash signature: lexicographic min over the shingle set of one
     * quarter of each shingle's md5 hex (the 128 md5 bits are uniform —
     * each 8-hex-char quarter is an independent MinHash family member, so
@@ -353,12 +363,8 @@ object TextQueries {
     // training-data pipeline actually ships. Anti-join against the loser
     // set; singletons never appear in clusters, so they pass through free.
     "q58_dedup_apply" -> ((s, d) => {
-      val losers = graft.operators.DedupClustering
-        .connectedComponents(candidatePairs(s, d), checkpointDir = ccCheckpointDir(s))
-        .filter(col("doc_id") =!= col("cluster_id"))
-        .select("doc_id")
       Tables.documents(s, d)
-        .join(losers, Seq("doc_id"), "left_anti")
+        .join(dedupLosers(s, d), Seq("doc_id"), "left_anti")
         .select(col("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
     }),
@@ -419,12 +425,8 @@ object TextQueries {
     // against the loser set, narrow scoring/quantization, one equi-join on
     // doc_id.
     "q61_training_export" -> ((s, d) => {
-      val losers = graft.operators.DedupClustering
-        .connectedComponents(candidatePairs(s, d), checkpointDir = ccCheckpointDir(s))
-        .filter(col("doc_id") =!= col("cluster_id"))
-        .select("doc_id")
       val kept = Tables.documents(s, d)
-        .join(losers, Seq("doc_id"), "left_anti")
+        .join(dedupLosers(s, d), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("text"),
           TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
         .select(col("doc_id"),

@@ -59,6 +59,23 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/agg_trades_weekly").count() === 1090)
   }
 
+  test("append with a different partition layout fails actionably") {
+    val out = tmpDir()
+    Pipeline.runEtl(spark, csv, out, partitionByWeek = false)
+    val e = intercept[IllegalStateException] {
+      Pipeline.runEtl(spark, csv, out, partitionByWeek = true)
+    }
+    assert(e.getMessage.contains("partition-layout mismatch"), e.getMessage)
+    assert(spark.read.parquet(s"$out/agg_trades_weekly").count() === 545)
+    // and the reverse direction: partitioned table, flat append attempt
+    val out2 = tmpDir()
+    Pipeline.runEtl(spark, csv, out2, partitionByWeek = true)
+    val e2 = intercept[IllegalStateException] {
+      Pipeline.runEtl(spark, csv, out2, partitionByWeek = false)
+    }
+    assert(e2.getMessage.contains("partition-layout mismatch"), e2.getMessage)
+  }
+
   test("jdbcUrl routes the aggregate to the JDBC sink (no driver offline)") {
     val out = tmpDir()
     // No JDBC driver jar exists in this container, so the write must fail —

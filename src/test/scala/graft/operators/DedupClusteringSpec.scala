@@ -65,9 +65,11 @@ class DedupClusteringSpec extends SparkSpec {
     val cc = DedupClustering.connectedComponents(pairs, checkpointDir = Some(dir))
       .as[(Long, Long)].collect().toMap
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
-    // reliable mode actually wrote RDD state under the dir
-    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      .anyMatch(p => p.getFileName.toString.startsWith("rdd-"))
-    assert(wrote, s"no rdd-* checkpoint dirs under $dir")
+    // reliable mode wrote RDD state, and superseded iteration state was
+    // pruned: only the FINAL label table's checkpoint survives
+    val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("rdd-"))
+      .map[String](_.toString).toArray
+    assert(rddDirs.length === 1, s"expected 1 surviving checkpoint, got: ${rddDirs.toSeq}")
   }
 }
