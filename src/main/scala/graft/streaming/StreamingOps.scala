@@ -135,6 +135,41 @@ object StreamingOps {
   def termCounts(docs: DataFrame): DataFrame =
     graft.queries.TextQueries.termCountsOf(docs) // shared counting stage
 
+  /** Streaming twin of the q61 training-data export: documents are scored
+    * (token count, quality, language — all narrow per-row expressions,
+    * shared with the batch path via TextOps), exact-deduped within the
+    * watermark horizon by content fingerprint, quality-filtered, and
+    * joined stream-static against the int8-quantized embedding codes (the
+    * q55 family, shared via `withInt8Codes`). Emits the shipped artifact
+    * incrementally as documents arrive.
+    *
+    * Contract difference vs batch q61, by design: dedup here is EXACT
+    * (q20 semantics, first-arrival-wins within the watermark) — near-dup
+    * CLUSTER dedup needs the corpus-wide connected components, which is a
+    * batch recompaction step; its streaming precursor is
+    * [[neardupCandidates]] feeding a periodic batch clustering.
+    */
+  def trainingExportStream(
+      docs: DataFrame, staticEmb: DataFrame,
+      eventTime: String = "event_time", delay: String = "1 hour",
+      minQuality: Double = 0.5): DataFrame = {
+    import graft.functions.TextOps
+    val codes = graft.queries.VectorQueries.withInt8Codes(staticEmb)
+      .select(col("vec_id").as("doc_id"),
+        concat_ws(",", transform(col("codes"), _.cast("string"))).as("codes_csv"))
+    docs
+      .withColumn("__fp", TextOps.fingerprintMd5(col("text")))
+      .withWatermark(eventTime, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .withColumn("toks", TextOps.tokens(TextOps.normalized(col("text"))))
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.langIdFromTokens(col("toks"), col("text")).as("lang_pred"))
+      .filter(col("quality") >= minQuality)
+      .join(codes, Seq("doc_id")) // stream-static equi-join, no state
+  }
+
   // ---- streaming near-duplicate candidates ------------------------------
 
   case class BandedDoc(band: Int, key: String, doc_id: Long, event_us: Long)

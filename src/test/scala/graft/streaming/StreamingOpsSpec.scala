@@ -330,6 +330,47 @@ class StreamingOpsSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("streaming training export: dedup + quality filter + static codes join") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val good0 = "the quick data pipeline of the spark system and the engine"
+    val good3 = "the data model is the core of the training corpus and the tokenizer"
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val query = StreamingOps.trainingExportStream(
+        input.toDF().toDF("doc_id", "text", "event_time"), emb)
+      .writeStream.format("memory").queryName("export_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (0L, good0, ts("2023-01-01 10:00:00")),
+        (1L, good0, ts("2023-01-01 10:05:00")),    // exact dup → dropped
+        (2L, "!!! ??? ### $$$ %%%", ts("2023-01-01 10:10:00")), // low quality
+        (3L, good3, ts("2023-01-01 10:15:00")))
+      query.processAllAvailable()
+
+      val streamed = spark.table("export_stream").collect().map(_.toSeq).toSet
+
+      // batch twin over the rows that should survive, same shared exprs
+      import graft.functions.TextOps
+      val codes = graft.queries.VectorQueries.withInt8Codes(emb)
+        .select(col("vec_id").as("doc_id"),
+          concat_ws(",", transform(col("codes"), _.cast("string"))).as("codes_csv"))
+      val expected = Seq((0L, good0), (3L, good3)).toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"),
+          TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          TextOps.langIdFromTokens(col("toks"), col("text")).as("lang_pred"))
+        .join(codes, Seq("doc_id"))
+        .collect().map(_.toSeq).toSet
+
+      assert(streamed === expected)
+      assert(streamed.size === 2) // dup and low-quality rows are out
+    } finally query.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and keeps open ones") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
