@@ -423,7 +423,9 @@ object TextQueries {
     // count and language tag. Composes the oracled building blocks, so the
     // END-TO-END artifact is itself hash-checked. Scale shape: anti-join
     // against the loser set, narrow scoring/quantization, one equi-join on
-    // doc_id.
+    // doc_id. Bench cost is dominated by the embedded iterative
+    // connected-components (same multi-job core as q43/q58) — the
+    // scoring/join stages add one corpus scan and one shuffle on top.
     "q61_training_export" -> ((s, d) => {
       val kept = Tables.documents(s, d)
         .join(dedupLosers(s, d), Seq("doc_id"), "left_anti")
