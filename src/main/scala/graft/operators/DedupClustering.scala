@@ -54,6 +54,10 @@ object DedupClustering {
     // Reliable-mode checkpoint files live at <dir>/<app-uuid>/rdd-<id>;
     // snapshot-diff around each checkpoint() call attributes rdd dirs to
     // the DataFrame that created them so superseded state can be deleted.
+    // The attribution assumes no OTHER thread checkpoints into the same
+    // dir between the two snapshots — give concurrent CC runs distinct
+    // checkpoint dirs (the session-global setCheckpointDir already makes
+    // sharing one dir across concurrent jobs a bad idea).
     def rddDirs(): Set[org.apache.hadoop.fs.Path] =
       checkpointDir.zip(fs).map { case (dir, f) =>
         val base = new org.apache.hadoop.fs.Path(dir)
