@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class TrainingPipelineSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("neardup export equals the oracled q61 on the same tables") {
+    val viaPipeline = TrainingPipeline.export(
+        Tables.documents(spark, sf), Some(Tables.embeddings(spark, sf)))
+      .collect().map(_.toSeq).toSet
+    val viaRegistry = SparkEntry.queries("q61_training_export")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(viaPipeline === viaRegistry)
+    assert(viaPipeline.nonEmpty)
+  }
+
+  test("dedup modes: none ⊇ exact ⊇ neardup survivor sets") {
+    val docs = Tables.documents(spark, sf)
+    def ids(mode: TrainingPipeline.DedupMode): Set[Long] =
+      TrainingPipeline.export(docs, None,
+          TrainingPipeline.Config(dedup = mode))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val none    = ids(TrainingPipeline.NoDedup)
+    val exact   = ids(TrainingPipeline.ExactDedup)
+    val neardup = ids(TrainingPipeline.NeardupDedup)
+    assert(exact.subsetOf(none))
+    // exact dups are near-dups with Jaccard 1: the LSH chain catches them
+    assert(neardup.subsetOf(exact))
+    // this corpus slice has near-dups but no exact dups (q20 = 1 fingerprint
+    // per doc); the synthetic test below covers real exact-dup drops
+    assert(neardup.size < none.size)
+  }
+
+  test("exact mode keeps the min doc_id of each duplicate group") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "alpha beta gamma delta"),
+      (7L, "alpha  beta gamma delta"), // same normalized content, smaller id
+      (20L, "something else entirely here")).toDF("doc_id", "text")
+    val kept = TrainingPipeline.export(docs, None,
+        TrainingPipeline.Config(minQuality = 0.0,
+          dedup = TrainingPipeline.ExactDedup))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(7L, 20L))
+  }
+
+  test("writeExport writes a lang-partitioned artifact plus the stats sidecar") {
+    val out = Files.createTempDirectory("graft-export").toString
+    val exported = TrainingPipeline.writeExport(
+      Tables.documents(spark, sf), None, out, partitionByLang = true)
+    val dirs = new java.io.File(s"$out/export").list().toSeq
+    assert(dirs.exists(_.startsWith("lang_pred=")), dirs.toString)
+    val reread = spark.read.parquet(s"$out/export")
+    assert(reread.count() === exported.count())
+    val st = spark.read.parquet(s"$out/stats")
+    assert(st.columns.toSet ===
+      Set("lang_pred", "len_band", "n_docs", "total_tokens", "min_tokens", "max_tokens"))
+    // stats totals reconcile with the artifact
+    val nFromStats = st.agg(sum("n_docs")).head.getLong(0)
+    assert(nFromStats === exported.count())
+  }
+}
