@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import graft.functions.TextOps
-import graft.operators.DedupClustering
 import graft.queries.{TextQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
@@ -11,10 +10,12 @@ import org.apache.spark.sql.functions._
   * extract → clean → aggregate → report, this orchestrates the extension
   * surface end to end: score → (optional) dedup → quality filter →
   * (optional) embedding-code join → partitioned artifact + composition
-  * stats. Every stage reuses THE shared definition the registry queries are
-  * built from (TextOps expressions, the MinHash/LSH/CC chain, the int8 code
-  * family), so a pipeline run and the oracled q17–q62 queries can never
-  * disagree about semantics.
+  * stats. The oracled registry entries are DEFINED in terms of this object
+  * (q61 = `export` with defaults, q62 = `stats` over all scored docs), and
+  * every stage is the single shared definition (`TextQueries.scoreDocs`,
+  * `TextQueries.neardupLosersOf`, `VectorQueries.codesCsvByDocId`) — so
+  * the pipeline, the registry queries, and the streaming twin cannot
+  * diverge by construction.
   */
 object TrainingPipeline {
 
@@ -22,7 +23,8 @@ object TrainingPipeline {
   /** Keep every document (still quality-filtered). */
   case object NoDedup extends DedupMode
   /** q20 semantics: one canonical doc (min doc_id) per exact normalized-
-    * content fingerprint. One groupBy + one broadcast-able join.
+    * content fingerprint — one hash-partitioned window pass on the
+    * fingerprint to tag canonicals, then the loser filter.
     */
   case object ExactDedup extends DedupMode
   /** q43/q58/q61 semantics: connected components over MinHash+LSH candidate
@@ -33,8 +35,11 @@ object TrainingPipeline {
   /** @param minQuality  keep docs with qualityScore ≥ this (NULL text drops)
     * @param dedup       dedup mode (see the case objects)
     * @param maxIters    CC iteration budget (neardup mode)
-    * @param checkpointDir reliable-checkpoint dir for CC (neardup mode);
-    *                    None = executor-local (see DedupClustering)
+    * @param checkpointDir reliable-checkpoint dir for CC (neardup mode).
+    *                    None falls back to the `spark.graft.checkpoint.dir`
+    *                    session conf (the same switch the registry queries
+    *                    honor); unset there too = executor-local
+    *                    checkpointing (see DedupClustering).
     */
   case class Config(
       minQuality: Double = 0.5,
@@ -54,18 +59,15 @@ object TrainingPipeline {
               org.apache.spark.sql.expressions.Window.partitionBy("__fp")))
           .filter(col("doc_id") =!= col("__canonical"))
           .select("doc_id"))
-      case NeardupDedup => Some(
-        DedupClustering.connectedComponents(
-            TextQueries.candidatePairsFrom(
-              TextQueries.sigsFrom(TextQueries.shingledDocs(docs))),
-            maxIters = cfg.maxIters, checkpointDir = cfg.checkpointDir)
-          .filter(col("doc_id") =!= col("cluster_id"))
-          .select("doc_id"))
+      case NeardupDedup =>
+        val ckpt = cfg.checkpointDir.orElse(
+          docs.sparkSession.conf.getOption("spark.graft.checkpoint.dir"))
+        Some(TextQueries.neardupLosersOf(docs, cfg.maxIters, ckpt))
     }
 
   /** The export frame: doc_id, n_tokens, quality, lang_pred
     * (+ codes_csv when `embeddings` is given — inner join on
-    * doc_id = vec_id, so docs without an embedding drop, like q61).
+    * doc_id = vec_id, so docs without an embedding drop).
     */
   def export(
       docs: DataFrame,
@@ -75,29 +77,20 @@ object TrainingPipeline {
       case Some(l) => docs.join(l, Seq("doc_id"), "left_anti")
       case None    => docs
     }
-    val kept = deduped
-      .select(col("doc_id"), col("text"),
-        TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
-      .select(col("doc_id"),
-        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextOps.qualityScore(col("text")).as("quality"),
-        TextOps.langIdFromTokens(col("toks"), col("text")).as("lang_pred"))
+    val kept = TextQueries.scoreDocs(deduped)
       .filter(col("quality") >= cfg.minQuality)
     embeddings match {
-      case Some(emb) =>
-        val codes = VectorQueries.withInt8Codes(emb)
-          .select(col("vec_id").as("doc_id"),
-            concat_ws(",", transform(col("codes"), _.cast("string"))).as("codes_csv"))
-        kept.join(codes, Seq("doc_id"))
-      case None => kept
+      case Some(emb) => kept.join(VectorQueries.codesCsvByDocId(emb), Seq("doc_id"))
+      case None      => kept
     }
   }
 
-  /** Composition stats of an export frame (the q62 shape): per (lang,
-    * 50-token band) doc/token counts — integer aggregates only.
+  /** Composition stats of a scored frame (needs lang_pred + n_tokens; the
+    * q62 shape): per (lang, 50-token band) doc/token counts — integer
+    * aggregates only.
     */
-  def stats(exported: DataFrame): DataFrame =
-    exported
+  def stats(scored: DataFrame): DataFrame =
+    scored
       .groupBy(col("lang_pred"),
         floor(col("n_tokens") / lit(50)).cast("long").as("len_band"))
       .agg(

@@ -31,14 +31,36 @@ object TextQueries {
     s.conf.getOption("spark.graft.checkpoint.dir")
 
   /** Non-canonical members of every near-dup cluster — THE loser set the
-    * dedup apply removes, shared by q58 and the q61 export so their
-    * semantics (clustering, canonical tie-break, filter) can never diverge.
+    * dedup apply removes, shared by q58, the q61 export, and
+    * [[graft.pipeline.TrainingPipeline]] so their semantics (clustering,
+    * canonical tie-break, filter) can never diverge.
     */
-  private def dedupLosers(s: SparkSession, d: String): DataFrame =
+  private[graft] def neardupLosersOf(
+      docs: DataFrame, maxIters: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame =
     graft.operators.DedupClustering
-      .connectedComponents(candidatePairs(s, d), checkpointDir = ccCheckpointDir(s))
+      .connectedComponents(
+        candidatePairsFrom(sigsFrom(shingledDocs(docs))),
+        maxIters = maxIters, checkpointDir = checkpointDir)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
+
+  private def dedupLosers(s: SparkSession, d: String): DataFrame =
+    neardupLosersOf(Tables.documents(s, d), checkpointDir = ccCheckpointDir(s))
+
+  /** Per-document scoring projection (doc_id, n_tokens, quality,
+    * lang_pred) — THE definition shared by q62, the q61 export (via
+    * [[graft.pipeline.TrainingPipeline.export]]), and the streaming export
+    * twin. Narrow; tokens staged once.
+    */
+  private[graft] def scoreDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.langIdFromTokens(col("toks"), col("text")).as("lang_pred"))
 
   /** MinHash signature: lexicographic min over the shingle set of one
     * quarter of each shingle's md5 hex (the 128 md5 bits are uniform —
@@ -420,48 +442,27 @@ object TextQueries {
     // ships: documents that (a) survive near-dup dedup (cluster canonical,
     // q43/q58 semantics), (b) clear the quality threshold, joined with
     // their int8-quantized embedding codes (q55 family), carrying token
-    // count and language tag. Composes the oracled building blocks, so the
+    // count and language tag. DEFINED AS the TrainingPipeline composition
+    // (defaults: minQuality 0.5, neardup dedup) so the oracled registry
+    // entry and the user-facing orchestrator are one definition — the
     // END-TO-END artifact is itself hash-checked. Scale shape: anti-join
     // against the loser set, narrow scoring/quantization, one equi-join on
     // doc_id. Bench cost is dominated by the embedded iterative
     // connected-components (same multi-job core as q43/q58) — the
     // scoring/join stages add one corpus scan and one shuffle on top.
-    "q61_training_export" -> ((s, d) => {
-      val kept = Tables.documents(s, d)
-        .join(dedupLosers(s, d), Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("text"),
-          TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
-        .select(col("doc_id"),
-          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
-          TextOps.qualityScore(col("text")).as("quality"),
-          TextOps.langIdFromTokens(col("toks"), col("text")).as("lang_pred"))
-        .filter(col("quality") >= 0.5)
-      val codes = VectorQueries.withInt8Codes(Tables.embeddings(s, d))
-        .select(col("vec_id").as("doc_id"),
-          concat_ws(",", transform(col("codes"), _.cast("string"))).as("codes_csv"))
-      kept.join(codes, Seq("doc_id"))
-    }),
+    "q61_training_export" -> ((s, d) =>
+      graft.pipeline.TrainingPipeline.export(
+        Tables.documents(s, d), Some(Tables.embeddings(s, d)),
+        graft.pipeline.TrainingPipeline.Config(checkpointDir = ccCheckpointDir(s)))),
 
     // Corpus composition report: per (predicted language, 50-token length
     // band), document count and token totals — the monitoring histogram a
-    // multilingual training pipeline watches. Integer aggregates only
-    // (count/sum/min/max of longs are order-free exact), so it stays
-    // bit-oracled.
-    "q62_lang_stats" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("text"),
-          TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
-        .select(
-          TextOps.langIdFromTokens(col("toks"), col("text")).as("lang_pred"),
-          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-        .groupBy(col("lang_pred"),
-          floor(col("n_tokens") / lit(50)).cast("long").as("len_band"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("total_tokens"),
-          min(col("n_tokens")).as("min_tokens"),
-          max(col("n_tokens")).as("max_tokens"))
-    }),
+    // multilingual training pipeline watches. Same stats definition as the
+    // TrainingPipeline sidecar, over ALL scored docs (no dedup/filter).
+    // Integer aggregates only (count/sum/min/max of longs are order-free
+    // exact), so it stays bit-oracled.
+    "q62_lang_stats" -> ((s, d) =>
+      graft.pipeline.TrainingPipeline.stats(scoreDocs(Tables.documents(s, d)))),
 
     // Fixed-size token chunking with overlap (50-token chunks, stride 40):
     // the standard training-data windowing step. One narrow pass + explode.

@@ -143,6 +143,14 @@ object VectorQueries {
         rankCol = "rnk")
   }
 
+  /** (doc_id, codes_csv) projection of the int8 code family — THE
+    * embedding-code artifact column, shared by the q61 export,
+    * [[graft.pipeline.TrainingPipeline]], and the streaming export twin.
+    */
+  private[graft] def codesCsvByDocId(emb: DataFrame): DataFrame =
+    withInt8Codes(emb).select(col("vec_id").as("doc_id"),
+      concat_ws(",", transform(col("codes"), _.cast("string"))).as("codes_csv"))
+
   /** Shared int8-quantization stage (vec_id, v, vmin, vmax, scale, codes) —
     * THE definition of the code family, used by q55 and the q61 training
     * export so the two can never diverge. Fully narrow.

@@ -153,21 +153,15 @@ object StreamingOps {
       docs: DataFrame, staticEmb: DataFrame,
       eventTime: String = "event_time", delay: String = "1 hour",
       minQuality: Double = 0.5): DataFrame = {
-    import graft.functions.TextOps
-    val codes = graft.queries.VectorQueries.withInt8Codes(staticEmb)
-      .select(col("vec_id").as("doc_id"),
-        concat_ws(",", transform(col("codes"), _.cast("string"))).as("codes_csv"))
-    docs
-      .withColumn("__fp", TextOps.fingerprintMd5(col("text")))
+    val deduped = docs
+      .withColumn("__fp", graft.functions.TextOps.fingerprintMd5(col("text")))
       .withWatermark(eventTime, delay)
       .dropDuplicatesWithinWatermark("__fp")
-      .withColumn("toks", TextOps.tokens(TextOps.normalized(col("text"))))
-      .select(col("doc_id"),
-        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextOps.qualityScore(col("text")).as("quality"),
-        TextOps.langIdFromTokens(col("toks"), col("text")).as("lang_pred"))
+    // scoring + codes are the SAME definitions the batch export composes
+    graft.queries.TextQueries.scoreDocs(deduped)
       .filter(col("quality") >= minQuality)
-      .join(codes, Seq("doc_id")) // stream-static equi-join, no state
+      .join(graft.queries.VectorQueries.codesCsvByDocId(staticEmb),
+        Seq("doc_id")) // stream-static equi-join, no state
   }
 
   // ---- streaming near-duplicate candidates ------------------------------

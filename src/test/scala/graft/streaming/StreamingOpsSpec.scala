@@ -344,9 +344,13 @@ class StreamingOpsSpec extends SparkSpec {
     try {
       input.addData(
         (0L, good0, ts("2023-01-01 10:00:00")),
-        (1L, good0, ts("2023-01-01 10:05:00")),    // exact dup → dropped
         (2L, "!!! ??? ### $$$ %%%", ts("2023-01-01 10:10:00")), // low quality
         (3L, good3, ts("2023-01-01 10:15:00")))
+      query.processAllAvailable()
+      // the exact dup arrives in a LATER micro-batch: first-arrival-wins is
+      // then state-enforced, not an artifact of intra-batch ordering (which
+      // dropDuplicatesWithinWatermark does not contractually guarantee)
+      input.addData((1L, good0, ts("2023-01-01 10:05:00"))) // dup → dropped
       query.processAllAvailable()
 
       val streamed = spark.table("export_stream").collect().map(_.toSeq).toSet
