@@ -48,6 +48,42 @@ object TextQueries {
   private def dedupLosers(s: SparkSession, d: String): DataFrame =
     neardupLosersOf(Tables.documents(s, d), checkpointDir = ccCheckpointDir(s))
 
+  /** Content-defined chunking of each document (see the q63 registry
+    * comment): (doc_id, chunk_start, chunk_len, chunk_fp) with cuts where
+    * the gram hash's last nibble is zero. Exposed for CdcChunksSpec's
+    * edit-stability property.
+    */
+  private[graft] def cdcChunksOf(docs: DataFrame): DataFrame = {
+    val k = 8
+    docs
+      .select(col("doc_id"), TextOps.normalized(col("text")).as("norm"))
+      .withColumn("m", length(col("norm")) - (k - 1))
+      .withColumn("cuts",
+        // guard: Spark's sequence(2, m) DESCENDS for m < 2; cut at 1 is
+        // a no-op, so candidate cut positions are 2..m (empty when short)
+        when(col("m") >= 2,
+          filter(
+            sequence(lit(2), col("m")),
+            i => substring(md5(col("norm").substr(i, lit(k))), 16, 1) === "0"))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("starts", concat(array(lit(1)), col("cuts")))
+      .withColumn("chunks",
+        transform(
+          sequence(lit(1), size(col("starts"))),
+          j => struct(
+            element_at(col("starts"), j).as("chunk_start"),
+            (coalesce(try_element_at(col("starts"), j + 1),
+              length(col("norm")) + 1)
+              - element_at(col("starts"), j)).as("chunk_len"))))
+      .select(col("doc_id"), col("norm"), explode(col("chunks")).as("c"))
+      .select(col("doc_id"),
+        col("c.chunk_start").cast("long").as("chunk_start"),
+        col("c.chunk_len").cast("long").as("chunk_len"),
+        md5(col("norm").substr(col("c.chunk_start"), col("c.chunk_len")))
+          .as("chunk_fp"))
+      .filter(col("chunk_len") > 0)
+  }
+
   /** Per-document scoring projection (doc_id, n_tokens, quality,
     * lang_pred) — THE definition shared by q62, the q61 export (via
     * [[graft.pipeline.TrainingPipeline.export]]), and the streaming export
@@ -464,6 +500,18 @@ object TextQueries {
     "q62_lang_stats" -> ((s, d) =>
       graft.pipeline.TrainingPipeline.stats(scoreDocs(Tables.documents(s, d)))),
 
+    // Content-defined chunking (CDC, the FastCDC/rsync idea): split each
+    // document where the rolling content hash qualifies — here, where the
+    // md5-derived 64-bit hash of the 8-char gram STARTING at a position
+    // ends in a zero nibble (P=1/16 → ~16-char average chunks on this
+    // corpus). Unlike fixed chunking (q38), an insertion only reshuffles
+    // chunk boundaries LOCALLY, so downstream exact-dedup of chunks
+    // (md5 fingerprint emitted per chunk) still matches the unedited
+    // remainder — the standard trick for sub-document dedup at scale.
+    // Fully narrow (HOFs over each row); the oracle replays gram hashing,
+    // cut selection, and span reassembly exactly.
+    "q63_cdc_chunks" -> ((s, d) => cdcChunksOf(Tables.documents(s, d))),
+
     // Fixed-size token chunking with overlap (50-token chunks, stride 40):
     // the standard training-data windowing step. One narrow pass + explode.
     "q38_chunks" -> ((s, d) => {
@@ -677,6 +725,32 @@ object TextQueries {
          |    ELSE list_transform(generate_series(1, length(norm) - 7),
          |      i -> substr(md5(substr(norm, i, 8)), 1, 16)) END AS hs
          |  FROM (SELECT doc_id, $normSql AS norm FROM documents))""".stripMargin,
+    // CDC replay: same gram family as q25 (char-based substr + md5), cut
+    // where the 16th hex char (the 64-bit hash's last nibble) is '0',
+    // spans reassembled from consecutive starts. NULL/empty docs emit no
+    // rows on both sides (chunk_len NULL/0 is filtered).
+    "q63_cdc_chunks" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |c AS (
+         |  SELECT doc_id, norm,
+         |    CASE WHEN length(norm) - 7 >= 2 THEN
+         |      list_filter(generate_series(2, length(norm) - 7),
+         |        i -> substr(md5(substr(norm, i, 8)), 16, 1) = '0')
+         |    ELSE [] END AS cuts
+         |  FROM n),
+         |st AS (SELECT doc_id, norm, list_concat([1], cuts) AS starts FROM c),
+         |ch AS (
+         |  SELECT doc_id, norm,
+         |    unnest(list_transform(generate_series(1, len(starts)),
+         |      j -> {'chunk_start': starts[j],
+         |            'chunk_len': coalesce(starts[j + 1], length(norm) + 1)
+         |              - starts[j]})) AS chunk
+         |  FROM st)
+         |SELECT doc_id,
+         |  CAST(chunk.chunk_start AS BIGINT) AS chunk_start,
+         |  CAST(chunk.chunk_len AS BIGINT) AS chunk_len,
+         |  md5(substr(norm, chunk.chunk_start, chunk.chunk_len)) AS chunk_fp
+         |FROM ch WHERE chunk.chunk_len > 0""".stripMargin,
     "q21_minhash_sig" -> sigsSql,
     "q22_neardup_pairs" -> pairsSql,
     "q59_minhash_est" ->
