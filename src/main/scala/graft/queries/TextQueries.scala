@@ -217,6 +217,85 @@ object TextQueries {
   private def candidatePairs(s: SparkSession, d: String): DataFrame =
     candidatePairsFrom(sigs(s, d))
 
+  /** SimHash near-dup pairs via 16-bit banding over the 64-bit fingerprint.
+    * Pigeonhole guarantee: a pair within Hamming distance `maxHamming` ≤ 3
+    * differs in at most 3 of the 4 bands, so at least one band matches
+    * exactly and the pair IS generated — banding is candidate-complete, not
+    * approximate (asserted against brute force in NearDupPairsSpec).
+    *
+    * Same bucket-expansion discipline as the MinHash path (q22): ONE
+    * shuffle on (band, key), never a self-join, hot-bucket cap (a
+    * degenerate fingerprint shared by millions of short docs would emit
+    * O(bucket²) pairs). The fingerprint rides along in the bucket struct,
+    * so the Hamming verify is a per-pair `bit_count(xor)` with NO join
+    * back to the corpus — at 100 TB that join-back would re-shuffle the
+    * whole fingerprint table twice.
+    */
+  private[graft] def simhashPairsFrom(
+      sh: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val banded = sh
+      .filter(col("simhash").isNotNull)
+      .select(
+        posexplode(array((0 to 3).map(j =>
+          shiftright(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "key")),
+        struct(col("doc_id"), col("simhash")).as("ds"))
+    RelationalOps
+      .inBucketPairs(banded, Seq("band", "key"), "ds", "a", "b", maxBucket)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** MOSS-style winnowing-fingerprint overlap (Schleimer et al. §5, "local
+    * fingerprinting in practice"): inverted index over each document's
+    * winnow fingerprints, restricted to DISCRIMINATIVE fingerprints
+    * (document frequency ≤ `maxDf` — the standard stop-list treatment: a
+    * fingerprint shared by many documents is boilerplate, and its posting
+    * list would emit O(df²) pairs of noise). Pairs sharing fingerprints
+    * are scored `overlap = n_shared / min(|rare_a|, |rare_b|)` and kept at
+    * `overlap ≥ minOverlap`.
+    *
+    * Scale shape: ONE corpus shuffle on the fingerprint key builds capped
+    * posting lists that feed BOTH the per-doc denominator counts and the
+    * pair expansion (localCheckpoint materializes the winnow computation
+    * once); pair-generation cost is bounded by maxDf × |postings| — linear
+    * in the corpus whatever the duplication structure. The integer-count /
+    * single-division arithmetic is what lets DuckDB replay it bit-for-bit.
+    */
+  private[graft] def winnowOverlapFrom(
+      fps: DataFrame, maxDf: Int = 16, minOverlap: Double = 0.5): DataFrame = {
+    val buckets = fps
+      .filter(size(col("fps")) > 0)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .groupBy("fp")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= maxDf)
+      .localCheckpoint()
+    val nRare = buckets
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+    val ids = col("ids")
+    val shared = buckets
+      .filter(size(ids) > 1)
+      .select(explode(
+        flatten(transform(sequence(lit(1), size(ids) - 1), i =>
+          transform(slice(ids, i + 1, size(ids)), b =>
+            struct(element_at(ids, i).as("doc_a"), b.as("doc_b"))))))
+        .as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(nRare.select(col("doc_id").as("doc_a"), col("n_rare").as("na")), "doc_a")
+      .join(nRare.select(col("doc_id").as("doc_b"), col("n_rare").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared").cast("double") / least(col("na"), col("nb")))
+          .as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   /** Fixed-size term vocabulary with dense ids — the vocab-building step of
     * a tokenization pipeline. Frequency counting is the only corpus-scale
     * shuffle; the top-`vocabSize` cut is a TakeOrderedAndProject over the
@@ -357,6 +436,32 @@ object TextQueries {
         concat_ws(",",
           TextFingerprints.winnowFingerprint(TextOps.normalized(col("text")), 8, 16))
           .as("fingerprint"))
+    }),
+
+    // SimHash as an actual DEDUP METHOD, not just a fingerprint: banded
+    // near-dup join at Hamming ≤ 3 (candidate-complete by pigeonhole over
+    // 4×16-bit bands — see simhashPairsFrom). Completes the dedup family:
+    // exact (q20), MinHash+LSH (q22), SimHash (here), winnow overlap
+    // (q65), embedding-cosine (q35). Oracle replays bands, xor and
+    // bit_count on the signed 64-bit fingerprint exactly.
+    "q64_simhash_pairs" -> ((s, d) => {
+      simhashPairsFrom(Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFingerprints.simhash64(TextOps.tokens(TextOps.normalized(col("text"))))
+          .as("simhash")))
+    }),
+
+    // Winnowing fingerprints as a dedup method: MOSS-style shared-
+    // fingerprint overlap over discriminative (df ≤ 16) fingerprints,
+    // pairs kept at overlap ≥ 0.5 (thresholds probed on this corpus: all
+    // 12 planted near-dup pairs kept at overlap 1.0; posting lists capped
+    // so pair generation stays linear). Integer counts + one division —
+    // bit-replayed by the oracle.
+    "q65_winnow_overlap" -> ((s, d) => {
+      winnowOverlapFrom(Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFingerprints.winnowFingerprint(TextOps.normalized(col("text")), 8, 16)
+          .as("fps")))
     }),
 
     // TF-IDF-style term scoring with a rational idf (tf · N / df — log-free
@@ -689,25 +794,61 @@ object TextQueries {
     // BIGINT from the per-bit majorities (bit 63 contributes the sign term
     // -2^63 — two's complement — so everything stays in BIGINT/HUGEINT).
     "q24_simhash" ->
-      raw"""WITH toks AS (
-           |  SELECT doc_id, unnest(string_split_regex(trim($normSql), '\s+')) AS tok
-           |  FROM documents),
-           |h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM toks),
-           |acc AS (
-           |  SELECT doc_id, j,
-           |    sum(CASE WHEN (((strpos('0123456789abcdef',
-           |          substr(h, CAST(16 - j // 4 AS INT), 1)) - 1)
-           |        >> CAST(j % 4 AS INT)) & 1) = 1 THEN 1 ELSE -1 END) AS acc
-           |  FROM h CROSS JOIN range(0, 64) t(j)
-           |  GROUP BY 1, 2),
-           |sh AS (
-           |  SELECT doc_id, CAST(sum(
-           |    CASE WHEN acc <= 0 THEN 0
-           |         WHEN j = 63 THEN -9223372036854775808
-           |         ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END) AS BIGINT)
-           |    AS simhash
-           |  FROM acc GROUP BY doc_id)
-           |SELECT d.doc_id, sh.simhash FROM documents d LEFT JOIN sh USING (doc_id)""".stripMargin,
+      s"WITH $simhashCteSql\nSELECT d.doc_id, sh.simhash FROM documents d LEFT JOIN sh USING (doc_id)",
+    // Banded simhash pair replay: 4×16-bit bands via arithmetic shift +
+    // mask (the mask strips the sign-fill bits, so the signed BIGINT
+    // yields the same band values as the kernel's unsigned shift), equal-
+    // band self-join, Hamming via bit_count(xor) on two's-complement.
+    // The Spark side's hot-bucket cap (1000) is not modeled: the corpus
+    // max band bucket is 28 at sf0.1, so the cap never trips here.
+    "q64_simhash_pairs" ->
+      (s"WITH $simhashCteSql,\n" +
+        raw"""bands AS (
+             |  SELECT doc_id, simhash, j AS band,
+             |    (simhash >> CAST(16 * j AS INT)) & 65535 AS key
+             |  FROM sh CROSS JOIN range(0, 4) t(j)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    a.simhash AS sh_a, b.simhash AS sh_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b,
+             |  CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+             |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin),
+    // Winnow-overlap replay: same fingerprint CTE family as q25, df-capped
+    // (≤16) posting lists, shared-count pair join, integer-count overlap
+    // fraction (one division — bit-exact across engines).
+    "q65_winnow_overlap" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id, list_sort(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(hs) - 15, 1)),
+         |    i -> list_aggregate(list_slice(hs, i, i + 15), 'min')))) AS fps
+         |  FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN norm IS NULL OR length(norm) < 8 THEN NULL
+         |      ELSE list_transform(generate_series(1, length(norm) - 7),
+         |        i -> substr(md5(substr(norm, i, 8)), 1, 16)) END AS hs
+         |    FROM (SELECT doc_id, $normSql AS norm FROM documents))
+         |  WHERE hs IS NOT NULL),
+         |b AS (
+         |  SELECT fp, list_sort(list(doc_id)) AS ids
+         |  FROM (SELECT doc_id, unnest(fps) AS fp FROM fp)
+         |  GROUP BY fp HAVING count(*) <= 16),
+         |nr AS (
+         |  SELECT doc_id, count(*) AS n_rare
+         |  FROM (SELECT unnest(ids) AS doc_id FROM b) GROUP BY 1),
+         |pr AS (
+         |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM (SELECT fp, unnest(ids) AS doc_id FROM b WHERE len(ids) >= 2) a
+         |  JOIN (SELECT fp, unnest(ids) AS doc_id FROM b WHERE len(ids) >= 2) b2
+         |    ON a.fp = b2.fp AND a.doc_id < b2.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared,
+         |  CAST(n_shared AS DOUBLE) / least(na.n_rare, nb.n_rare) AS overlap
+         |FROM pr
+         |JOIN nr na ON na.doc_id = pr.doc_a
+         |JOIN nr nb ON nb.doc_id = pr.doc_b
+         |WHERE CAST(n_shared AS DOUBLE) / least(na.n_rare, nb.n_rare) >= 0.5""".stripMargin,
     // Winnow replay: char k-grams (k=8) of normalized text, md5 → first 16
     // hex chars, sliding window w=16 minima (lexicographic min on fixed-width
     // hex = unsigned numeric min), distinct + sort + comma-join. NULL/short
