@@ -31,6 +31,14 @@ object TrainingPipeline {
     * pairs; each near-dup cluster keeps its minimum doc_id.
     */
   case object NeardupDedup extends DedupMode
+  /** q64/q66 semantics: connected components over banded simhash pairs at
+    * Hamming ≤ 3; each cluster keeps its minimum doc_id.
+    */
+  case object SimhashDedup extends DedupMode
+  /** q65/q67 semantics: connected components over winnow-fingerprint
+    * overlap pairs at overlap ≥ 0.5; each cluster keeps its minimum doc_id.
+    */
+  case object WinnowDedup extends DedupMode
 
   /** @param minQuality  keep docs with qualityScore ≥ this (NULL text drops)
     * @param dedup       dedup mode (see the case objects)
@@ -60,10 +68,18 @@ object TrainingPipeline {
           .filter(col("doc_id") =!= col("__canonical"))
           .select("doc_id"))
       case NeardupDedup =>
-        val ckpt = cfg.checkpointDir.orElse(
-          docs.sparkSession.conf.getOption("spark.graft.checkpoint.dir"))
-        Some(TextQueries.neardupLosersOf(docs, cfg.maxIters, ckpt))
+        Some(TextQueries.neardupLosersOf(docs, cfg.maxIters, ccDir(docs, cfg)))
+      case SimhashDedup =>
+        Some(TextQueries.simhashLosersOf(
+          docs, maxIters = cfg.maxIters, checkpointDir = ccDir(docs, cfg)))
+      case WinnowDedup =>
+        Some(TextQueries.winnowLosersOf(
+          docs, maxIters = cfg.maxIters, checkpointDir = ccDir(docs, cfg)))
     }
+
+  private def ccDir(docs: DataFrame, cfg: Config): Option[String] =
+    cfg.checkpointDir.orElse(
+      docs.sparkSession.conf.getOption("spark.graft.checkpoint.dir"))
 
   /** The export frame: doc_id, n_tokens, quality, lang_pred
     * (+ codes_csv when `embeddings` is given — inner join on
@@ -111,10 +127,13 @@ object TrainingPipeline {
       cfg: Config = Config(),
       partitionByLang: Boolean = false): DataFrame = {
     val exported = export(docs, embeddings, cfg).cache() // fans out to 2 sinks
-    val writer = exported.write.mode(SaveMode.Overwrite)
-    if (partitionByLang) writer.partitionBy("lang_pred").parquet(s"$outDir/export")
-    else writer.parquet(s"$outDir/export")
-    stats(exported).write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
+    try {
+      val writer = exported.write.mode(SaveMode.Overwrite)
+      if (partitionByLang) writer.partitionBy("lang_pred").parquet(s"$outDir/export")
+      else writer.parquet(s"$outDir/export")
+      stats(exported).write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
+    } finally exported.unpersist() // don't pin executor memory past the call;
+    // a caller that reads the returned frame recomputes from the sinks' plan
     exported
   }
 }

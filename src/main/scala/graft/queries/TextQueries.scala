@@ -48,6 +48,44 @@ object TextQueries {
   private def dedupLosers(s: SparkSession, d: String): DataFrame =
     neardupLosersOf(Tables.documents(s, d), checkpointDir = ccCheckpointDir(s))
 
+  /** Simhash-family losers: the q64 banded Hamming ≤ `maxHamming` pairs
+    * fed through the same CC + min-doc_id-canonical semantics as the
+    * MinHash path — so SimHash is a full dedup METHOD (pairs → clusters →
+    * apply), not just a fingerprint. Same scale shape: one fingerprint
+    * pass, one (band, key) shuffle, capped bucket expansion, then CC whose
+    * input is the (small) pair set rather than the corpus.
+    */
+  private[graft] def simhashLosersOf(
+      docs: DataFrame, maxHamming: Int = 3, maxIters: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame =
+    graft.operators.DedupClustering
+      .connectedComponents(
+        simhashPairsFrom(docs.select(
+          col("doc_id"),
+          TextFingerprints.simhash64(
+            TextOps.tokens(TextOps.normalized(col("text")))).as("simhash")),
+          maxHamming).select("doc_a", "doc_b"),
+        maxIters = maxIters, checkpointDir = checkpointDir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+
+  /** Winnow-family losers: q65 overlap pairs (≥ `minOverlap` over df-capped
+    * rare fingerprints) through the shared CC + apply semantics.
+    */
+  private[graft] def winnowLosersOf(
+      docs: DataFrame, minOverlap: Double = 0.5, maxIters: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame =
+    graft.operators.DedupClustering
+      .connectedComponents(
+        winnowOverlapFrom(docs.select(
+          col("doc_id"),
+          TextFingerprints.winnowFingerprint(
+            TextOps.normalized(col("text")), 8, 16).as("fps")),
+          minOverlap = minOverlap).select("doc_a", "doc_b"),
+        maxIters = maxIters, checkpointDir = checkpointDir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+
   /** Content-defined chunking of each document (see the q63 registry
     * comment): (doc_id, chunk_start, chunk_len, chunk_fp) with cuts where
     * the gram hash's last nibble is zero. Exposed for CdcChunksSpec's
@@ -57,15 +95,11 @@ object TextQueries {
     val k = 8
     docs
       .select(col("doc_id"), TextOps.normalized(col("text")).as("norm"))
-      .withColumn("m", length(col("norm")) - (k - 1))
-      .withColumn("cuts",
-        // guard: Spark's sequence(2, m) DESCENDS for m < 2; cut at 1 is
-        // a no-op, so candidate cut positions are 2..m (empty when short)
-        when(col("m") >= 2,
-          filter(
-            sequence(lit(2), col("m")),
-            i => substring(md5(col("norm").substr(i, lit(k))), 16, 1) === "0"))
-          .otherwise(array().cast("array<int>")))
+      // native kernel, codegen'd: the equivalent HOF form
+      // (filter(sequence(2, m), i => md5(norm.substr(i, k))...)) evaluates
+      // its lambda interpreted, one digest + UTF8String allocation per
+      // character — 1165 s vs 0.6 s at sf0.1 (measured round 6)
+      .withColumn("cuts", TextFingerprints.cdcCuts(col("norm"), k))
       .withColumn("starts", concat(array(lit(1)), col("cuts")))
       .withColumn("chunks",
         transform(
@@ -75,7 +109,14 @@ object TextQueries {
             (coalesce(try_element_at(col("starts"), j + 1),
               length(col("norm")) + 1)
               - element_at(col("starts"), j)).as("chunk_len"))))
-      .select(col("doc_id"), col("norm"), explode(col("chunks")).as("c"))
+      // explode_OUTER on purpose: plain explode triggers
+      // InferFiltersFromGenerate, which pushes `size(chunks) > 0 AND
+      // isnotnull(chunks)` below the projections with the whole cuts
+      // expression INLINED ~10× per row into a non-codegen Filter (19 s vs
+      // 2 s at sf0.1). Outer explode infers nothing; the chunk_len > 0
+      // filter below drops the NULL rows it would add, so the output is
+      // identical (every non-NULL doc has ≥1 chunk — starts begins at 1).
+      .select(col("doc_id"), col("norm"), explode_outer(col("chunks")).as("c"))
       .select(col("doc_id"),
         col("c.chunk_start").cast("long").as("chunk_start"),
         col("c.chunk_len").cast("long").as("chunk_len"),
@@ -532,6 +573,29 @@ object TextQueries {
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
     }),
 
+    // The q58 apply under the simhash pair family (q64 → CC → anti-join):
+    // SimHash as a complete dedup method, oracled end to end against the
+    // recursive-CTE replay of the same pipeline.
+    "q66_simhash_dedup_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs
+        .join(simhashLosersOf(docs, checkpointDir = ccCheckpointDir(s)),
+          Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    }),
+
+    // The q58 apply under the winnow-overlap pair family (q65 → CC →
+    // anti-join), same end-to-end oracle discipline.
+    "q67_winnow_dedup_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs
+        .join(winnowLosersOf(docs, checkpointDir = ccCheckpointDir(s)),
+          Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    }),
+
     // BM25 document scoring for a fixed term set (k1=1.2, b=0.75).
     // Uses real log idf → not bit-reproducible across engines' libm
     // (SURVEY float-parity rules) → rows-only check; the rational-idf
@@ -660,11 +724,12 @@ object TextQueries {
        |FROM e a JOIN e b ON a.band = b.band AND a.key = b.key
        |  AND a.doc_id < b.doc_id""".stripMargin
 
-  // Shared recursive-CTE connected components over the LSH pairs — the
-  // oracle twin of DedupClustering (used by q43 and the q58 dedup apply).
-  private lazy val clustersCteSql =
-    s"""pairs AS ($pairsSql),
-       |edges AS (
+  // Recursive-CTE connected components over ANY preceding `pairs(doc_a,
+  // doc_b)` CTE — the oracle twin of DedupClustering, shared by every
+  // dedup family's cluster/apply oracle (q43/q58 LSH, q66 simhash, q67
+  // winnow) so the replayed clustering semantics are defined once.
+  private lazy val ccOverPairsSql =
+    s"""edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION SELECT doc_b, doc_a FROM pairs),
        |reach(src, r) AS (
@@ -672,6 +737,99 @@ object TextQueries {
        |  UNION
        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.src),
        |clusters AS (SELECT src AS doc_id, min(r) AS cluster_id FROM reach GROUP BY src)""".stripMargin
+
+  // CC over the MinHash+LSH pairs (q43 and the q58/q61 dedup applies).
+  private lazy val clustersCteSql =
+    s"pairs AS ($pairsSql),\n$ccOverPairsSql"
+
+  // The q58 apply shape shared by every dedup family's apply oracle:
+  // assumes preceding CTEs ending in `clusters(doc_id, cluster_id)`.
+  private lazy val applyLosersSql =
+    raw"""losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n_tokens
+         |FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+         |WHERE l.doc_id IS NULL""".stripMargin
+
+  // Shared bit-exact simhash replay CTE chain `toks → h → acc →
+  // sh(doc_id, simhash)` (used by q24 and the q64 banded pairs): per token,
+  // parse each of the 64 bits of the first-16-hex-chars-of-md5 hash out of
+  // its hex digit (strpos gives the nibble value, shift+mask the bit), vote
+  // ±1, then rebuild the signed BIGINT from the per-bit majorities (bit 63
+  // contributes the sign term -2^63 — two's complement). Token arrays are
+  // never empty on either side (Spark `split(trim(x))` and DuckDB
+  // `string_split_regex` both yield [''] for empty text), so every non-NULL
+  // text doc appears in `sh`; NULL-text docs fall out of `toks` and the
+  // LEFT JOIN in q24 replays the kernel's null-intolerant NULL.
+  private lazy val simhashCteSql =
+    raw"""toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim($normSql), '\s+')) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM toks),
+         |acc AS (
+         |  SELECT doc_id, j,
+         |    sum(CASE WHEN (((strpos('0123456789abcdef',
+         |          substr(h, CAST(16 - j // 4 AS INT), 1)) - 1)
+         |        >> CAST(j % 4 AS INT)) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+         |  FROM h CROSS JOIN range(0, 64) t(j)
+         |  GROUP BY 1, 2),
+         |sh AS (
+         |  SELECT doc_id, CAST(sum(
+         |    CASE WHEN acc <= 0 THEN 0
+         |         WHEN j = 63 THEN -9223372036854775808
+         |         ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END) AS BIGINT)
+         |    AS simhash
+         |  FROM acc GROUP BY doc_id)""".stripMargin
+
+  // Banded simhash candidate pairs (the q64 shape), extending the simhash
+  // CTE chain to end in `cand(doc_a, doc_b, sh_a, sh_b)`; the Spark side's
+  // hot-bucket cap is replayed by `capped`'s HAVING. Shared by q64 and the
+  // q66 dedup apply.
+  private lazy val simhashBandPairsCteSql =
+    s"$simhashCteSql,\n" +
+      raw"""bands AS (
+           |  SELECT doc_id, simhash, j AS band,
+           |    (simhash >> CAST(16 * j AS INT)) & 65535 AS key
+           |  FROM sh CROSS JOIN range(0, 4) t(j)),
+           |capped AS (
+           |  SELECT band, key FROM bands GROUP BY 1, 2
+           |  HAVING count(*) <= $defaultMaxBucket),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.simhash AS sh_a, b.simhash AS sh_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |  JOIN capped c ON c.band = a.band AND c.key = a.key)""".stripMargin
+
+  // Winnow inverted-index CTE chain ending in per-doc rare counts
+  // `nr(doc_id, n_rare)` and shared counts `pr(doc_a, doc_b, n_shared)` —
+  // fingerprints (k=8, w=16) replayed from normalized text, df cap 16.
+  // Shared by q65 and the q67 dedup apply.
+  private lazy val winnowPostingsCteSql =
+    s"""fp AS (
+       |  SELECT doc_id, list_sort(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(hs) - 15, 1)),
+       |    i -> list_aggregate(list_slice(hs, i, i + 15), 'min')))) AS fps
+       |  FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN norm IS NULL OR length(norm) < 8 THEN NULL
+       |      ELSE list_transform(generate_series(1, length(norm) - 7),
+       |        i -> substr(md5(substr(norm, i, 8)), 1, 16)) END AS hs
+       |    FROM (SELECT doc_id, $normSql AS norm FROM documents))
+       |  WHERE hs IS NOT NULL),
+       |b AS (
+       |  SELECT fp, list_sort(list(doc_id)) AS ids
+       |  FROM (SELECT doc_id, unnest(fps) AS fp FROM fp)
+       |  GROUP BY fp HAVING count(*) <= 16),
+       |nr AS (
+       |  SELECT doc_id, count(*) AS n_rare
+       |  FROM (SELECT unnest(ids) AS doc_id FROM b) GROUP BY 1),
+       |pr AS (
+       |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM (SELECT fp, unnest(ids) AS doc_id FROM b WHERE len(ids) >= 2) a
+       |  JOIN (SELECT fp, unnest(ids) AS doc_id FROM b WHERE len(ids) >= 2) b2
+       |    ON a.fp = b2.fp AND a.doc_id < b2.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
 
   private val stopEn = TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
   private def hitsSql(lang: String): String = {
@@ -799,50 +957,41 @@ object TextQueries {
     // mask (the mask strips the sign-fill bits, so the signed BIGINT
     // yields the same band values as the kernel's unsigned shift), equal-
     // band self-join, Hamming via bit_count(xor) on two's-complement.
-    // The Spark side's hot-bucket cap (1000) is not modeled: the corpus
-    // max band bucket is 28 at sf0.1, so the cap never trips here.
+    // The Spark side's hot-bucket cap (1000 — buckets larger than that are
+    // SKIPPED) is replayed by the `capped` CTE's HAVING, so the two sides
+    // stay equivalent by construction, not by corpus statistics (the sf0.1
+    // max band bucket is 291 — 2× headroom asserted in NearDupPairsSpec —
+    // but a degenerate corpus of short docs could trip the cap).
     "q64_simhash_pairs" ->
-      (s"WITH $simhashCteSql,\n" +
-        raw"""bands AS (
-             |  SELECT doc_id, simhash, j AS band,
-             |    (simhash >> CAST(16 * j AS INT)) & 65535 AS key
-             |  FROM sh CROSS JOIN range(0, 4) t(j)),
-             |cand AS (
-             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |    a.simhash AS sh_a, b.simhash AS sh_b
-             |  FROM bands a JOIN bands b
-             |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-             |SELECT doc_a, doc_b,
-             |  CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-             |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin),
+      s"""WITH $simhashBandPairsCteSql
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin,
+    // Simhash dedup APPLY: the q64 pair set fed through the shared
+    // recursive-CTE connected components and the q58 apply shape.
+    "q66_simhash_dedup_apply" ->
+      s"""WITH RECURSIVE $simhashBandPairsCteSql,
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  WHERE bit_count(xor(sh_a, sh_b)) <= 3),
+         |$ccOverPairsSql,
+         |$applyLosersSql""".stripMargin,
+    // Winnow dedup APPLY: the q65 overlap pairs (threshold 0.5) through
+    // the same CC + apply shape.
+    "q67_winnow_dedup_apply" ->
+      s"""WITH RECURSIVE $winnowPostingsCteSql,
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM pr
+         |  JOIN nr na ON na.doc_id = pr.doc_a
+         |  JOIN nr nb ON nb.doc_id = pr.doc_b
+         |  WHERE CAST(n_shared AS DOUBLE) / least(na.n_rare, nb.n_rare) >= 0.5),
+         |$ccOverPairsSql,
+         |$applyLosersSql""".stripMargin,
     // Winnow-overlap replay: same fingerprint CTE family as q25, df-capped
     // (≤16) posting lists, shared-count pair join, integer-count overlap
     // fraction (one division — bit-exact across engines).
     "q65_winnow_overlap" ->
-      s"""WITH fp AS (
-         |  SELECT doc_id, list_sort(list_distinct(list_transform(
-         |    generate_series(1, greatest(len(hs) - 15, 1)),
-         |    i -> list_aggregate(list_slice(hs, i, i + 15), 'min')))) AS fps
-         |  FROM (
-         |    SELECT doc_id,
-         |      CASE WHEN norm IS NULL OR length(norm) < 8 THEN NULL
-         |      ELSE list_transform(generate_series(1, length(norm) - 7),
-         |        i -> substr(md5(substr(norm, i, 8)), 1, 16)) END AS hs
-         |    FROM (SELECT doc_id, $normSql AS norm FROM documents))
-         |  WHERE hs IS NOT NULL),
-         |b AS (
-         |  SELECT fp, list_sort(list(doc_id)) AS ids
-         |  FROM (SELECT doc_id, unnest(fps) AS fp FROM fp)
-         |  GROUP BY fp HAVING count(*) <= 16),
-         |nr AS (
-         |  SELECT doc_id, count(*) AS n_rare
-         |  FROM (SELECT unnest(ids) AS doc_id FROM b) GROUP BY 1),
-         |pr AS (
-         |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, count(*) AS n_shared
-         |  FROM (SELECT fp, unnest(ids) AS doc_id FROM b WHERE len(ids) >= 2) a
-         |  JOIN (SELECT fp, unnest(ids) AS doc_id FROM b WHERE len(ids) >= 2) b2
-         |    ON a.fp = b2.fp AND a.doc_id < b2.doc_id
-         |  GROUP BY 1, 2)
+      s"""WITH $winnowPostingsCteSql
          |SELECT doc_a, doc_b, n_shared,
          |  CAST(n_shared AS DOUBLE) / least(na.n_rare, nb.n_rare) AS overlap
          |FROM pr
@@ -909,12 +1058,7 @@ object TextQueries {
       s"""WITH RECURSIVE $clustersCteSql
          |SELECT doc_id, cluster_id FROM clusters""".stripMargin,
     "q58_dedup_apply" ->
-      raw"""WITH RECURSIVE $clustersCteSql,
-           |losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
-           |SELECT d.doc_id,
-           |  CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n_tokens
-           |FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
-           |WHERE l.doc_id IS NULL""".stripMargin,
+      s"WITH RECURSIVE $clustersCteSql,\n$applyLosersSql",
     "q23_jaccard" ->
       s"""WITH pairs AS ($pairsSql),
          |sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents)

@@ -189,11 +189,69 @@ object StreamingOps {
       docs: DataFrame,
       eventTime: String = "event_time",
       delay: String = "1 hour",
+      maxBucket: Int = 1000): Dataset[NeardupCandidate] =
+    candidatesFromBanded(
+      graft.queries.TextQueries.withSignatures(docs)
+        .select(col("doc_id"), col(eventTime),
+          graft.queries.TextQueries.bandsExploded.as(Seq("band", "key"))),
+      eventTime, delay, maxBucket)
+
+  /** Streaming twin of the batch simhash banded pair generator (q64): the
+    * 64-bit simhash is a single narrow codegen'd expression per document,
+    * its 4×16-bit bands feed the SAME bucket-state machinery as the
+    * MinHash twin — only the fingerprint family differs. Downstream, a
+    * verify stage joins fingerprints back and filters `hamming ≤ 3`
+    * exactly as the batch q64 does.
+    */
+  def simhashCandidates(
+      docs: DataFrame,
+      eventTime: String = "event_time",
+      delay: String = "1 hour",
       maxBucket: Int = 1000): Dataset[NeardupCandidate] = {
-    import docs.sparkSession.implicits._
+    val sh = graft.functions.TextFingerprints.simhash64(
+      graft.functions.TextOps.tokens(
+        graft.functions.TextOps.normalized(col("text"))))
+    candidatesFromBanded(
+      docs
+        .withColumn("__sh", sh)
+        .filter(col("__sh").isNotNull)
+        .select(col("doc_id"), col(eventTime),
+          posexplode(array((0 to 3).map(j =>
+            format_string("%04x", shiftright(col("__sh"), 16 * j)
+              .bitwiseAND(lit(0xFFFFL)))): _*)).as(Seq("band", "key"))),
+      eventTime, delay, maxBucket)
+  }
+
+  /** Streaming simhash EXACT-fingerprint dedup (the Hamming-0 tier of the
+    * q64 family): one state entry per distinct simhash within the
+    * watermark horizon, first arrival wins — `dedupStream` with the
+    * simhash expression as the fingerprint.
+    */
+  def simhashDedupStream(
+      docs: DataFrame,
+      eventTime: String = "event_time",
+      delay: String = "1 hour"): DataFrame =
+    dedupStream(
+      docs,
+      graft.functions.TextFingerprints.simhash64(
+        graft.functions.TextOps.tokens(
+          graft.functions.TextOps.normalized(col("text")))),
+      eventTime, delay)
+
+  /** The shared bucket-state engine behind both candidate generators:
+    * input must carry (doc_id, `eventTime`, band, key) — one row per
+    * (document, band). NULL keys are dropped (a NULL fingerprint never
+    * pairs).
+    */
+  private def candidatesFromBanded(
+      banded: DataFrame,
+      eventTime: String,
+      delay: String,
+      maxBucket: Int): Dataset[NeardupCandidate] = {
+    import banded.sparkSession.implicits._
     val interval = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(delay))
-    require(interval.months == 0, "neardupCandidates: delay must be day-time")
+    require(interval.months == 0, "candidatesFromBanded: delay must be day-time")
     val horizonMs = interval.days * 86400000L + interval.microseconds / 1000L
 
     def fn(
@@ -240,9 +298,7 @@ object StreamingOps {
       out.result().iterator
     }
 
-    graft.queries.TextQueries.withSignatures(docs)
-      .select(col("doc_id"), col(eventTime),
-        graft.queries.TextQueries.bandsExploded.as(Seq("band", "key")))
+    banded
       .filter(col("key").isNotNull)
       .withWatermark(eventTime, delay)
       .withColumn("event_us", unix_micros(col(eventTime)))

@@ -35,6 +35,40 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(neardup.size < none.size)
   }
 
+  test("simhash and winnow modes drop planted near-dups, keep the min doc_id") {
+    import spark.implicits._
+    // 40+ token docs so quality passes at minQuality 0: d7/d10 are exact
+    // copies (simhash Hamming 0, winnow overlap 1.0); d20 is unrelated.
+    val body  = Seq.tabulate(40)(i => s"tok${i * 7 % 31}word").mkString(" ")
+    val other = Seq.tabulate(40)(i => s"else${i * 11 % 29}text").mkString(" ")
+    val docs = Seq(
+      (10L, body), (7L, body), (20L, other)).toDF("doc_id", "text")
+    for (mode <- Seq(TrainingPipeline.SimhashDedup, TrainingPipeline.WinnowDedup)) {
+      val kept = TrainingPipeline.export(docs, None,
+          TrainingPipeline.Config(minQuality = 0.0, dedup = mode))
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept === Set(7L, 20L), s"mode=$mode")
+    }
+  }
+
+  test("simhash/winnow exports equal their oracled apply queries on sf data") {
+    val docs = Tables.documents(spark, sf)
+    def exportIds(mode: TrainingPipeline.DedupMode): Set[Long] =
+      TrainingPipeline.export(docs, None,
+          TrainingPipeline.Config(minQuality = 0.0, dedup = mode))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    def applyIds(q: String): Set[Long] =
+      SparkEntry.queries(q)(spark, sf)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // minQuality 0 still drops NULL-text docs (quality NULL); the q66/q67
+    // applies keep them — compare on the quality-scorable intersection
+    val scorable = exportIds(TrainingPipeline.NoDedup)
+    assert(exportIds(TrainingPipeline.SimhashDedup) ===
+      (applyIds("q66_simhash_dedup_apply") intersect scorable))
+    assert(exportIds(TrainingPipeline.WinnowDedup) ===
+      (applyIds("q67_winnow_dedup_apply") intersect scorable))
+  }
+
   test("exact mode keeps the min doc_id of each duplicate group") {
     import spark.implicits._
     val docs = Seq(

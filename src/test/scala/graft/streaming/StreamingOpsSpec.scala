@@ -282,6 +282,61 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming simhash candidates equal the batch banded pair set") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // dup of 1
+      (3L, "completely different content about streaming watermarks and state"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup
+    )
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val query = StreamingOps.simhashCandidates(
+        input.toDF().toDF("doc_id", "text", "event_time"))
+      .writeStream.format("memory").queryName("simhash_cand")
+      .outputMode("append").start()
+    try {
+      input.addData(texts.map { case (id, t) =>
+        (id, t, ts(s"2023-01-01 10:0$id:00")) })
+      query.processAllAvailable()
+      val stream = spark.table("simhash_cand")
+        .select("doc_a", "doc_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // maxHamming = 64 disables the verify filter → the raw banded
+      // candidate set, which is what the stream emits pre-verify
+      val batch = graft.queries.TextQueries.simhashPairsFrom(
+          texts.toDF("doc_id", "text").select(col("doc_id"),
+            graft.functions.TextFingerprints.simhash64(
+              graft.functions.TextOps.tokens(
+                graft.functions.TextOps.normalized(col("text"))))
+              .as("simhash")),
+          maxHamming = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.contains((1L, 2L))) // sanity: the dup pair exists at all
+      assert(stream === batch)
+    } finally query.stop()
+  }
+
+  test("streaming simhash dedup drops exact-fingerprint dups within the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val query = StreamingOps.simhashDedupStream(
+        input.toDF().toDF("doc_id", "text", "event_time"))
+      .writeStream.format("memory").queryName("simhash_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "Hello   World again", ts("2023-01-01 10:00:00")),
+        (2L, "hello world again",   ts("2023-01-01 10:05:00")), // same simhash
+        (3L, "entirely different text here", ts("2023-01-01 10:06:00")))
+      query.processAllAvailable()
+      val ids = spark.table("simhash_dedup").select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 3L))
+    } finally query.stop()
+  }
+
   test("custom sessionizer agrees with the engine-native session_window") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
