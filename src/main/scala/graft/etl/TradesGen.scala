@@ -6,11 +6,13 @@ import java.io.{BufferedWriter, File, FileWriter}
   * (BASELINE.md): reproduces the reference CSV's exact shape and dirt
   * pattern — same header, same 15 users in three client-type blocks, same
   * five symbols with their price levels, `%Y-%m-%d %H:%M:%S` timestamps in
-  * the same Jan–Apr 2023 window, and the same ~1.25% dirty-row rate drawn
-  * from the reference's observed dirt kinds (empty/`not_a_date` timestamp,
-  * empty symbol/quantity/price — `/root/reference/trades (1) (2) (1).csv`
-  * has 5 of each per 800 rows). Fixed seed → identical bytes every run, so
-  * pandas-vs-Spark timings are measured on the same file contents.
+  * the same Jan–Apr 2023 window, and the same ~3.1% dirty-row rate drawn
+  * from the reference's observed dirt kinds — `/root/reference/trades (1)
+  * (2) (1).csv` has 25 dirty rows per 800 (10 bad timestamps, half empty /
+  * half `not_a_date`, + 5 each empty symbol/quantity/price), so a uniform
+  * draw over the five kinds at 25/800 reproduces that shape in
+  * expectation. Fixed seed → identical bytes every run, so pandas-vs-Spark
+  * timings are measured on the same file contents.
   *
   * Key cardinality intentionally does NOT scale with row count: the
   * reference README's scaling discussion (README.md:41-47) is about input
@@ -57,7 +59,7 @@ object TradesGen {
         val qty  = d2(1.0 + rnd.nextDouble() * 9.0)
         val prc  = d2(base * (0.95 + rnd.nextDouble() * 0.10))
         var symS = sym; var qtyS = qty; var prcS = prc
-        if (rnd.nextDouble() < 10.0 / 800.0) rnd.nextInt(5) match {
+        if (rnd.nextDouble() < 25.0 / 800.0) rnd.nextInt(5) match {
           case 0 => ts = ""
           case 1 => ts = "not_a_date"
           case 2 => symS = ""

@@ -6,8 +6,9 @@ import java.nio.file.{Files, Paths}
 /** The scaled-baseline generator must be byte-deterministic (pandas and
   * Spark are timed on the SAME file contents) and its dirt must clean
   * identically in both engines — the pandas reference run
-  * (tools/bench_baseline.py) reports 79041 clean rows on the 80k file,
-  * which the Spark clean must reproduce exactly.
+  * (tools/bench_baseline.py) reports 77542 clean rows on the 80k file
+  * (~3.1% dirt, the reference CSV's own rate), which the Spark clean must
+  * reproduce exactly.
   */
 class TradesGenSpec extends SparkSpec {
 
@@ -25,8 +26,8 @@ class TradesGenSpec extends SparkSpec {
   test("80k bench file: Spark clean count matches the pandas reference") {
     val path = TradesGen.ensure("/root/repo/bench_data/trades_80k.csv", 80000)
     val clean = TradesEtl.clean(TradesEtl.extract(spark, path))
-    // 79041 = len(ref.extract(path)) via tools/bench_baseline.py — the two
+    // 77542 = len(ref.extract(path)) via tools/bench_baseline.py — the two
     // engines must agree on exactly which dirty rows drop
-    assert(clean.count() === 79041L)
+    assert(clean.count() === 77542L)
   }
 }
