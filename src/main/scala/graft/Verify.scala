@@ -9,13 +9,19 @@ object Verify {
     val spark = GraftSession.create("graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Single-file output keeps the driver's per-query compare simple at
+    // verification scale (sf≤0.1). For large dumps the one-writer funnel
+    // becomes the bottleneck: set GRAFT_VERIFY_SINGLE_FILE=0 to write with
+    // the query's natural partitioning instead.
+    val singleFile = sys.env.getOrElse("GRAFT_VERIFY_SINGLE_FILE", "1") != "0"
     SparkEntry.queries.foreach { case (name, fn) =>
       // repartition(1), NOT coalesce(1): coalesce collapses the FINAL
       // stage (back to the last shuffle boundary) into one task — narrow
       // queries would run fully single-threaded; repartition keeps every
       // stage parallel and only funnels the result into one output file
       // for the driver's compare.
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
+      val df = fn(spark, sfDir)
+      try (if (singleFile) df.repartition(1) else df).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
