@@ -87,6 +87,55 @@ object TextOps {
       .otherwise("fr")
   }
 
+  /** Word n-grams WITH multiplicity (one per position, unlike the distinct
+    * [[wordShinglesFromTokens]] set) — repetition analysis needs occurrence
+    * counts. Docs shorter than n degrade to one whole-doc gram.
+    */
+  def wordGramsWithRepeats(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+
+  /** Per-row gram-repetition statistics in ONE narrow pass — the kernel of
+    * the Gopher/MassiveText repetition filters (Rae et al. 2021, table A1):
+    * sort the gram array, then a single `aggregate` walk over the sorted
+    * runs yields
+    *   - `top_count` / `top_gram`: the most frequent gram (ties break to
+    *     the lexicographically smallest, for free: ascending order means
+    *     the smallest gram reaches any given count first and later equal
+    *     counts never displace it),
+    *   - `dup_chars`: total characters across ALL occurrences of grams
+    *     appearing ≥ 2 times,
+    *   - `total_chars`: characters across all gram occurrences (the
+    *     denominator that keeps the fractions in [0,1]).
+    * O(m log m) per row, zero shuffles, codegen'd built-ins only — at
+    * corpus scale this is a pure map stage.
+    */
+  def gramRunStats(grams: Column): Column =
+    aggregate(
+      array_sort(grams),
+      struct(
+        lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("top_count"), lit("").as("top_gram"),
+        lit(0L).as("dup_chars"), lit(0L).as("total_chars")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        val xLen = length(x).cast("long")
+        struct(
+          x.as("prev"),
+          run.as("run"),
+          when(run > acc.getField("top_count"), run)
+            .otherwise(acc.getField("top_count")).as("top_count"),
+          when(run > acc.getField("top_count"), x)
+            .otherwise(acc.getField("top_gram")).as("top_gram"),
+          (acc.getField("dup_chars") +
+            when(run === 2L, xLen * 2L) // run hits 2: both occurrences count
+              .when(run > 2L, xLen)
+              .otherwise(lit(0L))).as("dup_chars"),
+          (acc.getField("total_chars") + xLen).as("total_chars"))
+      })
+
   /** Normalization for fingerprinting: lowercase, trim, collapse runs of
     * whitespace to single spaces.
     */

@@ -84,14 +84,25 @@ object TrainingPipeline {
   /** The export frame: doc_id, n_tokens, quality, lang_pred
     * (+ codes_csv when `embeddings` is given — inner join on
     * doc_id = vec_id, so docs without an embedding drop).
+    *
+    * `evalDocs` (a benchmark table with doc_id + text) switches on
+    * GPT-3-style decontamination — training docs sharing a word 13-gram
+    * with the eval set are removed FIRST (q68/q69 semantics,
+    * [[graft.queries.TextQueries.decontaminate]]), so dedup never elects
+    * a contaminated doc as a cluster's canonical survivor.
     */
   def export(
       docs: DataFrame,
       embeddings: Option[DataFrame] = None,
-      cfg: Config = Config()): DataFrame = {
-    val deduped = losers(docs, cfg) match {
-      case Some(l) => docs.join(l, Seq("doc_id"), "left_anti")
-      case None    => docs
+      cfg: Config = Config(),
+      evalDocs: Option[DataFrame] = None): DataFrame = {
+    val clean = evalDocs match {
+      case Some(ev) => TextQueries.decontaminate(docs, ev)
+      case None     => docs
+    }
+    val deduped = losers(clean, cfg) match {
+      case Some(l) => clean.join(l, Seq("doc_id"), "left_anti")
+      case None    => clean
     }
     val kept = TextQueries.scoreDocs(deduped)
       .filter(col("quality") >= cfg.minQuality)

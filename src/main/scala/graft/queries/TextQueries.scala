@@ -86,6 +86,72 @@ object TextQueries {
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
 
+  /** GPT-3-style benchmark decontamination (Brown et al. 2020, Appendix C
+    * — no reference analogue; a training-data-pipeline extension): a
+    * training document is CONTAMINATED if it shares at least one word
+    * `decontamGramN`-gram with any document of the eval/benchmark set.
+    * 13 words is the published threshold: long enough that a shared gram
+    * is evidence of copying, not coincidence (31^13 ≈ 2.4e19 possible
+    * grams on this lexicon vs ~1e5 grams in the corpus — zero background
+    * collisions; what it flags is the planted near-dups of eval docs).
+    */
+  private[graft] val decontamGramN = 13
+
+  /** Deterministic eval-set stand-in for the registry queries: every 25th
+    * doc_id acts as the held-out benchmark, the rest are the training
+    * pool. (A real pipeline passes its benchmark table —
+    * [[graft.pipeline.TrainingPipeline.export]] takes `evalDocs` directly;
+    * the registry needs a reproducible slice of the one documents table.)
+    */
+  private[graft] val evalSliceMod = 25
+  private[graft] def evalSlice(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % evalSliceMod === 0)
+  private[graft] def trainSlice(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % evalSliceMod =!= 0)
+
+  /** doc_id → exploded DISTINCT word n-grams, tokens staged as a real
+    * projection (same HOF-CSE discipline as [[shingledDocs]]). Docs
+    * shorter than n tokens degrade to one whole-doc gram (the
+    * wordShingles convention), so short eval docs still catch their
+    * exact copies.
+    */
+  private[graft] def docGrams(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        explode(TextOps.wordShinglesFromTokens(col("toks"), n)).as("gram"))
+
+  /** Per-training-doc contamination evidence — distinct shared grams and
+    * distinct eval docs hit; clean docs don't appear.
+    *
+    * Scale shape: an eval set is a benchmark — thousands of documents,
+    * not billions — so its gram table is BROADCAST and the corpus side
+    * joins without shuffling; the only shuffle is the per-doc aggregation
+    * of the (rare) matching grams. The corpus-side gram explosion is
+    * narrow and never materialized.
+    */
+  private[graft] def contaminationHits(
+      train: DataFrame, evalDocs: DataFrame,
+      n: Int = decontamGramN): DataFrame =
+    docGrams(train, n)
+      .join(broadcast(docGrams(evalDocs, n)
+        .select(col("doc_id").as("eval_id"), col("gram"))), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("shared_grams"),
+        countDistinct(col("eval_id")).as("eval_docs"))
+
+  /** The training pool with contaminated docs REMOVED — the terminal
+    * decontamination step a pipeline runs before tokenization. Left-anti
+    * join against the hit set (same apply discipline as the dedup
+    * families).
+    */
+  private[graft] def decontaminate(
+      train: DataFrame, evalDocs: DataFrame,
+      n: Int = decontamGramN): DataFrame =
+    train.join(contaminationHits(train, evalDocs, n).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
   /** Content-defined chunking of each document (see the q63 registry
     * comment): (doc_id, chunk_start, chunk_len, chunk_fp) with cuts where
     * the gram hash's last nibble is zero. Exposed for CdcChunksSpec's
@@ -596,6 +662,55 @@ object TextQueries {
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
     }),
 
+    // Benchmark decontamination, hit report: training docs (doc_id % 25
+    // ≠ 0) sharing ≥1 word 13-gram with the eval slice (doc_id % 25 = 0),
+    // with the evidence counts. Eval grams broadcast — the corpus side
+    // never shuffles for the join. Integer counts → bit-exact oracle.
+    "q68_decontam_hits" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      contaminationHits(trainSlice(docs), evalSlice(docs))
+    }),
+
+    // Decontamination apply: the surviving training pool — what a real
+    // pipeline ships to tokenization after removing benchmark overlap.
+    "q69_decontam_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      decontaminate(trainSlice(docs), evalSlice(docs))
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    }),
+
+    // Gopher/MassiveText repetition filters (Rae et al. 2021, table A1):
+    // per-document most-frequent-2-gram character fraction and
+    // duplicated-5-gram character fraction, with the table's 0.20 / 0.15
+    // pass thresholds. Fractions are over total gram characters
+    // (occurrence-weighted), keeping them in [0,1] even for periodic
+    // text where overlapping duplicated grams would overcount document
+    // chars. Entirely narrow (sorted-runs fold per row — see
+    // TextOps.gramRunStats), zero shuffles; integer counts + single
+    // divisions → bit-exact oracle.
+    "q70_repetition" -> ((s, d) => {
+      val staged = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.normalized(col("text")).as("norm"))
+        .select(col("doc_id"), TextOps.tokens(col("norm")).as("toks"))
+        .select(col("doc_id"),
+          TextOps.gramRunStats(TextOps.wordGramsWithRepeats(col("toks"), 2)).as("g2"),
+          TextOps.gramRunStats(TextOps.wordGramsWithRepeats(col("toks"), 5)).as("g5"))
+        .select(col("doc_id"),
+          col("g2.top_count").as("top2_count"),
+          col("g2.top_gram").as("top2_gram"),
+          ((col("g2.top_count") * length(col("g2.top_gram")).cast("long"))
+            .cast("double")
+            / greatest(col("g2.total_chars"), lit(1L)).cast("double"))
+            .as("top2_char_frac"),
+          (col("g5.dup_chars").cast("double")
+            / greatest(col("g5.total_chars"), lit(1L)).cast("double"))
+            .as("dup5_char_frac"))
+      staged.select(col("*"),
+        (col("top2_char_frac") <= 0.20 && col("dup5_char_frac") <= 0.15)
+          .as("passes_repetition"))
+    }),
+
     // BM25 document scoring for a fixed term set (k1=1.2, b=0.75).
     // Uses real log idf → not bit-reproducible across engines' libm
     // (SURVEY float-parity rules) → rows-only check; the rational-idf
@@ -831,6 +946,23 @@ object TextQueries {
        |    ON a.fp = b2.fp AND a.doc_id < b2.doc_id
        |  GROUP BY 1, 2)""".stripMargin
 
+  // Word 13-gram decontamination CTE chain: distinct per-doc grams
+  // (mirrors wordShinglesFromTokens index-for-index, including the
+  // shorter-than-n whole-doc degenerate gram), split into the eval slice
+  // `ev(eval_id, gram)` and the training pool `tr(doc_id, gram)`.
+  // Shared by q68 and the q69 apply.
+  private lazy val decontamCteSql =
+    raw"""dt AS (
+         |  SELECT doc_id, string_split_regex(trim($normSql), '\s+') AS t
+         |  FROM documents),
+         |dg AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(t) - ${decontamGramN - 1}, 1)),
+         |    i -> array_to_string(list_slice(t, i, i + ${decontamGramN - 1}), ' ')))) AS gram
+         |  FROM dt),
+         |ev AS (SELECT doc_id AS eval_id, gram FROM dg WHERE doc_id % $evalSliceMod = 0),
+         |tr AS (SELECT doc_id, gram FROM dg WHERE doc_id % $evalSliceMod <> 0)""".stripMargin
+
   private val stopEn = TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
   private def hitsSql(lang: String): String = {
     val words = TextOps.stopwords(lang).map(w => s"'$w'").mkString(", ")
@@ -1059,6 +1191,64 @@ object TextQueries {
          |SELECT doc_id, cluster_id FROM clusters""".stripMargin,
     "q58_dedup_apply" ->
       s"WITH RECURSIVE $clustersCteSql,\n$applyLosersSql",
+    "q68_decontam_hits" ->
+      s"""WITH $decontamCteSql
+         |SELECT tr.doc_id,
+         |  count(DISTINCT tr.gram) AS shared_grams,
+         |  count(DISTINCT ev.eval_id) AS eval_docs
+         |FROM tr JOIN ev ON tr.gram = ev.gram
+         |GROUP BY tr.doc_id""".stripMargin,
+    // The q70 repetition replay groups gram occurrences per doc instead of
+    // walking sorted runs — same integer counts by construction; the
+    // row_number tie-break (cnt DESC, gram ASC) mirrors the fold's
+    // first-to-reach-the-count-in-ascending-order rule.
+    "q70_repetition" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id, string_split_regex(trim($normSql), '\s+') AS toks
+           |  FROM documents),
+           |g2 AS (
+           |  SELECT doc_id, unnest(list_transform(
+           |    generate_series(1, greatest(len(toks) - 1, 1)),
+           |    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+           |  FROM t),
+           |c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+           |s2 AS (SELECT doc_id, sum(cnt * length(gram)) AS total_chars FROM c2 GROUP BY 1),
+           |top2 AS (
+           |  SELECT doc_id, cnt AS top2_count, gram AS top2_gram
+           |  FROM (SELECT doc_id, cnt, gram, row_number()
+           |      OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+           |    FROM c2) WHERE rn = 1),
+           |g5 AS (
+           |  SELECT doc_id, unnest(list_transform(
+           |    generate_series(1, greatest(len(toks) - 4, 1)),
+           |    i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS gram
+           |  FROM t),
+           |c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+           |s5 AS (
+           |  SELECT doc_id,
+           |    coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) END), 0) AS dup_chars,
+           |    sum(cnt * length(gram)) AS total_chars
+           |  FROM c5 GROUP BY 1),
+           |f AS (
+           |  SELECT t.doc_id, top2.top2_count, top2.top2_gram,
+           |    CAST(top2.top2_count * length(top2.top2_gram) AS DOUBLE)
+           |      / CAST(greatest(s2.total_chars, 1) AS DOUBLE) AS top2_char_frac,
+           |    CAST(s5.dup_chars AS DOUBLE)
+           |      / CAST(greatest(s5.total_chars, 1) AS DOUBLE) AS dup5_char_frac
+           |  FROM t
+           |  JOIN top2 ON t.doc_id = top2.doc_id
+           |  JOIN s2 ON t.doc_id = s2.doc_id
+           |  JOIN s5 ON t.doc_id = s5.doc_id)
+           |SELECT doc_id, top2_count, top2_gram, top2_char_frac, dup5_char_frac,
+           |  (top2_char_frac <= 0.20 AND dup5_char_frac <= 0.15) AS passes_repetition
+           |FROM f""".stripMargin,
+    "q69_decontam_apply" ->
+      raw"""WITH $decontamCteSql,
+           |hits AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.gram = ev.gram)
+           |SELECT d.doc_id,
+           |  CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n_tokens
+           |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+           |WHERE d.doc_id % $evalSliceMod <> 0 AND h.doc_id IS NULL""".stripMargin,
     "q23_jaccard" ->
       s"""WITH pairs AS ($pairsSql),
          |sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents)

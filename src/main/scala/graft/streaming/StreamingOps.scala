@@ -238,6 +238,32 @@ object StreamingOps {
           graft.functions.TextOps.normalized(col("text")))),
       eventTime, delay)
 
+  /** Streaming twin of the q68 contamination detector: each arriving
+    * training document's word 13-grams probe the STATIC eval-set gram
+    * table (broadcast — a benchmark is bounded, like the ANN codebooks),
+    * and the first matching gram per document emits one alert row; state
+    * is the per-doc dedup within the watermark horizon. The APPLY (q69)
+    * stays a batch step by design — removing a doc needs its complete
+    * absence from the hit set, which this stream feeds; same contract
+    * split as [[neardupCandidates]] vs the periodic batch clustering.
+    */
+  def contaminationAlerts(
+      docs: DataFrame, evalDocs: DataFrame,
+      eventTime: String = "event_time", delay: String = "1 hour"): DataFrame = {
+    import graft.functions.TextOps
+    val n = graft.queries.TextQueries.decontamGramN
+    val evalGrams = graft.queries.TextQueries.docGrams(evalDocs, n)
+      .select(col("doc_id").as("eval_id"), col("gram"))
+    docs
+      .withColumn("__toks", TextOps.tokens(TextOps.normalized(col("text"))))
+      .withColumn("gram",
+        explode(TextOps.wordShinglesFromTokens(col("__toks"), n)))
+      .withWatermark(eventTime, delay)
+      .join(broadcast(evalGrams), "gram") // stream-static, stateless
+      .select(col("doc_id"), col(eventTime), col("gram"), col("eval_id"))
+      .dropDuplicatesWithinWatermark("doc_id")
+  }
+
   /** The shared bucket-state engine behind both candidate generators:
     * input must carry (doc_id, `eventTime`, band, key) — one row per
     * (document, band). NULL keys are dropped (a NULL fingerprint never

@@ -67,6 +67,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q68: eval-gram join broadcasts — the corpus side never shuffles for it") {
+    val p = plan("q68_decontam_hits", "simple")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q52: vocab cut plans as TakeOrdered over the aggregated counts") {
     val p = plan("q52_vocab", "simple")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -457,4 +457,35 @@ class StreamingOpsSpec extends SparkSpec {
       assert(closed.head === StreamingOps.SessionOut(1L, 10 * H, 10 * H + 1200000000L, 3))
     } finally query.stop()
   }
+
+  test("streaming contamination alerts flag the same docs as batch q68") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val thirteen =
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike"
+    val evalDocs = Seq((100L, thirteen)).toDF("doc_id", "text")
+    val texts = Seq(
+      (1L, "uniform victor whiskey xray yankee zulu uniform victor whiskey xray yankee zulu uniform victor"),
+      (2L, s"prefix $thirteen suffix"), // contaminated
+      (3L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima november oscar papa"), // 12-run only
+      (4L, thirteen),                   // contaminated (exact copy)
+    )
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val query = StreamingOps.contaminationAlerts(
+        input.toDF().toDF("doc_id", "text", "event_time"), evalDocs)
+      .writeStream.format("memory").queryName("decontam_alerts")
+      .outputMode("append").start()
+    try {
+      input.addData(texts.map { case (id, t) =>
+        (id, t, ts(s"2023-01-01 10:0$id:00")) })
+      query.processAllAvailable()
+      val stream = spark.table("decontam_alerts")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val batch = graft.queries.TextQueries
+        .contaminationHits(texts.toDF("doc_id", "text"), evalDocs)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batch === Set(2L, 4L)) // sanity: the planted overlap is real
+      assert(stream === batch)
+    } finally query.stop()
+  }
 }
