@@ -170,4 +170,53 @@ object TextOps {
       transform(
         sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  // --- Gopher/MassiveText document-quality rules (Rae et al. 2021, table
+  // A1, the non-repetition half — the repetition half is gramRunStats).
+  // Every signal is an integer count or a single per-row division, so the
+  // DuckDB oracle replays them bit-for-bit.
+
+  /** The eight English words of which Gopher requires at least two. */
+  val gopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** How many of [[gopherRequiredWords]] appear in the (normalized) token
+    * array — presence, not occurrence count: an integer sum of eight
+    * `array_contains` probes, mirrored by the oracle's CASE sum.
+    */
+  def gopherRequiredStopCount(toks: Column): Column =
+    gopherRequiredWords
+      .map(w => array_contains(toks, w).cast("long"))
+      .reduce(_ + _)
+
+  /** Words containing at least one alphabetic character (over normalized
+    * tokens, so the class is just `[a-z]`).
+    */
+  def alphaWordCount(toks: Column): Column =
+    size(filter(toks, t => t.rlike("[a-z]")))
+
+  /** Occurrences of Gopher's "symbols": the hash mark and the ellipsis
+    * (both the three-dot spelling and U+2026). The rule is
+    * symbol-to-word ratio ≤ 0.1.
+    */
+  def symbolCount(c: Column): Column =
+    regexp_count(c, lit("#|\\.\\.\\.|…"))
+
+  /** Raw lines of the document (split on newline, NOT trimmed — a document
+    * without newlines is one line).
+    */
+  def lines(c: Column): Column = split(c, "\n", -1)
+
+  /** Lines whose left-trimmed form starts with a bullet glyph
+    * (•, ‣, ▪, "- ", "* "). Gopher drops docs where >90% of lines start
+    * with a bullet.
+    */
+  def bulletLineCount(lines: Column): Column =
+    size(filter(lines, l => ltrim(l).rlike("^(•|‣|▪|- |\\* )")))
+
+  /** Lines ending with an ellipsis ("..." or U+2026); Gopher drops docs
+    * where >30% of lines end this way.
+    */
+  def ellipsisLineCount(lines: Column): Column =
+    size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$")))
 }

@@ -48,12 +48,20 @@ object TrainingPipeline {
     *                    session conf (the same switch the registry queries
     *                    honor); unset there too = executor-local
     *                    checkpointing (see DedupClustering).
+    * @param sampleRates per-language mixture down-sampling rates applied to
+    *                    the PREDICTED language (lang_pred) after the quality
+    *                    filter — deterministic salted-md5 thresholding, the
+    *                    q73 sampler ([[graft.queries.TextQueries.mixtureSample]]).
+    *                    Sampling runs LAST so dropping a doc can never
+    *                    change which doc a dedup cluster elects as its
+    *                    canonical. Empty map = keep everything.
     */
   case class Config(
       minQuality: Double = 0.5,
       dedup: DedupMode = NeardupDedup,
       maxIters: Int = 20,
-      checkpointDir: Option[String] = None)
+      checkpointDir: Option[String] = None,
+      sampleRates: Map[String, Double] = Map.empty)
 
   /** Non-canonical doc_ids under the configured dedup mode. */
   private def losers(docs: DataFrame, cfg: Config): Option[DataFrame] =
@@ -106,9 +114,13 @@ object TrainingPipeline {
     }
     val kept = TextQueries.scoreDocs(deduped)
       .filter(col("quality") >= cfg.minQuality)
+    val sampled =
+      if (cfg.sampleRates.isEmpty) kept
+      else TextQueries.mixtureSample(kept, cfg.sampleRates, langCol = "lang_pred")
+        .drop("sample_key")
     embeddings match {
-      case Some(emb) => kept.join(VectorQueries.codesCsvByDocId(emb), Seq("doc_id"))
-      case None      => kept
+      case Some(emb) => sampled.join(VectorQueries.codesCsvByDocId(emb), Seq("doc_id"))
+      case None      => sampled
     }
   }
 

@@ -152,6 +152,111 @@ object TextQueries {
     train.join(contaminationHits(train, evalDocs, n).select("doc_id"),
       Seq("doc_id"), "left_anti")
 
+  /** q72's passage length: word 10-grams with multiplicity — Lee et al.
+    * 2021 use 50-BPE-token spans; 10 lexicon words is the same idea scaled
+    * to this corpus' 47–560-char documents.
+    */
+  private[graft] val dupPassageGramN = 10
+
+  /** Per-language sampling rates for q73 — en halved, fr quartered, es
+    * trimmed, the rest kept (the corpus' en share is ~2.4× any other
+    * language). Languages absent from the map are kept.
+    */
+  private[graft] val mixtureRates: Map[String, Double] =
+    Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.75, "fr" -> 0.25, "zh" -> 1.0)
+
+  /** floor(rate·2^32) as fixed-width lowercase hex — the threshold a doc's
+    * 8-hex salted sample key is compared against. Lexicographic order on
+    * fixed-width lowercase hex IS unsigned numeric order, so `key < hex(r)`
+    * keeps exactly the fraction r of the uniform md5 space.
+    */
+  private[graft] def sampleThresholdHex(rate: Double): String =
+    f"${math.floor(rate * 4294967296.0).toLong}%08x"
+
+  /** Deterministic per-language Bernoulli sampler: keep a doc iff its
+    * salted md5 key falls under its language's threshold. Pure narrow
+    * predicate — no shuffle, no state, reproducible across runs/engines;
+    * rates ≥ 1.0 (and unmapped languages) short-circuit to keep.
+    */
+  private[graft] def mixtureSample(
+      docs: DataFrame, rates: Map[String, Double],
+      langCol: String = "lang"): DataFrame = {
+    val keyed = docs.withColumn("sample_key",
+      substring(md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 8))
+    val keep = rates.filter(_._2 < 1.0).foldLeft(lit(true)) {
+      case (acc, (lang, rate)) =>
+        when(col(langCol) === lang,
+          col("sample_key") < lit(sampleThresholdHex(rate))).otherwise(acc)
+    }
+    keyed.filter(keep)
+  }
+
+  /** The q71 Gopher table-A1 quality signals + verdict (see the registry
+    * comment). Factored so GopherQualitySpec can run planted corpora
+    * through the exact registered computation.
+    */
+  private[graft] def gopherQualityOf(docs: DataFrame): DataFrame = {
+    val staged = docs
+      .select(col("doc_id"), col("text"),
+        TextOps.tokens(TextOps.normalized(col("text"))).as("toks"),
+        TextOps.lines(col("text")).as("ls"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        (aggregate(col("toks"), lit(0.0), (a, t) => a + length(t).cast("double"))
+          / size(col("toks")).cast("double")).as("mean_word_len"),
+        (TextOps.symbolCount(col("text")).cast("double")
+          / greatest(size(col("toks")), lit(1)).cast("double")).as("symbol_ratio"),
+        (TextOps.alphaWordCount(col("toks")).cast("double")
+          / size(col("toks")).cast("double")).as("alpha_word_frac"),
+        TextOps.gopherRequiredStopCount(col("toks")).as("n_required_stops"),
+        (TextOps.bulletLineCount(col("ls")).cast("double")
+          / size(col("ls")).cast("double")).as("bullet_line_frac"),
+        (TextOps.ellipsisLineCount(col("ls")).cast("double")
+          / size(col("ls")).cast("double")).as("ellipsis_line_frac"))
+    staged.select(col("*"),
+      (col("n_words") >= 50L && col("n_words") <= 100000L &&
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("symbol_ratio") <= 0.1 &&
+        col("alpha_word_frac") >= 0.8 &&
+        col("n_required_stops") >= 2L &&
+        col("bullet_line_frac") <= 0.9 &&
+        col("ellipsis_line_frac") <= 0.3).as("passes_gopher_quality"))
+  }
+
+  /** The q72 duplicated-passage profile (see the registry comment): word
+    * [[dupPassageGramN]]-gram positions hashed and posting-list counted;
+    * a position is duplicated iff its gram occurs in ≥2 DISTINCT documents
+    * (within-doc repetition alone is q70's business, not this one's).
+    */
+  private[graft] def dupPassagesOf(docs: DataFrame): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"),
+        TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        explode(TextOps.wordGramsWithRepeats(col("toks"), dupPassageGramN))
+          .as("gram"))
+      .select(col("doc_id"), substring(md5(col("gram")), 1, 16).as("h"))
+    // localCheckpoint, same reason as the q23/q65 posting tables: perDoc
+    // feeds BOTH the document-frequency aggregate and the join-back, and
+    // without materialization Catalyst plans the corpus scan + gram explode
+    // + (doc_id, h) shuffle TWICE (column pruning specializes the df-side
+    // aggregate, so ReuseExchange can never match the subtrees — verified
+    // against the final adaptive plan). One pass over the dominant stage
+    // instead of two.
+    val perDoc = occ.groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val dfTab = perDoc.groupBy("h").agg(count(lit(1)).as("docs"))
+    perDoc.join(dfTab, "h")
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_grams"),
+        coalesce(sum(when(col("docs") >= 2, col("cnt"))), lit(0L))
+          .as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        (col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+          .as("dup_frac"))
+      .select(col("*"), (col("dup_frac") < 0.30).as("passes_dup_passages"))
+  }
+
   /** Content-defined chunking of each document (see the q63 registry
     * comment): (doc_id, chunk_start, chunk_len, chunk_fp) with cuts where
     * the gram hash's last nibble is zero. Exposed for CdcChunksSpec's
@@ -711,6 +816,37 @@ object TextQueries {
           .as("passes_repetition"))
     }),
 
+    // Gopher/MassiveText quality rules (Rae et al. 2021, table A1 — the
+    // non-repetition half; q70 carries the repetition half): word-count
+    // window [50, 100k], mean word length [3, 10], symbol-to-word ratio
+    // ≤0.1 (#/ellipsis), bullet-start ≤90% and ellipsis-end ≤30% of lines,
+    // ≥80% alpha-bearing words, and ≥2 of the eight required English words.
+    // Entirely narrow (one map stage, zero shuffles); integer counts +
+    // single per-row divisions → bit-exact oracle.
+    "q71_gopher_quality" -> ((s, d) => gopherQualityOf(Tables.documents(s, d))),
+
+    // Cross-document duplicated passages — the signal behind exact-substring
+    // training-data dedup (Lee et al. 2021, "Deduplicating Training Data
+    // Makes Language Models Better"): every word 10-gram position is hashed
+    // (md5/16 hex) and posting-list counted; a position is duplicated when
+    // its gram occurs in ≥2 distinct documents. Per-doc output: gram
+    // positions, duplicated positions, their fraction, <0.30 verdict.
+    // Shuffles carry only (hash, doc_id, count) rows — posting-list
+    // discipline, never a pairwise expansion.
+    "q72_dup_passages" -> ((s, d) => dupPassagesOf(Tables.documents(s, d))),
+
+    // Deterministic mixture sampling: per-language Bernoulli keep/drop
+    // decided by a salted-md5 threshold on the doc id (the salt keeps the
+    // sampling stream independent of every other hash family here).
+    // Fixed-width lowercase hex compares lexicographically == numerically,
+    // so rate r becomes the 8-hex threshold floor(r·2^32) and the whole
+    // sampler is one narrow predicate — the reproducible down-sampler for
+    // corpus mixture weighting (this corpus' en share is ~2.4× any other
+    // language; unknown langs default to keep).
+    "q73_mixture_sample" -> ((s, d) =>
+      mixtureSample(Tables.documents(s, d), mixtureRates)
+        .select(col("doc_id"), col("lang"), col("sample_key"))),
+
     // BM25 document scoring for a fixed term set (k1=1.2, b=0.75).
     // Uses real log idf → not bit-reproducible across engines' libm
     // (SURVEY float-parity rules) → rows-only check; the rational-idf
@@ -1242,6 +1378,82 @@ object TextQueries {
            |SELECT doc_id, top2_count, top2_gram, top2_char_frac, dup5_char_frac,
            |  (top2_char_frac <= 0.20 AND dup5_char_frac <= 0.15) AS passes_repetition
            |FROM f""".stripMargin,
+    // Gopher table-A1 replay: every signal is an integer count over the
+    // same normalized token / raw line arrays, so the single divisions and
+    // the threshold booleans match bit-for-bit.
+    "q71_gopher_quality" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id, text,
+           |    string_split_regex(trim($normSql), '\s+') AS toks,
+           |    string_split(text, chr(10)) AS ls
+           |  FROM documents),
+           |f AS (
+           |  SELECT doc_id,
+           |    CAST(len(toks) AS BIGINT) AS n_words,
+           |    list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+           |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+           |    CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
+           |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS symbol_ratio,
+           |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+           |      / CAST(len(toks) AS DOUBLE) AS alpha_word_frac,
+           |    CAST(${TextOps.gopherRequiredWords.map(w =>
+                  s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
+                  .mkString("\n           |      + ")} AS BIGINT) AS n_required_stops,
+           |    CAST(len(list_filter(ls, l ->
+           |        regexp_matches(ltrim(l), '^(•|‣|▪|- |\* )'))) AS DOUBLE)
+           |      / CAST(len(ls) AS DOUBLE) AS bullet_line_frac,
+           |    CAST(len(list_filter(ls, l ->
+           |        regexp_matches(l, '(\.\.\.|…)$$'))) AS DOUBLE)
+           |      / CAST(len(ls) AS DOUBLE) AS ellipsis_line_frac
+           |  FROM t)
+           |SELECT f.*,
+           |  (n_words >= 50 AND n_words <= 100000
+           |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+           |    AND symbol_ratio <= 0.1
+           |    AND alpha_word_frac >= 0.8
+           |    AND n_required_stops >= 2
+           |    AND bullet_line_frac <= 0.9
+           |    AND ellipsis_line_frac <= 0.3) AS passes_gopher_quality
+           |FROM f""".stripMargin,
+    // q72 replay: identical gram hashing (md5/16 hex of the space-joined
+    // 10-gram), per-(doc, hash) occurrence counts, document frequency over
+    // the unique (doc, hash) rows, then the same duplicated-position sums.
+    "q72_dup_passages" ->
+      raw"""WITH t AS (
+           |  SELECT doc_id, string_split_regex(trim($normSql), '\s+') AS toks
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id, unnest(list_transform(
+           |    generate_series(1, greatest(len(toks) - ${dupPassageGramN - 1}, 1)),
+           |    i -> substr(md5(array_to_string(
+           |      list_slice(toks, i, i + ${dupPassageGramN - 1}), ' ')), 1, 16))) AS h
+           |  FROM t),
+           |pg AS (SELECT doc_id, h, count(*) AS cnt FROM g GROUP BY 1, 2),
+           |df AS (SELECT h, count(*) AS docs FROM pg GROUP BY 1),
+           |agg AS (
+           |  SELECT pg.doc_id,
+           |    CAST(sum(pg.cnt) AS BIGINT) AS n_grams,
+           |    CAST(coalesce(sum(CASE WHEN df.docs >= 2 THEN pg.cnt END), 0) AS BIGINT)
+           |      AS n_dup_grams
+           |  FROM pg JOIN df ON pg.h = df.h GROUP BY 1)
+           |SELECT doc_id, n_grams, n_dup_grams,
+           |  CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac,
+           |  (CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) < 0.30)
+           |    AS passes_dup_passages
+           |FROM agg""".stripMargin,
+    // q73 replay: same salted md5 key, same hex thresholds (generated from
+    // the same Scala rate map — single source of truth).
+    "q73_mixture_sample" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, lang,
+         |    substr(md5(concat(CAST(doc_id AS VARCHAR), ':mix')), 1, 8) AS sample_key
+         |  FROM documents)
+         |SELECT doc_id, lang, sample_key FROM k
+         |WHERE CASE
+         |${mixtureRates.toSeq.sorted.collect { case (l, r) if r < 1.0 =>
+             s"  WHEN lang = '$l' THEN sample_key < '${sampleThresholdHex(r)}'"
+           }.mkString("\n")}
+         |  ELSE true END""".stripMargin,
     "q69_decontam_apply" ->
       raw"""WITH $decontamCteSql,
            |hits AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.gram = ev.gram)

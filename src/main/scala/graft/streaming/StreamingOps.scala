@@ -152,16 +152,23 @@ object StreamingOps {
   def trainingExportStream(
       docs: DataFrame, staticEmb: DataFrame,
       eventTime: String = "event_time", delay: String = "1 hour",
-      minQuality: Double = 0.5): DataFrame = {
+      minQuality: Double = 0.5,
+      sampleRates: Map[String, Double] = Map.empty): DataFrame = {
     val deduped = docs
       .withColumn("__fp", graft.functions.TextOps.fingerprintMd5(col("text")))
       .withWatermark(eventTime, delay)
       .dropDuplicatesWithinWatermark("__fp")
     // scoring + codes are the SAME definitions the batch export composes
-    graft.queries.TextQueries.scoreDocs(deduped)
+    val kept = graft.queries.TextQueries.scoreDocs(deduped)
       .filter(col("quality") >= minQuality)
-      .join(graft.queries.VectorQueries.codesCsvByDocId(staticEmb),
-        Seq("doc_id")) // stream-static equi-join, no state
+    // mixture sampling is a pure per-row predicate (q73) — stateless in a
+    // stream, identical keep-set to the batch pipeline by construction
+    val sampled =
+      if (sampleRates.isEmpty) kept
+      else graft.queries.TextQueries.mixtureSample(
+        kept, sampleRates, langCol = "lang_pred").drop("sample_key")
+    sampled.join(graft.queries.VectorQueries.codesCsvByDocId(staticEmb),
+      Seq("doc_id")) // stream-static equi-join, no state
   }
 
   // ---- streaming near-duplicate candidates ------------------------------

@@ -117,6 +117,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q71/q73: Gopher quality and mixture sampling are fully narrow — zero exchanges") {
+    assert(!plan("q71_gopher_quality", "simple").contains("Exchange"))
+    assert(!plan("q73_mixture_sample", "simple").contains("Exchange"))
+  }
+
+  test("q72: duplicated passages compute the gram table once — no double corpus scan") {
+    val df: DataFrame = SparkEntry.queries("q72_dup_passages")(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // perDoc is localCheckpoint-materialized: both its consumers (the
+    // doc-frequency aggregate and the join-back) read the checkpoint, so
+    // the corpus scan + gram explode + (doc_id, h) shuffle run exactly
+    // once — the downstream plan must NOT re-scan parquet
+    assert(!p.contains("FileScan parquet"), p)
+    // remaining shuffles: h doc-frequency, join alignment, per-doc regroup
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+  }
+
   test("trades clean+agg: single shuffle for the 4-key aggregate") {
     val raw   = graft.etl.TradesEtl.extract(spark, "/root/reference/trades (1) (2) (1).csv")
     val clean = graft.etl.TradesEtl.clean(raw)

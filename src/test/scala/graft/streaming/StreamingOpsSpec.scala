@@ -430,6 +430,39 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming training export with mixture sampling matches the batch pipeline") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // lang_pred en for the first two, de for the third (stopword vote)
+    val en0 = "the quick data pipeline of the spark system and the engine"
+    val en1 = "the data model is the core of the training corpus and the tokenizer"
+    val de2 = "der hund und die katze ist ein tier der die das und ist hier"
+    val rows = Seq((0L, en0), (1L, en1), (2L, de2))
+    val rates = Map("en" -> 0.0) // deterministic: en dropped, de kept
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val query = StreamingOps.trainingExportStream(
+        input.toDF().toDF("doc_id", "text", "event_time"), emb,
+        minQuality = 0.0, sampleRates = rates)
+      .writeStream.format("memory").queryName("export_stream_sampled")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.map { case (i, t) => (i, t, ts("2023-01-01 10:00:00")) }: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("export_stream_sampled")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.pipeline.TrainingPipeline.export(
+          rows.toDF("doc_id", "text"),
+          embeddings = Some(emb),
+          cfg = graft.pipeline.TrainingPipeline.Config(
+            minQuality = 0.0, dedup = graft.pipeline.TrainingPipeline.NoDedup,
+            sampleRates = rates))
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(streamed.map(_.head) === Set(2L)) // only the de doc survives
+    } finally query.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and keeps open ones") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
