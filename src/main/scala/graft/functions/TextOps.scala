@@ -136,6 +136,42 @@ object TextOps {
           (acc.getField("total_chars") + xLen).as("total_chars"))
       })
 
+  /** Sorted-runs statistics over STRUCTURAL units (lines, paragraphs) for
+    * the Gopher duplicate-line/-paragraph rules: same single-pass sorted
+    * walk as [[gramRunStats]], but tracking duplicate OCCURRENCES too
+    * (the line-fraction rules are occurrence-weighted: a line appearing
+    * c ≥ 2 times contributes all c occurrences).
+    * Returns struct(dup_occ, dup_chars, total_chars); total occurrences is
+    * just `size(units)`, computed free at the call site.
+    */
+  def unitRunStats(units: Column): Column =
+    aggregate(
+      array_sort(units),
+      struct(
+        lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("dup_occ"), lit(0L).as("dup_chars"),
+        lit(0L).as("total_chars")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        val xLen = length(x).cast("long")
+        struct(
+          x.as("prev"),
+          run.as("run"),
+          (acc.getField("dup_occ") +
+            when(run === 2L, lit(2L)).when(run > 2L, lit(1L))
+              .otherwise(lit(0L))).as("dup_occ"),
+          (acc.getField("dup_chars") +
+            when(run === 2L, xLen * 2L).when(run > 2L, xLen)
+              .otherwise(lit(0L))).as("dup_chars"),
+          (acc.getField("total_chars") + xLen).as("total_chars"))
+      })
+
+  /** Paragraphs: blank-line-separated blocks (a document without blank
+    * lines is one paragraph).
+    */
+  def paragraphs(c: Column): Column = split(c, "\n\n", -1)
+
   /** Normalization for fingerprinting: lowercase, trim, collapse runs of
     * whitespace to single spaces.
     */

@@ -55,13 +55,27 @@ object TrainingPipeline {
     *                    Sampling runs LAST so dropping a doc can never
     *                    change which doc a dedup cluster elects as its
     *                    canonical. Empty map = keep everything.
+    * @param gopherFilter apply the complete Gopher table-A1 filter
+    *                    (q70 ∧ q71 ∧ q74, one narrow pass —
+    *                    [[graft.queries.TextQueries.gopherFilterAll]])
+    *                    after decontamination and BEFORE dedup, mirroring
+    *                    the Gopher pipeline order (filter, then dedup).
+    * @param sourcePriorities when non-empty (and dedup = NeardupDedup),
+    *                    each near-dup cluster's canonical survivor is
+    *                    elected by source priority (lowest wins, doc_id
+    *                    tie-break) instead of minimum doc_id — keep the
+    *                    curated copy, drop the crawled ones (the q76
+    *                    rule, [[graft.queries.TextQueries.priorityLosersOf]]).
+    *                    Docs must carry a `source` column.
     */
   case class Config(
       minQuality: Double = 0.5,
       dedup: DedupMode = NeardupDedup,
       maxIters: Int = 20,
       checkpointDir: Option[String] = None,
-      sampleRates: Map[String, Double] = Map.empty)
+      sampleRates: Map[String, Double] = Map.empty,
+      gopherFilter: Boolean = false,
+      sourcePriorities: Map[String, Int] = Map.empty)
 
   /** Non-canonical doc_ids under the configured dedup mode. */
   private def losers(docs: DataFrame, cfg: Config): Option[DataFrame] =
@@ -75,6 +89,9 @@ object TrainingPipeline {
               org.apache.spark.sql.expressions.Window.partitionBy("__fp")))
           .filter(col("doc_id") =!= col("__canonical"))
           .select("doc_id"))
+      case NeardupDedup if cfg.sourcePriorities.nonEmpty =>
+        Some(TextQueries.priorityLosersOf(docs, cfg.sourcePriorities,
+          maxIters = cfg.maxIters, checkpointDir = ccDir(docs, cfg)))
       case NeardupDedup =>
         Some(TextQueries.neardupLosersOf(docs, cfg.maxIters, ccDir(docs, cfg)))
       case SimhashDedup =>
@@ -104,10 +121,13 @@ object TrainingPipeline {
       embeddings: Option[DataFrame] = None,
       cfg: Config = Config(),
       evalDocs: Option[DataFrame] = None): DataFrame = {
-    val clean = evalDocs match {
+    val decontaminated = evalDocs match {
       case Some(ev) => TextQueries.decontaminate(docs, ev)
       case None     => docs
     }
+    val clean =
+      if (cfg.gopherFilter) TextQueries.gopherFilterAll(decontaminated)
+      else decontaminated
     val deduped = losers(clean, cfg) match {
       case Some(l) => clean.join(l, Seq("doc_id"), "left_anti")
       case None    => clean

@@ -48,6 +48,45 @@ object TextQueries {
   private def dedupLosers(s: SparkSession, d: String): DataFrame =
     neardupLosersOf(Tables.documents(s, d), checkpointDir = ccCheckpointDir(s))
 
+  /** Source priorities for q76: the first four sources stand in for a
+    * curated slice (priority 0 — keep these when a cluster mixes
+    * provenances); unmapped sources default to 1000 (lower wins).
+    */
+  private[graft] val sourcePriorities: Map[String, Int] =
+    Map("src0" -> 0, "src1" -> 0, "src2" -> 0, "src3" -> 0)
+
+  private def priorityCol(priorities: Map[String, Int], default: Int) =
+    priorities.toSeq.sortBy(_._1).foldLeft(lit(default)) {
+      case (acc, (s, p)) => when(col("source") === s, lit(p)).otherwise(acc)
+    }
+
+  /** Near-dup losers under SOURCE-PRIORITY canonical election: same
+    * clusters as q43/q58, but each cluster's survivor is the member with
+    * the best (lowest) source priority, doc_id as the deterministic
+    * tie-break — the standard rule when deduplicating a mixed-provenance
+    * corpus (keep the curated copy, drop the crawled ones). Min-label CC
+    * stays untouched (labels are just cluster names); election is one
+    * grouped `min(struct(priority, doc_id))` + join — two narrow shuffles
+    * over cluster-member rows only, never the corpus.
+    */
+  private[graft] def priorityLosersOf(
+      docs: DataFrame, priorities: Map[String, Int],
+      defaultPriority: Int = 1000,
+      maxIters: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+    val clusters = graft.operators.DedupClustering.connectedComponents(
+      candidatePairsFrom(sigsFrom(shingledDocs(docs))),
+      maxIters = maxIters, checkpointDir = checkpointDir)
+    val withPrio = clusters
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("__prio", priorityCol(priorities, defaultPriority))
+    val canon = withPrio.groupBy("cluster_id")
+      .agg(min(struct(col("__prio"), col("doc_id"))).as("__c"))
+      .select(col("cluster_id"), col("__c.doc_id").as("__canonical"))
+    withPrio.join(canon, "cluster_id")
+      .filter(col("doc_id") =!= col("__canonical"))
+      .select("doc_id")
+  }
+
   /** Simhash-family losers: the q64 banded Hamming ≤ `maxHamming` pairs
     * fed through the same CC + min-doc_id-canonical semantics as the
     * MinHash path — so SimHash is a full dedup METHOD (pairs → clusters →
@@ -221,6 +260,165 @@ object TextQueries {
         col("n_required_stops") >= 2L &&
         col("bullet_line_frac") <= 0.9 &&
         col("ellipsis_line_frac") <= 0.3).as("passes_gopher_quality"))
+  }
+
+  /** The rest of Gopher's repetition thresholds (Rae et al. 2021, table
+    * A1): q70 carries the representative top-2-gram / dup-5-gram pair;
+    * these complete the table. Fractions are occurrence-weighted like q70.
+    */
+  private[graft] val gopherTopGramThresholds: Seq[(Int, Double)] =
+    Seq(3 -> 0.18, 4 -> 0.16)
+  private[graft] val gopherDupGramThresholds: Seq[(Int, Double)] =
+    Seq(6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** The q74 extended Gopher repetition profile: top-{3,4}-gram char
+    * fractions, duplicated-{6..10}-gram char fractions, and the
+    * duplicate-line / duplicate-paragraph rules (occurrence-weighted
+    * fraction of units, and of unit chars, belonging to repeated units).
+    * With q70's 2-gram/5-gram pair this is the COMPLETE table A1; the full
+    * Gopher decision for a doc is q70 ∧ q71 ∧ q74.
+    * Entirely narrow — seven sorted-runs gram folds + two unit folds per
+    * row, zero shuffles; integer counts + single divisions → bit-exact
+    * oracle (top-gram ties break to the lexicographically smallest gram on
+    * both sides, see gramRunStats).
+    */
+  private[graft] def gopherRepetitionExtOf(docs: DataFrame): DataFrame = {
+    val staged = docs
+      .select(col("doc_id"),
+        TextOps.tokens(TextOps.normalized(col("text"))).as("toks"),
+        TextOps.lines(col("text")).as("ls"),
+        TextOps.paragraphs(col("text")).as("ps"))
+    val statCols =
+      (gopherTopGramThresholds ++ gopherDupGramThresholds).map { case (n, _) =>
+        TextOps.gramRunStats(TextOps.wordGramsWithRepeats(col("toks"), n))
+          .as(s"g$n")
+      } ++ Seq(
+        TextOps.unitRunStats(col("ls")).as("lstats"),
+        size(col("ls")).cast("long").as("nl"),
+        TextOps.unitRunStats(col("ps")).as("pstats"),
+        size(col("ps")).cast("long").as("np"))
+    val withStats = staged.select(col("doc_id") +: statCols: _*)
+    val fracCols =
+      gopherTopGramThresholds.map { case (n, _) =>
+        ((col(s"g$n.top_count") * length(col(s"g$n.top_gram")).cast("long"))
+          .cast("double")
+          / greatest(col(s"g$n.total_chars"), lit(1L)).cast("double"))
+          .as(s"top${n}_char_frac")
+      } ++
+      gopherDupGramThresholds.map { case (n, _) =>
+        (col(s"g$n.dup_chars").cast("double")
+          / greatest(col(s"g$n.total_chars"), lit(1L)).cast("double"))
+          .as(s"dup${n}_char_frac")
+      } ++ Seq(
+        (col("lstats.dup_occ").cast("double") / col("nl").cast("double"))
+          .as("dup_line_frac"),
+        (col("lstats.dup_chars").cast("double")
+          / greatest(col("lstats.total_chars"), lit(1L)).cast("double"))
+          .as("dup_line_char_frac"),
+        (col("pstats.dup_occ").cast("double") / col("np").cast("double"))
+          .as("dup_para_frac"),
+        (col("pstats.dup_chars").cast("double")
+          / greatest(col("pstats.total_chars"), lit(1L)).cast("double"))
+          .as("dup_para_char_frac"))
+    val fracs = withStats.select(col("doc_id") +: fracCols: _*)
+    val verdict =
+      (gopherTopGramThresholds.map { case (n, t) => col(s"top${n}_char_frac") <= t } ++
+        gopherDupGramThresholds.map { case (n, t) => col(s"dup${n}_char_frac") <= t } ++
+        Seq(
+          col("dup_line_frac") <= 0.30, col("dup_line_char_frac") <= 0.20,
+          col("dup_para_frac") <= 0.30, col("dup_para_char_frac") <= 0.20))
+        .reduce(_ && _)
+    fracs.select(col("*"), verdict.as("passes_gopher_repetition_ext"))
+  }
+
+  /** The q70 Gopher repetition signals + verdict (see the registry
+    * comment). Factored like its q71/q74 siblings so specs and the
+    * combined filter's equality test run planted corpora through the
+    * exact registered computation.
+    */
+  private[graft] def repetitionOf(docs: DataFrame): DataFrame = {
+    val staged = docs
+      .select(col("doc_id"), TextOps.normalized(col("text")).as("norm"))
+      .select(col("doc_id"), TextOps.tokens(col("norm")).as("toks"))
+      .select(col("doc_id"),
+        TextOps.gramRunStats(TextOps.wordGramsWithRepeats(col("toks"), 2)).as("g2"),
+        TextOps.gramRunStats(TextOps.wordGramsWithRepeats(col("toks"), 5)).as("g5"))
+      .select(col("doc_id"),
+        col("g2.top_count").as("top2_count"),
+        col("g2.top_gram").as("top2_gram"),
+        ((col("g2.top_count") * length(col("g2.top_gram")).cast("long"))
+          .cast("double")
+          / greatest(col("g2.total_chars"), lit(1L)).cast("double"))
+          .as("top2_char_frac"),
+        (col("g5.dup_chars").cast("double")
+          / greatest(col("g5.total_chars"), lit(1L)).cast("double"))
+          .as("dup5_char_frac"))
+    staged.select(col("*"),
+      (col("top2_char_frac") <= 0.20 && col("dup5_char_frac") <= 0.15)
+        .as("passes_repetition"))
+  }
+
+  /** One-pass combined Gopher filter: the q70 (repetition), q71 (quality)
+    * and q74 (extended repetition) verdicts evaluated in a SINGLE narrow
+    * stage, keeping every input column — the apply-form a pipeline
+    * actually runs. Composing the three registry queries instead would
+    * scan the corpus three times and join, for one boolean per doc.
+    * The signal expressions are built from the same TextOps kernels and
+    * threshold tables as the registry queries; keep-set equality with
+    * q70 ∧ q71 ∧ q74 is spec-asserted (GopherFilterSpec).
+    */
+  private[graft] def gopherFilterAll(docs: DataFrame): DataFrame = {
+    val gramNs = Seq(2, 5) ++ gopherTopGramThresholds.map(_._1) ++
+      gopherDupGramThresholds.map(_._1)
+    val staged = docs
+      .withColumn("__toks", TextOps.tokens(TextOps.normalized(col("text"))))
+      .withColumn("__ls", TextOps.lines(col("text")))
+      .withColumn("__ps", TextOps.paragraphs(col("text")))
+    val withStats = gramNs.foldLeft(staged) { (df, n) =>
+      df.withColumn(s"__g$n",
+        TextOps.gramRunStats(TextOps.wordGramsWithRepeats(col("__toks"), n)))
+    }
+      .withColumn("__lst", TextOps.unitRunStats(col("__ls")))
+      .withColumn("__pst", TextOps.unitRunStats(col("__ps")))
+    def topFrac(n: Int) =
+      (col(s"__g$n.top_count") * length(col(s"__g$n.top_gram")).cast("long"))
+        .cast("double") /
+        greatest(col(s"__g$n.total_chars"), lit(1L)).cast("double")
+    def dupFrac(n: Int) =
+      col(s"__g$n.dup_chars").cast("double") /
+        greatest(col(s"__g$n.total_chars"), lit(1L)).cast("double")
+    val passQ70 = topFrac(2) <= 0.20 && dupFrac(5) <= 0.15
+    val nWords = size(col("__toks")).cast("long")
+    val passQ71 =
+      nWords >= 50L && nWords <= 100000L &&
+        (aggregate(col("__toks"), lit(0.0), (a, t) => a + length(t).cast("double"))
+          / size(col("__toks")).cast("double")).between(3.0, 10.0) &&
+        (TextOps.symbolCount(col("text")).cast("double")
+          / greatest(size(col("__toks")), lit(1)).cast("double")) <= 0.1 &&
+        (TextOps.alphaWordCount(col("__toks")).cast("double")
+          / size(col("__toks")).cast("double")) >= 0.8 &&
+        TextOps.gopherRequiredStopCount(col("__toks")) >= 2L &&
+        (TextOps.bulletLineCount(col("__ls")).cast("double")
+          / size(col("__ls")).cast("double")) <= 0.9 &&
+        (TextOps.ellipsisLineCount(col("__ls")).cast("double")
+          / size(col("__ls")).cast("double")) <= 0.3
+    val passQ74 =
+      (gopherTopGramThresholds.map { case (n, t) => topFrac(n) <= t } ++
+        gopherDupGramThresholds.map { case (n, t) => dupFrac(n) <= t } ++
+        Seq(
+          (col("__lst.dup_occ").cast("double")
+            / size(col("__ls")).cast("double")) <= 0.30,
+          (col("__lst.dup_chars").cast("double")
+            / greatest(col("__lst.total_chars"), lit(1L)).cast("double")) <= 0.20,
+          (col("__pst.dup_occ").cast("double")
+            / size(col("__ps")).cast("double")) <= 0.30,
+          (col("__pst.dup_chars").cast("double")
+            / greatest(col("__pst.total_chars"), lit(1L)).cast("double")) <= 0.20))
+        .reduce(_ && _)
+    withStats
+      .filter(passQ70 && passQ71 && passQ74)
+      .drop((Seq("__toks", "__ls", "__ps", "__lst", "__pst") ++
+        gramNs.map(n => s"__g$n")): _*)
   }
 
   /** The q72 duplicated-passage profile (see the registry comment): word
@@ -744,6 +942,20 @@ object TextQueries {
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
     }),
 
+    // The q58 apply under SOURCE-PRIORITY canonical election: same
+    // near-dup clusters, but a cluster mixing provenances keeps its best-
+    // priority member (curated beats crawl), not its minimum doc_id — the
+    // election rule real mixed-corpus dedup runs. Priorities are
+    // `sourcePriorities` (src0–src3 = curated stand-ins).
+    "q76_priority_dedup_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs
+        .join(priorityLosersOf(docs, sourcePriorities,
+          checkpointDir = ccCheckpointDir(s)), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    }),
+
     // The q58 apply under the simhash pair family (q64 → CC → anti-join):
     // SimHash as a complete dedup method, oracled end to end against the
     // recursive-CTE replay of the same pipeline.
@@ -794,27 +1006,7 @@ object TextQueries {
     // chars. Entirely narrow (sorted-runs fold per row — see
     // TextOps.gramRunStats), zero shuffles; integer counts + single
     // divisions → bit-exact oracle.
-    "q70_repetition" -> ((s, d) => {
-      val staged = Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.normalized(col("text")).as("norm"))
-        .select(col("doc_id"), TextOps.tokens(col("norm")).as("toks"))
-        .select(col("doc_id"),
-          TextOps.gramRunStats(TextOps.wordGramsWithRepeats(col("toks"), 2)).as("g2"),
-          TextOps.gramRunStats(TextOps.wordGramsWithRepeats(col("toks"), 5)).as("g5"))
-        .select(col("doc_id"),
-          col("g2.top_count").as("top2_count"),
-          col("g2.top_gram").as("top2_gram"),
-          ((col("g2.top_count") * length(col("g2.top_gram")).cast("long"))
-            .cast("double")
-            / greatest(col("g2.total_chars"), lit(1L)).cast("double"))
-            .as("top2_char_frac"),
-          (col("g5.dup_chars").cast("double")
-            / greatest(col("g5.total_chars"), lit(1L)).cast("double"))
-            .as("dup5_char_frac"))
-      staged.select(col("*"),
-        (col("top2_char_frac") <= 0.20 && col("dup5_char_frac") <= 0.15)
-          .as("passes_repetition"))
-    }),
+    "q70_repetition" -> ((s, d) => repetitionOf(Tables.documents(s, d))),
 
     // Gopher/MassiveText quality rules (Rae et al. 2021, table A1 — the
     // non-repetition half; q70 carries the repetition half): word-count
@@ -834,6 +1026,28 @@ object TextQueries {
     // Shuffles carry only (hash, doc_id, count) rows — posting-list
     // discipline, never a pairwise expansion.
     "q72_dup_passages" -> ((s, d) => dupPassagesOf(Tables.documents(s, d))),
+
+    // The rest of the Gopher repetition table (Rae et al. 2021, table A1):
+    // top-{3,4}-gram and duplicated-{6..10}-gram char fractions plus the
+    // duplicate-line/-paragraph rules — q70 carries the 2-gram/5-gram
+    // representatives, so q70 ∧ q71 ∧ q74 is the complete Gopher filter.
+    // Seven gram folds + two unit folds per row, all narrow, zero
+    // shuffles. Cost is per-row CPU, linear in the fold count (~0.6 s per
+    // fold at sf0.1, measured) — the slowest registered query, but a pure
+    // map stage: at corpus scale it parallelizes perfectly and moves no
+    // data, and a real pipeline runs it once per corpus snapshot.
+    "q74_gopher_repetition_ext" -> ((s, d) =>
+      gopherRepetitionExtOf(Tables.documents(s, d))),
+
+    // The combined Gopher filter, apply-form: training docs passing ALL of
+    // q70 ∧ q71 ∧ q74, evaluated in ONE narrow corpus pass (see
+    // gopherFilterAll — composing the registry queries would scan the
+    // corpus three times for one boolean). The pre-tokenization quality
+    // terminal; also wired into TrainingPipeline as Config.gopherFilter.
+    "q75_gopher_apply" -> ((s, d) =>
+      gopherFilterAll(Tables.documents(s, d))
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))),
 
     // Deterministic mixture sampling: per-language Bernoulli keep/drop
     // decided by a salted-md5 threshold on the doc id (the salt keeps the
@@ -1105,7 +1319,7 @@ object TextQueries {
     raw"len(list_filter(string_split_regex(trim($normSql), '\s+'), x -> x IN ($words)))"
   }
 
-  val oracleSql: Map[String, String] = Map(
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q17_text_stats" ->
       raw"""SELECT doc_id,
            |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
@@ -1322,6 +1536,30 @@ object TextQueries {
          |FROM pairs
          |JOIN sigs a ON a.doc_id = pairs.doc_a
          |JOIN sigs b ON b.doc_id = pairs.doc_b""".stripMargin,
+    // q76 replay: same recursive-CTE clusters, then the priority election
+    // (row_number over (priority, doc_id)) — the CASE is generated from
+    // the same priority map as the Spark side.
+    "q76_priority_dedup_apply" ->
+      s"""WITH RECURSIVE $clustersCteSql,
+         |prio AS (
+         |  SELECT c.doc_id, c.cluster_id,
+         |    CASE d.source ${sourcePriorities.toSeq.sorted
+               .map { case (s, p) => s"WHEN '$s' THEN $p" }
+               .mkString(" ")} ELSE 1000 END AS p
+         |  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id),
+         |canon AS (
+         |  SELECT cluster_id, doc_id AS canonical_id FROM (
+         |    SELECT cluster_id, doc_id, row_number()
+         |        OVER (PARTITION BY cluster_id ORDER BY p, doc_id) AS rn
+         |    FROM prio) WHERE rn = 1),
+         |losers AS (
+         |  SELECT pr.doc_id FROM prio pr
+         |  JOIN canon ON pr.cluster_id = canon.cluster_id
+         |  WHERE pr.doc_id <> canon.canonical_id)
+         |SELECT d.doc_id, d.source,
+         |  CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens
+         |FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+         |WHERE l.doc_id IS NULL""".stripMargin,
     "q43_dedup_clusters" ->
       s"""WITH RECURSIVE $clustersCteSql
          |SELECT doc_id, cluster_id FROM clusters""".stripMargin,
@@ -1415,6 +1653,11 @@ object TextQueries {
            |    AND bullet_line_frac <= 0.9
            |    AND ellipsis_line_frac <= 0.3) AS passes_gopher_quality
            |FROM f""".stripMargin,
+    // q74 replay: per-n gram GROUP BYs (the q70 pattern, generated from
+    // the same threshold tables as the Spark side) + line/paragraph unit
+    // GROUP BYs; the top-gram tie (cnt DESC, gram ASC) mirrors the fold's
+    // ascending-walk rule.
+    "q74_gopher_repetition_ext" -> q74OracleSql,
     // q72 replay: identical gram hashing (md5/16 hex of the space-joined
     // 10-gram), per-(doc, hash) occurrence counts, document frequency over
     // the unique (doc, hash) rows, then the same duplicated-position sums.
@@ -1472,6 +1715,94 @@ object TextQueries {
          |JOIN sh a ON a.doc_id = pairs.doc_a
          |JOIN sh b ON b.doc_id = pairs.doc_b""".stripMargin,
   )
+
+  // q75 composes the three Gopher oracles as subqueries (DuckDB allows a
+  // WITH inside a parenthesized subquery), so the combined filter can
+  // never drift from the per-family replays it intersects.
+  val oracleSql: Map[String, String] = oracleSqlBase +
+    ("q75_gopher_apply" ->
+      raw"""SELECT d.doc_id,
+           |  CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n_tokens
+           |FROM documents d
+           |JOIN (${oracleSqlBase("q70_repetition")}) a ON d.doc_id = a.doc_id
+           |JOIN (${oracleSqlBase("q71_gopher_quality")}) b ON d.doc_id = b.doc_id
+           |JOIN (${oracleSqlBase("q74_gopher_repetition_ext")}) c ON d.doc_id = c.doc_id
+           |WHERE a.passes_repetition AND b.passes_gopher_quality
+           |  AND c.passes_gopher_repetition_ext""".stripMargin)
+
+  // q74's oracle is GENERATED from the same threshold tables as the Spark
+  // side — per-n gram-count CTEs, top/dup aggregates, and line/paragraph
+  // unit stats, joined per doc. Single source of truth for n values and
+  // thresholds.
+  private lazy val q74OracleSql: String = {
+    def gramCtes(n: Int) =
+      raw"""g$n AS (
+           |  SELECT doc_id, unnest(list_transform(
+           |    generate_series(1, greatest(len(toks) - ${n - 1}, 1)),
+           |    i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' '))) AS gram
+           |  FROM t),
+           |c$n AS (SELECT doc_id, gram, count(*) AS cnt FROM g$n GROUP BY 1, 2)""".stripMargin
+    def topCtes(n: Int) =
+      raw"""t$n AS (
+           |  SELECT doc_id, cnt, length(gram) AS glen FROM (
+           |    SELECT doc_id, cnt, gram, row_number()
+           |        OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+           |    FROM c$n) WHERE rn = 1),
+           |s$n AS (SELECT doc_id, sum(cnt * length(gram)) AS total FROM c$n GROUP BY 1)""".stripMargin
+    def dupCtes(n: Int) =
+      raw"""s$n AS (SELECT doc_id,
+           |  coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) END), 0) AS dup,
+           |  sum(cnt * length(gram)) AS total FROM c$n GROUP BY 1)""".stripMargin
+    def unitCtes(p: String, sep: String) =
+      raw"""${p}v AS (SELECT doc_id, unnest(string_split(text, $sep)) AS u FROM documents),
+           |${p}c AS (SELECT doc_id, u, count(*) AS cnt FROM ${p}v GROUP BY 1, 2),
+           |${p}stat AS (SELECT doc_id,
+           |  coalesce(sum(CASE WHEN cnt >= 2 THEN cnt END), 0) AS dup_occ,
+           |  coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * length(u) END), 0) AS dup_chars,
+           |  sum(cnt * length(u)) AS total_chars, sum(cnt) AS n_units
+           |  FROM ${p}c GROUP BY 1)""".stripMargin
+    val tops = gopherTopGramThresholds.map(_._1)
+    val dups = gopherDupGramThresholds.map(_._1)
+    val ctes =
+      Seq(raw"""t AS (
+           |  SELECT doc_id, string_split_regex(trim($normSql), '\s+') AS toks
+           |  FROM documents)""".stripMargin) ++
+        (tops ++ dups).map(gramCtes) ++ tops.map(topCtes) ++ dups.map(dupCtes) ++
+        Seq(unitCtes("l", "chr(10)"), unitCtes("p", "chr(10) || chr(10)"))
+    val fracSelects =
+      tops.map(n =>
+        s"""    CAST(t$n.cnt * t$n.glen AS DOUBLE)
+           |      / CAST(greatest(s$n.total, 1) AS DOUBLE) AS top${n}_char_frac""".stripMargin) ++
+      dups.map(n =>
+        s"""    CAST(s$n.dup AS DOUBLE)
+           |      / CAST(greatest(s$n.total, 1) AS DOUBLE) AS dup${n}_char_frac""".stripMargin) ++
+      Seq(
+        "    CAST(lstat.dup_occ AS DOUBLE) / CAST(lstat.n_units AS DOUBLE) AS dup_line_frac",
+        "    CAST(lstat.dup_chars AS DOUBLE) / CAST(greatest(lstat.total_chars, 1) AS DOUBLE) AS dup_line_char_frac",
+        "    CAST(pstat.dup_occ AS DOUBLE) / CAST(pstat.n_units AS DOUBLE) AS dup_para_frac",
+        "    CAST(pstat.dup_chars AS DOUBLE) / CAST(greatest(pstat.total_chars, 1) AS DOUBLE) AS dup_para_char_frac")
+    val joins =
+      tops.flatMap(n => Seq(
+        s"JOIN t$n ON d.doc_id = t$n.doc_id",
+        s"JOIN s$n ON d.doc_id = s$n.doc_id")) ++
+      dups.map(n => s"JOIN s$n ON d.doc_id = s$n.doc_id") ++
+      Seq("JOIN lstat ON d.doc_id = lstat.doc_id",
+        "JOIN pstat ON d.doc_id = pstat.doc_id")
+    val verdict =
+      (gopherTopGramThresholds.map { case (n, t) => s"top${n}_char_frac <= $t" } ++
+        gopherDupGramThresholds.map { case (n, t) => s"dup${n}_char_frac <= $t" } ++
+        Seq("dup_line_frac <= 0.3", "dup_line_char_frac <= 0.2",
+          "dup_para_frac <= 0.3", "dup_para_char_frac <= 0.2"))
+        .mkString("\n    AND ")
+    s"""WITH ${ctes.mkString(",\n")},
+       |f AS (
+       |  SELECT d.doc_id,
+       |${fracSelects.mkString(",\n")}
+       |  FROM documents d
+       |  ${joins.mkString("\n  ")})
+       |SELECT f.*, ($verdict) AS passes_gopher_repetition_ext
+       |FROM f""".stripMargin
+  }
 
   private lazy val stopwordCountSql =
     raw"len(list_filter(string_split_regex(trim($normSql), '\s+'), x -> x IN ($stopEn)))"

@@ -117,9 +117,10 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q71/q73: Gopher quality and mixture sampling are fully narrow — zero exchanges") {
+  test("q71/q73/q74: Gopher quality, mixture sampling, extended repetition are fully narrow — zero exchanges") {
     assert(!plan("q71_gopher_quality", "simple").contains("Exchange"))
     assert(!plan("q73_mixture_sample", "simple").contains("Exchange"))
+    assert(!plan("q74_gopher_repetition_ext", "simple").contains("Exchange"))
   }
 
   test("q72: duplicated passages compute the gram table once — no double corpus scan") {

@@ -8,12 +8,19 @@ class QueriesSmokeSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  // q12 (anti-join) may legitimately return few rows; everything else >0.
+  // q12 (anti-join) may legitimately return few rows; q75's combined
+  // Gopher filter is legitimately EMPTY on this corpus (the 31-word
+  // lexicon has only "the" of Gopher's eight required English words, so
+  // every doc fails q71's ≥2-required rule — GopherFilterSpec pins the
+  // cause and exercises non-empty keep-sets on planted corpora);
+  // everything else >0.
   test("all queries execute at sf0.001") {
     val counts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).count()
     }
-    val empty = counts.filter { case (n, c) => c == 0 && n != "q22_neardup_pairs" && n != "q23_jaccard" }
+    val mayBeEmpty =
+      Set("q22_neardup_pairs", "q23_jaccard", "q75_gopher_apply")
+    val empty = counts.filter { case (n, c) => c == 0 && !mayBeEmpty(n) }
     assert(empty.isEmpty, s"queries with zero rows: ${empty.map(_._1)}")
   }
 
