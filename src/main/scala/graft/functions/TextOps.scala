@@ -110,6 +110,12 @@ object TextOps {
     *     denominator that keeps the fractions in [0,1]).
     * O(m log m) per row, zero shuffles, codegen'd built-ins only — at
     * corpus scale this is a pure map stage.
+    *
+    * This HOF fold is the REFERENCE TWIN: the registry queries run the
+    * native [[TextFingerprints.gramRunStats]] kernel (one static call per
+    * row — the fold's lambda evaluates interpreted, one struct per
+    * element, which costs ~0.6 s per fold at sf0.1 and q74 runs seven).
+    * Field-for-field equivalence is asserted in GramRunStatsKernelSpec.
     */
   def gramRunStats(grams: Column): Column =
     aggregate(

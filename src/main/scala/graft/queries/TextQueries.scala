@@ -290,8 +290,7 @@ object TextQueries {
         TextOps.paragraphs(col("text")).as("ps"))
     val statCols =
       (gopherTopGramThresholds ++ gopherDupGramThresholds).map { case (n, _) =>
-        TextOps.gramRunStats(TextOps.wordGramsWithRepeats(col("toks"), n))
-          .as(s"g$n")
+        TextFingerprints.gramRunStats(col("toks"), n).as(s"g$n")
       } ++ Seq(
         TextOps.unitRunStats(col("ls")).as("lstats"),
         size(col("ls")).cast("long").as("nl"),
@@ -340,9 +339,11 @@ object TextQueries {
     val staged = docs
       .select(col("doc_id"), TextOps.normalized(col("text")).as("norm"))
       .select(col("doc_id"), TextOps.tokens(col("norm")).as("toks"))
+      // native kernel (one static call per row); the HOF fold twin is
+      // TextOps.gramRunStats, equivalence-spec'd in GramRunStatsKernelSpec
       .select(col("doc_id"),
-        TextOps.gramRunStats(TextOps.wordGramsWithRepeats(col("toks"), 2)).as("g2"),
-        TextOps.gramRunStats(TextOps.wordGramsWithRepeats(col("toks"), 5)).as("g5"))
+        TextFingerprints.gramRunStats(col("toks"), 2).as("g2"),
+        TextFingerprints.gramRunStats(col("toks"), 5).as("g5"))
       .select(col("doc_id"),
         col("g2.top_count").as("top2_count"),
         col("g2.top_gram").as("top2_gram"),
@@ -376,7 +377,7 @@ object TextQueries {
       .withColumn("__ps", TextOps.paragraphs(col("text")))
     val withStats = gramNs.foldLeft(staged) { (df, n) =>
       df.withColumn(s"__g$n",
-        TextOps.gramRunStats(TextOps.wordGramsWithRepeats(col("__toks"), n)))
+        TextFingerprints.gramRunStats(col("__toks"), n))
     }
       .withColumn("__lst", TextOps.unitRunStats(col("__ls")))
       .withColumn("__pst", TextOps.unitRunStats(col("__ps")))
@@ -1031,11 +1032,12 @@ object TextQueries {
     // top-{3,4}-gram and duplicated-{6..10}-gram char fractions plus the
     // duplicate-line/-paragraph rules — q70 carries the 2-gram/5-gram
     // representatives, so q70 ∧ q71 ∧ q74 is the complete Gopher filter.
-    // Seven gram folds + two unit folds per row, all narrow, zero
-    // shuffles. Cost is per-row CPU, linear in the fold count (~0.6 s per
-    // fold at sf0.1, measured) — the slowest registered query, but a pure
-    // map stage: at corpus scale it parallelizes perfectly and moves no
-    // data, and a real pipeline runs it once per corpus snapshot.
+    // Seven native gram kernels + two unit folds per row, all narrow,
+    // zero shuffles — pure per-row CPU that parallelizes perfectly at
+    // corpus scale. The gram statistics run as the codegen'd GramRunStats
+    // expression (one static call per row): 4.1 s → 1.3 s at sf0.1 vs the
+    // HOF fold whose lambda evaluates interpreted (the fold remains as
+    // the equivalence-spec'd reference twin).
     "q74_gopher_repetition_ext" -> ((s, d) =>
       gopherRepetitionExtOf(Tables.documents(s, d))),
 

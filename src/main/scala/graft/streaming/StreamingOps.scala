@@ -245,6 +245,33 @@ object StreamingOps {
           graft.functions.TextOps.normalized(col("text")))),
       eventTime, delay)
 
+  /** Streaming twin of the q72 duplicated-passage detector: each arriving
+    * document's DISTINCT word 10-gram hashes probe bucket state keyed by
+    * the gram hash itself (band constant — the passage hash is the only
+    * banding family), emitting a candidate pair per bucket-mate within the
+    * watermark horizon. Same contract split as [[neardupCandidates]]: the
+    * per-doc duplicated-position FRACTIONS (batch q72) need corpus-wide
+    * document frequencies, which remain a periodic batch recompaction this
+    * stream feeds.
+    */
+  def dupPassageCandidates(
+      docs: DataFrame,
+      eventTime: String = "event_time",
+      delay: String = "1 hour",
+      maxBucket: Int = 1000): Dataset[NeardupCandidate] = {
+    import graft.functions.TextOps
+    val n = graft.queries.TextQueries.dupPassageGramN
+    candidatesFromBanded(
+      docs
+        .withColumn("__toks", TextOps.tokens(TextOps.normalized(col("text"))))
+        .withColumn("key",
+          explode(array_distinct(transform(
+            TextOps.wordGramsWithRepeats(col("__toks"), n),
+            g => substring(md5(g), 1, 16)))))
+        .select(col("doc_id"), col(eventTime), lit(0).as("band"), col("key")),
+      eventTime, delay, maxBucket)
+  }
+
   /** Streaming twin of the q68 contamination detector: each arriving
     * training document's word 13-grams probe the STATIC eval-set gram
     * table (broadcast — a benchmark is bounded, like the ANN codebooks),

@@ -255,6 +255,53 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dup-passage candidates match the batch shared-gram pairs") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val passage =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val texts = Seq(
+      (1L, s"$passage uno dos tres cuatro cinco"),
+      (2L, s"xray yankee zulu $passage"), // shares the 12-word passage with 1
+      (3L, "one two three four five six seven eight nine ten eleven twelve"),
+      (4L, s"$passage uno dos tres cuatro cinco"), // exact dup of 1
+    )
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val query = StreamingOps.dupPassageCandidates(
+        input.toDF().toDF("doc_id", "text", "event_time"))
+      .writeStream.format("memory").queryName("duppass_cand")
+      .outputMode("append").start()
+    try {
+      // the exact dup arrives in a LATER micro-batch: its pairs come from
+      // state, not intra-batch ordering
+      input.addData(texts.take(3).map { case (id, t) =>
+        (id, t, ts(s"2023-01-01 10:0$id:00")) })
+      query.processAllAvailable()
+      input.addData((4L, texts(3)._2, ts("2023-01-01 10:04:00")))
+      query.processAllAvailable()
+      val stream = spark.table("duppass_cand")
+        .select("doc_a", "doc_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch truth: unordered doc pairs sharing ≥1 word-10-gram hash
+      import org.apache.spark.sql.functions.{array_distinct, col, explode, md5, substring, transform}
+      import graft.functions.TextOps
+      val occ = texts.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          explode(array_distinct(transform(
+            TextOps.wordGramsWithRepeats(
+              TextOps.tokens(TextOps.normalized(col("text"))),
+              graft.queries.TextQueries.dupPassageGramN),
+            g => substring(md5(g), 1, 16)))).as("h"))
+      val batch = occ.as("a")
+        .join(occ.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === Set((1L, 2L), (1L, 4L), (2L, 4L))) // hand truth
+      assert(stream === batch)
+    } finally query.stop()
+  }
+
   test("near-dup candidate state expires past the watermark horizon") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
