@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions._
   * libm-log scoring — which get rows-only checks plus spec coverage):
   *   - q01–q16: relational ops (SURVEY §2 A/P/T/U families + joins,
   *     windows, sessionization, as-of, epoch-tumbling windows)
-  *   - q17–q25, q64–q73: text analysis + dedup (tokens/quality/langid,
+  *   - q17–q25, q64–q76: text analysis + dedup (tokens/quality/langid,
   *     exact dedup, MinHash+LSH near-dup, Jaccard verify, SimHash and
   *     winnowing fingerprints + their pair/apply dedup families, word
-  *     13-gram benchmark decontamination, Gopher repetition + quality
-  *     filters, cross-doc duplicated passages, mixture sampling)
+  *     13-gram benchmark decontamination, the complete Gopher filter
+  *     (repetition + quality + combined apply), cross-doc duplicated
+  *     passages, mixture sampling, source-priority dedup)
   *   - q26–q29, q35, q39, q55: similarity search + embedding ops (brute
   *     cosine kNN, multiprobe sign-LSH kNN, vector stats, centroids,
   *     LSH-composed near-dup, IVF index, int8 quantization)
