@@ -495,6 +495,48 @@ object TextQueries {
       .filter(col("chunk_len") > 0)
   }
 
+  /** The q77 sub-document exact-substring dedup apply (Lee et al. 2021:
+    * remove every duplicated span, keep ONE occurrence corpus-wide):
+    * CDC chunks (q63 — edit-stable boundaries, so a shared passage chunks
+    * identically in every document containing it) are posting-list
+    * grouped by fingerprint; the canonical occurrence of each chunk is
+    * its (doc_id, chunk_start) argmin, every other occurrence is dropped,
+    * and each document's surviving chunks are reassembled in offset
+    * order. A document made entirely of seen content collapses to ''.
+    * Scale shape: chunk table localCheckpoint'd (three consumers —
+    * election, join-back, per-doc totals — would otherwise re-run the
+    * corpus chunking per consumer); election is one grouped min(struct);
+    * reassembly is a per-doc collect bounded by document length (the q54
+    * ids_csv discipline), never corpus-wide.
+    */
+  private[graft] def chunkDedupApplyOf(docs: DataFrame): DataFrame = {
+    val norm = docs.select(col("doc_id"), TextOps.normalized(col("text")).as("norm"))
+    val chunks = cdcChunksOf(docs).localCheckpoint()
+    val canon = chunks.groupBy("chunk_fp")
+      .agg(min(struct(col("doc_id"), col("chunk_start"))).as("__c"))
+      .select(col("chunk_fp"),
+        col("__c.doc_id").as("__c_doc"), col("__c.chunk_start").as("__c_start"))
+    val kept = chunks.join(canon, "chunk_fp")
+      .filter(col("doc_id") === col("__c_doc") &&
+        col("chunk_start") === col("__c_start"))
+    val reassembled = kept.join(norm, "doc_id")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws("",
+          transform(
+            array_sort(collect_list(struct(col("chunk_start"),
+              col("norm").substr(col("chunk_start").cast("int"),
+                col("chunk_len").cast("int")).as("txt")))),
+            x => x.getField("txt"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("n_chunks"))
+  }
+
   /** Per-document scoring projection (doc_id, n_tokens, quality,
     * lang_pred) — THE definition shared by q62, the q61 export (via
     * [[graft.pipeline.TrainingPipeline.export]]), and the streaming export
@@ -1148,6 +1190,15 @@ object TextQueries {
     // cut selection, and span reassembly exactly.
     "q63_cdc_chunks" -> ((s, d) => cdcChunksOf(Tables.documents(s, d))),
 
+    // Sub-document exact-substring dedup apply (Lee et al. 2021) over the
+    // q63 CDC chunks: every duplicated chunk keeps exactly ONE occurrence
+    // corpus-wide ((doc_id, chunk_start) argmin), each document's
+    // survivors reassemble in offset order — the span-removal terminal
+    // that document-level dedup (q58/q66/q67) can't express. See
+    // chunkDedupApplyOf for the scale shape.
+    "q77_chunk_dedup_apply" -> ((s, d) =>
+      chunkDedupApplyOf(Tables.documents(s, d))),
+
     // Fixed-size token chunking with overlap (50-token chunks, stride 40):
     // the standard training-data windowing step. One narrow pass + explode.
     "q38_chunks" -> ((s, d) => {
@@ -1204,6 +1255,33 @@ object TextQueries {
        |  UNION
        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.src),
        |clusters AS (SELECT src AS doc_id, min(r) AS cluster_id FROM reach GROUP BY src)""".stripMargin
+
+  // The q63 CDC chunk table as a CTE chain ending in
+  // ck(doc_id, chunk_start, chunk_len, chunk_fp) — shared by q63 and the
+  // q77 chunk-level dedup apply.
+  private lazy val cdcChunksCteSql =
+    s"""n AS (SELECT doc_id, $normSql AS norm FROM documents),
+       |c AS (
+       |  SELECT doc_id, norm,
+       |    CASE WHEN length(norm) - 7 >= 2 THEN
+       |      list_filter(generate_series(2, length(norm) - 7),
+       |        i -> substr(md5(substr(norm, i, 8)), 16, 1) = '0')
+       |    ELSE [] END AS cuts
+       |  FROM n),
+       |st AS (SELECT doc_id, norm, list_concat([1], cuts) AS starts FROM c),
+       |ch AS (
+       |  SELECT doc_id, norm,
+       |    unnest(list_transform(generate_series(1, len(starts)),
+       |      j -> {'chunk_start': starts[j],
+       |            'chunk_len': coalesce(starts[j + 1], length(norm) + 1)
+       |              - starts[j]})) AS chunk
+       |  FROM st),
+       |ck AS (
+       |  SELECT doc_id,
+       |    CAST(chunk.chunk_start AS BIGINT) AS chunk_start,
+       |    CAST(chunk.chunk_len AS BIGINT) AS chunk_len,
+       |    md5(substr(norm, chunk.chunk_start, chunk.chunk_len)) AS chunk_fp
+       |  FROM ch WHERE chunk.chunk_len > 0)""".stripMargin
 
   // CC over the MinHash+LSH pairs (q43 and the q58/q61 dedup applies).
   private lazy val clustersCteSql =
@@ -1504,27 +1582,33 @@ object TextQueries {
     // spans reassembled from consecutive starts. NULL/empty docs emit no
     // rows on both sides (chunk_len NULL/0 is filtered).
     "q63_cdc_chunks" ->
-      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
-         |c AS (
-         |  SELECT doc_id, norm,
-         |    CASE WHEN length(norm) - 7 >= 2 THEN
-         |      list_filter(generate_series(2, length(norm) - 7),
-         |        i -> substr(md5(substr(norm, i, 8)), 16, 1) = '0')
-         |    ELSE [] END AS cuts
-         |  FROM n),
-         |st AS (SELECT doc_id, norm, list_concat([1], cuts) AS starts FROM c),
-         |ch AS (
-         |  SELECT doc_id, norm,
-         |    unnest(list_transform(generate_series(1, len(starts)),
-         |      j -> {'chunk_start': starts[j],
-         |            'chunk_len': coalesce(starts[j + 1], length(norm) + 1)
-         |              - starts[j]})) AS chunk
-         |  FROM st)
-         |SELECT doc_id,
-         |  CAST(chunk.chunk_start AS BIGINT) AS chunk_start,
-         |  CAST(chunk.chunk_len AS BIGINT) AS chunk_len,
-         |  md5(substr(norm, chunk.chunk_start, chunk.chunk_len)) AS chunk_fp
-         |FROM ch WHERE chunk.chunk_len > 0""".stripMargin,
+      s"""WITH $cdcChunksCteSql
+         |SELECT doc_id, chunk_start, chunk_len, chunk_fp FROM ck""".stripMargin,
+    // q77 replay: same chunk CTEs, argmin canonical occurrence per
+    // fingerprint via row_number, ordered string_agg reassembly.
+    "q77_chunk_dedup_apply" ->
+      s"""WITH $cdcChunksCteSql,
+         |canon AS (
+         |  SELECT chunk_fp, doc_id AS c_doc, chunk_start AS c_start FROM (
+         |    SELECT chunk_fp, doc_id, chunk_start, row_number()
+         |        OVER (PARTITION BY chunk_fp ORDER BY doc_id, chunk_start) AS rn
+         |    FROM ck) WHERE rn = 1),
+         |kept AS (
+         |  SELECT ck.doc_id, ck.chunk_start, ck.chunk_len
+         |  FROM ck JOIN canon ON ck.chunk_fp = canon.chunk_fp
+         |  WHERE ck.doc_id = canon.c_doc AND ck.chunk_start = canon.c_start),
+         |agg AS (
+         |  SELECT k.doc_id,
+         |    string_agg(substr(n.norm, CAST(k.chunk_start AS INT),
+         |      CAST(k.chunk_len AS INT)), '' ORDER BY k.chunk_start) AS clean_text,
+         |    count(*) AS n_kept
+         |  FROM kept k JOIN n ON k.doc_id = n.doc_id GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ck GROUP BY 1)
+         |SELECT t.doc_id,
+         |  coalesce(a.clean_text, '') AS clean_text,
+         |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(t.n_chunks AS BIGINT) AS n_chunks
+         |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin,
     "q21_minhash_sig" -> sigsSql,
     "q22_neardup_pairs" -> pairsSql,
     "q59_minhash_est" ->

@@ -137,6 +137,17 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
   }
 
+  test("q77: chunk dedup reads the checkpointed chunk table — no re-chunking, no cartesian") {
+    val df: DataFrame = SparkEntry.queries("q77_chunk_dedup_apply")(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the chunk table is localCheckpoint-materialized; its three consumers
+    // (election, join-back, totals) must not re-run the corpus chunking —
+    // the only parquet scan left is the norm join for reassembly
+    assert("FileScan parquet".r.findAllIn(p).size <= 1, p)
+  }
+
   test("trades clean+agg: single shuffle for the 4-key aggregate") {
     val raw   = graft.etl.TradesEtl.extract(spark, "/root/reference/trades (1) (2) (1).csv")
     val clean = graft.etl.TradesEtl.clean(raw)
