@@ -461,10 +461,11 @@ object TextQueries {
     * the gram hash's last nibble is zero. Exposed for CdcChunksSpec's
     * edit-stability property.
     */
-  private[graft] def cdcChunksOf(docs: DataFrame): DataFrame = {
+  private[graft] def cdcChunksOf(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val k = 8
+    val kc = keep.map(col)
     docs
-      .select(col("doc_id"), TextOps.normalized(col("text")).as("norm"))
+      .select(Seq(col("doc_id"), TextOps.normalized(col("text")).as("norm")) ++ kc: _*)
       // native kernel, codegen'd: the equivalent HOF form
       // (filter(sequence(2, m), i => md5(norm.substr(i, k))...)) evaluates
       // its lambda interpreted, one digest + UTF8String allocation per
@@ -486,12 +487,13 @@ object TextQueries {
       // 2 s at sf0.1). Outer explode infers nothing; the chunk_len > 0
       // filter below drops the NULL rows it would add, so the output is
       // identical (every non-NULL doc has ≥1 chunk — starts begins at 1).
-      .select(col("doc_id"), col("norm"), explode_outer(col("chunks")).as("c"))
-      .select(col("doc_id"),
+      .select(Seq(col("doc_id"), col("norm"),
+        explode_outer(col("chunks")).as("c")) ++ kc: _*)
+      .select(Seq(col("doc_id"),
         col("c.chunk_start").cast("long").as("chunk_start"),
         col("c.chunk_len").cast("long").as("chunk_len"),
         md5(col("norm").substr(col("c.chunk_start"), col("c.chunk_len")))
-          .as("chunk_fp"))
+          .as("chunk_fp")) ++ kc: _*)
       .filter(col("chunk_len") > 0)
   }
 

@@ -272,6 +272,23 @@ object StreamingOps {
       eventTime, delay, maxBucket)
   }
 
+  /** Streaming twin of the q77 chunk-level dedup: each arriving document
+    * explodes into its CDC chunks (narrow codegen'd kernel, edit-stable
+    * boundaries), and chunk FINGERPRINTS dedup within the watermark
+    * horizon — first arrival wins, the exact-dedup contract lifted from
+    * documents to chunks. Emits surviving (doc_id, chunk_start, chunk_len,
+    * chunk_fp) rows; offset-order reassembly (and the corpus-wide argmin
+    * canonicalization) stays a batch step, same contract split as the
+    * candidate streams.
+    */
+  def chunkDedupStream(
+      docs: DataFrame,
+      eventTime: String = "event_time",
+      delay: String = "1 hour"): DataFrame =
+    graft.queries.TextQueries.cdcChunksOf(docs, keep = Seq(eventTime))
+      .withWatermark(eventTime, delay)
+      .dropDuplicatesWithinWatermark("chunk_fp")
+
   /** Streaming twin of the q68 contamination detector: each arriving
     * training document's word 13-grams probe the STATIC eval-set gram
     * table (broadcast — a benchmark is bounded, like the ANN codebooks),

@@ -302,6 +302,60 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming chunk dedup keeps the batch q77 canonical occurrences") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val uniqueA =
+      "the quick brown fox jumps over one lazy dog while seventeen sparrows argue about breadcrumbs near the old stone fountain"
+    val uniqueB =
+      "meanwhile a completely different caravan of merchants counts copper coins under a violet sky as distant thunder rolls"
+    val passage =
+      "this shared passage of considerable length repeats verbatim across documents and therefore its interior chunks must deduplicate"
+    // no within-doc repeats: the batch argmin and first-arrival-wins then
+    // pick the SAME (doc_id, chunk_fp) occurrences when arrival order
+    // follows doc_id order
+    val texts = Seq(
+      (1L, s"$uniqueA $passage"),
+      (2L, s"$uniqueB $passage"), // later arrival: shared chunks drop
+      (3L, s"$uniqueA $passage"), // exact dup of 1: everything drops
+    )
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val query = StreamingOps.chunkDedupStream(
+        input.toDF().toDF("doc_id", "text", "event_time"))
+      .writeStream.format("memory").queryName("chunk_dedup_stream")
+      .outputMode("append").start()
+    try {
+      // one micro-batch per doc, in doc_id order — state, not batch order,
+      // enforces first-arrival-wins
+      texts.foreach { case (id, t) =>
+        input.addData((id, t, ts(s"2023-01-01 10:0$id:00")))
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("chunk_dedup_stream")
+        .select("doc_id", "chunk_fp").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val batchKept = graft.queries.TextQueries
+        .chunkDedupApplyOf(texts.toDF("doc_id", "text"))
+      // batch canonical occurrences, rebuilt from the chunk table
+      val chunks = graft.queries.TextQueries
+        .cdcChunksOf(texts.toDF("doc_id", "text"))
+      val canonical = chunks.groupBy("chunk_fp")
+        .agg(org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.struct(
+            org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("chunk_start"))).as("c"))
+        .select(org.apache.spark.sql.functions.col("c.doc_id"),
+          org.apache.spark.sql.functions.col("chunk_fp"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed === canonical)
+      // and the doc-level shape agrees with the batch apply: doc 3 kept 0
+      val kept3 = batchKept.filter(col("doc_id") === 3L)
+        .select("n_kept").collect().head.getLong(0)
+      assert(kept3 === 0L)
+      assert(streamed.count(_._1 == 3L) === 0)
+    } finally query.stop()
+  }
+
   test("near-dup candidate state expires past the watermark horizon") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
