@@ -67,6 +67,12 @@ object TrainingPipeline {
     *                    curated copy, drop the crawled ones (the q76
     *                    rule, [[graft.queries.TextQueries.priorityLosersOf]]).
     *                    Docs must carry a `source` column.
+    * @param qualitySample keep each quality-filtered doc with probability
+    *                    equal to its quality score (the q78 soft filter,
+    *                    FineWeb-Edu/DCLM style) — deterministic salted-md5
+    *                    thresholding on a stream independent of
+    *                    `sampleRates`' language sampler; set
+    *                    minQuality = 0 to use it as the ONLY quality gate.
     */
   case class Config(
       minQuality: Double = 0.5,
@@ -75,7 +81,8 @@ object TrainingPipeline {
       checkpointDir: Option[String] = None,
       sampleRates: Map[String, Double] = Map.empty,
       gopherFilter: Boolean = false,
-      sourcePriorities: Map[String, Int] = Map.empty)
+      sourcePriorities: Map[String, Int] = Map.empty,
+      qualitySample: Boolean = false)
 
   /** Non-canonical doc_ids under the configured dedup mode. */
   private def losers(docs: DataFrame, cfg: Config): Option[DataFrame] =
@@ -134,9 +141,16 @@ object TrainingPipeline {
     }
     val kept = TextQueries.scoreDocs(deduped)
       .filter(col("quality") >= cfg.minQuality)
+    // soft quality sampling composes with (or replaces, via minQuality=0)
+    // the hard threshold; its ':qs' hash stream is independent of the
+    // language sampler's ':mix' stream, so the two decisions never
+    // correlate
+    val soft =
+      if (!cfg.qualitySample) kept
+      else TextQueries.qualitySample(kept).drop("sample_key")
     val sampled =
-      if (cfg.sampleRates.isEmpty) kept
-      else TextQueries.mixtureSample(kept, cfg.sampleRates, langCol = "lang_pred")
+      if (cfg.sampleRates.isEmpty) soft
+      else TextQueries.mixtureSample(soft, cfg.sampleRates, langCol = "lang_pred")
         .drop("sample_key")
     embeddings match {
       case Some(emb) => sampled.join(VectorQueries.codesCsvByDocId(emb), Seq("doc_id"))

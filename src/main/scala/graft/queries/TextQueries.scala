@@ -330,6 +330,26 @@ object TextQueries {
     fracs.select(col("*"), verdict.as("passes_gopher_repetition_ext"))
   }
 
+  /** The q78 quality-proportional sampler over a SCORED frame (needs a
+    * `quality` column, the q19 expression): keep each row iff its salted
+    * md5 key falls under floor(quality·2^32) rendered as fixed-width hex.
+    * The ':qs' salt keeps this Bernoulli stream independent of the q73
+    * language sampler's ':mix' stream, so composing both never correlates
+    * their keep decisions. quality 1.0 clamps the threshold to ffffffff
+    * (a 2^-32 under-keep — the 9-hex-char alternative would break the
+    * fixed-width lexicographic=numeric invariant).
+    */
+  private[graft] def qualitySample(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("sample_key",
+        substring(md5(concat(col("doc_id").cast("string"), lit(":qs"))), 1, 8))
+      .withColumn("__thr",
+        format_string("%08x",
+          least(floor(col("quality") * lit(4294967296.0)).cast("long"),
+            lit(4294967295L))))
+      .filter(col("sample_key") < col("__thr"))
+      .drop("__thr")
+
   /** The q70 Gopher repetition signals + verdict (see the registry
     * comment). Factored like its q71/q74 siblings so specs and the
     * combined filter's equality test run planted corpora through the
@@ -1085,6 +1105,18 @@ object TextQueries {
     "q74_gopher_repetition_ext" -> ((s, d) =>
       gopherRepetitionExtOf(Tables.documents(s, d))),
 
+    // Quality-PROPORTIONAL deterministic sampling — the soft filter
+    // (FineWeb-Edu / DCLM style): keep each doc with probability equal to
+    // its quality score, reproducibly, instead of a hard threshold. Same
+    // fixed-width-hex trick as q73 on an independent salted stream
+    // (':qs'): keep iff key < floor(quality·2^32) as 8-hex (quality 1.0
+    // clamps to ffffffff — a 2^-32 under-keep, documented). quality is
+    // the bit-oracled q19 expression and the threshold is one multiply +
+    // floor, so the filter replays bit-exactly. Pure narrow predicate.
+    "q78_quality_sample" -> ((s, d) =>
+      qualitySample(scoreDocs(Tables.documents(s, d)))
+        .select(col("doc_id"), col("quality"), col("sample_key"))),
+
     // The combined Gopher filter, apply-form: training docs passing ALL of
     // q70 ∧ q71 ∧ q74, evaluated in ONE narrow corpus pass (see
     // gopherFilterAll — composing the registry queries would scan the
@@ -1772,6 +1804,16 @@ object TextQueries {
            |  (CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) < 0.30)
            |    AS passes_dup_passages
            |FROM agg""".stripMargin,
+    // q78 replay: the bit-oracled q19 quality expression feeds the same
+    // multiply+floor threshold, rendered fixed-width hex by printf.
+    "q78_quality_sample" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, $qualitySql AS quality,
+         |    substr(md5(concat(CAST(doc_id AS VARCHAR), ':qs')), 1, 8) AS sample_key
+         |  FROM documents)
+         |SELECT doc_id, quality, sample_key FROM k
+         |WHERE sample_key < printf('%08x',
+         |  least(CAST(floor(quality * 4294967296.0) AS BIGINT), 4294967295))""".stripMargin,
     // q73 replay: same salted md5 key, same hex thresholds (generated from
     // the same Scala rate map — single source of truth).
     "q73_mixture_sample" ->
