@@ -73,6 +73,12 @@ object TrainingPipeline {
     *                    thresholding on a stream independent of
     *                    `sampleRates`' language sampler; set
     *                    minQuality = 0 to use it as the ONLY quality gate.
+    * @param piiRedact   scrub PII (emails → IPv4 → phone-format, the q79
+    *                    chain, [[graft.queries.TextQueries.piiRedactText]])
+    *                    from `text` FIRST — before decontamination, filters,
+    *                    dedup, and scoring — so every downstream tokenizer
+    *                    and fingerprint sees the redacted text, the
+    *                    standard scrub-then-process order.
     */
   case class Config(
       minQuality: Double = 0.5,
@@ -82,7 +88,8 @@ object TrainingPipeline {
       sampleRates: Map[String, Double] = Map.empty,
       gopherFilter: Boolean = false,
       sourcePriorities: Map[String, Int] = Map.empty,
-      qualitySample: Boolean = false)
+      qualitySample: Boolean = false,
+      piiRedact: Boolean = false)
 
   /** Non-canonical doc_ids under the configured dedup mode. */
   private def losers(docs: DataFrame, cfg: Config): Option[DataFrame] =
@@ -128,9 +135,11 @@ object TrainingPipeline {
       embeddings: Option[DataFrame] = None,
       cfg: Config = Config(),
       evalDocs: Option[DataFrame] = None): DataFrame = {
+    val scrubbed =
+      if (cfg.piiRedact) TextQueries.piiRedactText(docs) else docs
     val decontaminated = evalDocs match {
-      case Some(ev) => TextQueries.decontaminate(docs, ev)
-      case None     => docs
+      case Some(ev) => TextQueries.decontaminate(scrubbed, ev)
+      case None     => scrubbed
     }
     val clean =
       if (cfg.gopherFilter) TextQueries.gopherFilterAll(decontaminated)
@@ -193,4 +202,18 @@ object TrainingPipeline {
     // a caller that reads the returned frame recomputes from the sinks' plan
     exported
   }
+
+  /** Leakage-safe train/val/test assignment for a corpus (doc_id, group_id,
+    * split_key, split — the q80 semantics,
+    * [[graft.queries.TextQueries.splitAssignOf]]): split hashed from the
+    * near-dup cluster id so no near-duplicate ever straddles the
+    * train/eval boundary. Honors the same checkpoint-dir resolution as the
+    * dedup modes. Join the result on doc_id to route an export's rows.
+    */
+  def assignSplits(
+      docs: DataFrame,
+      trainFrac: Double = TextQueries.splitTrainFrac,
+      valFrac: Double = TextQueries.splitValFrac,
+      cfg: Config = Config()): DataFrame =
+    TextQueries.splitAssignOf(docs, trainFrac, valFrac, ccDir(docs, cfg))
 }

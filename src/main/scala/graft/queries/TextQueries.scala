@@ -350,6 +350,89 @@ object TextQueries {
       .filter(col("sample_key") < col("__thr"))
       .drop("__thr")
 
+  // ---- q79 PII scrub ----------------------------------------------------
+
+  /** PII patterns (q79), deliberately restricted to the syntax subset where
+    * Java regex (Spark) and RE2 (DuckDB) agree exactly: character classes,
+    * bounded counts, ASCII `\b`/`\d` — no lookaround, no backrefs. The
+    * C4/FineWeb pipelines scrub exactly these three shapes (emails, IP
+    * addresses, phone-format numbers) before training.
+    */
+  private[graft] val piiEmailRe = raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+  private[graft] val piiIpv4Re  = raw"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+  private[graft] val piiPhoneRe = raw"\b\d{3}[- .]\d{3}[- .]\d{4}\b"
+
+  /** q79: per-document PII detection + redaction. Redaction is SEQUENTIAL
+    * (emails → IPv4 → phone-format) and each count is taken on the text as
+    * it stands at that stage — so a dotted quad inside an email address
+    * counts once as the email that swallowed it, never double. The order is
+    * part of the contract (the oracle replays the same three-stage chain).
+    * Pure narrow projection: three codegen'd regex passes, no shuffle, no
+    * state — scales as a map-only stage whatever the corpus size. Staged as
+    * real selects so each intermediate redaction is computed once
+    * (projection-level CSE), not once per consumer.
+    */
+  private[graft] def piiScrubOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(piiEmailRe)).cast("long").as("n_emails"),
+        regexp_replace(col("text"), piiEmailRe, "<EMAIL>").as("__r1"))
+      .select(col("doc_id"), col("n_emails"),
+        regexp_count(col("__r1"), lit(piiIpv4Re)).cast("long").as("n_ipv4"),
+        regexp_replace(col("__r1"), piiIpv4Re, "<IP>").as("__r2"))
+      .select(col("doc_id"), col("n_emails"), col("n_ipv4"),
+        regexp_count(col("__r2"), lit(piiPhoneRe)).cast("long").as("n_phones"),
+        regexp_replace(col("__r2"), piiPhoneRe, "<PHONE>").as("text_redacted"))
+
+  /** In-place redaction form of q79 for pipeline composition: same
+    * three-stage replace chain, `text` overwritten, every other column kept
+    * — so downstream scoring/dedup/decontamination run on the scrubbed
+    * text, which is the standard order (scrub before anything that
+    * tokenizes or fingerprints).
+    */
+  private[graft] def piiRedactText(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        piiEmailRe, "<EMAIL>"), piiIpv4Re, "<IP>"), piiPhoneRe, "<PHONE>"))
+
+  // ---- q80 leakage-safe split assignment --------------------------------
+
+  /** q80 split fractions — shared by the registry query and its oracle so
+    * the CASE thresholds are generated from one source of truth.
+    */
+  private[graft] val splitTrainFrac = 0.90
+  private[graft] val splitValFrac   = 0.05
+
+  /** q80: deterministic train/val/test assignment that can never leak a
+    * near-duplicate across splits. The split key is hashed from the
+    * document's near-dup CLUSTER id (the q43 connected components; docs in
+    * no cluster use their own doc_id), so every member of a dup cluster
+    * lands in the same split by construction — hashing doc_id instead
+    * would put a train document's near-copy in the eval split, the classic
+    * contamination bug deduplication exists to prevent. Thresholding is
+    * the q73 fixed-width-hex trick on an independent ':split' stream.
+    * Scale shape: cluster labels come from the pair-derived CC state
+    * (small), joined back equi on doc_id; assignment itself is narrow.
+    */
+  private[graft] def splitAssignOf(
+      docs: DataFrame,
+      trainFrac: Double = splitTrainFrac, valFrac: Double = splitValFrac,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val clusters = graft.operators.DedupClustering.connectedComponents(
+      candidatePairsFrom(sigsFrom(shingledDocs(docs))),
+      checkpointDir = checkpointDir)
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split_key",
+        substring(md5(concat(col("group_id").cast("string"), lit(":split"))), 1, 8))
+      .withColumn("split",
+        when(col("split_key") < lit(sampleThresholdHex(trainFrac)), "train")
+          .when(col("split_key") < lit(sampleThresholdHex(trainFrac + valFrac)), "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("group_id"), col("split_key"), col("split"))
+  }
+
   /** The q70 Gopher repetition signals + verdict (see the registry
     * comment). Factored like its q71/q74 siblings so specs and the
     * combined filter's equality test run planted corpora through the
@@ -1117,6 +1200,34 @@ object TextQueries {
       qualitySample(scoreDocs(Tables.documents(s, d)))
         .select(col("doc_id"), col("quality"), col("sample_key"))),
 
+    // PII detection + redaction (the C4 / FineWeb scrub step): emails,
+    // IPv4s, and phone-format numbers counted and replaced with typed
+    // placeholders in one sequential three-pass chain (see piiScrubOf for
+    // the ordering contract). The corpus itself is PII-free word-soup, so
+    // the registry query SEEDS one deterministic item of each kind per doc
+    // (digits derived from doc_id) before scrubbing — without that, the
+    // oracle would only ever verify the no-op path; with it, DuckDB (RE2)
+    // replays the Java-regex match/replace chain on every corpus row.
+    // Planted-fixture semantics live in PiiScrubSpec.
+    "q79_pii_scrub" -> ((s, d) =>
+      piiScrubOf(Tables.documents(s, d).withColumn("text",
+        concat(col("text"),
+          lit(" u"), col("doc_id").cast("string"),
+          lit("@ex"), (col("doc_id") % 7).cast("string"),
+          lit(".com 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string"),
+          lit(" 555-"), (lit(100) + col("doc_id") % 900).cast("string"),
+          lit("-"), (lit(1000) + col("doc_id") % 9000).cast("string"))))),
+
+    // Leakage-safe train/val/test split: 90/5/5 deterministic assignment
+    // hashed from the near-dup CLUSTER id, so a document and its
+    // near-copies always share a split (hashing doc_id would leak dups
+    // across the train/eval boundary). Same CC clusters as q43; the oracle
+    // replays them with the shared recursive CTE.
+    "q80_split_assign" -> ((s, d) =>
+      splitAssignOf(Tables.documents(s, d),
+        checkpointDir = ccCheckpointDir(s))),
+
     // The combined Gopher filter, apply-form: training docs passing ALL of
     // q70 ∧ q71 ∧ q74, evaluated in ONE narrow corpus pass (see
     // gopherFilterAll — composing the registry queries would scan the
@@ -1814,6 +1925,54 @@ object TextQueries {
          |SELECT doc_id, quality, sample_key FROM k
          |WHERE sample_key < printf('%08x',
          |  least(CAST(floor(quality * 4294967296.0) AS BIGINT), 4294967295))""".stripMargin,
+    // q79 replay: the same doc_id-derived PII seeding (|| not concat — ||
+    // NULL-propagates like Spark's concat, DuckDB's concat does not), then
+    // the same three sequential scrub stages with the same patterns
+    // (embedded from the shared Scala vals — Java regex and RE2 agree on
+    // this syntax subset); counts taken at each stage, 'g' for replace-all
+    // to match Spark's regexp_replace.
+    "q79_pii_scrub" ->
+      s"""WITH seeded AS (
+         |  SELECT doc_id,
+         |    text || ' u' || CAST(doc_id AS VARCHAR)
+         |      || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+         |      || '.com 10.' || CAST(doc_id % 256 AS VARCHAR)
+         |      || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+         |      || ' 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
+         |      || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS text
+         |  FROM documents),
+         |t1 AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$piiEmailRe')) AS BIGINT) AS n_emails,
+         |    regexp_replace(text, '$piiEmailRe', '<EMAIL>', 'g') AS r1
+         |  FROM seeded),
+         |t2 AS (
+         |  SELECT doc_id, n_emails,
+         |    CAST(len(regexp_extract_all(r1, '$piiIpv4Re')) AS BIGINT) AS n_ipv4,
+         |    regexp_replace(r1, '$piiIpv4Re', '<IP>', 'g') AS r2
+         |  FROM t1)
+         |SELECT doc_id, n_emails, n_ipv4,
+         |  CAST(len(regexp_extract_all(r2, '$piiPhoneRe')) AS BIGINT) AS n_phones,
+         |  regexp_replace(r2, '$piiPhoneRe', '<PHONE>', 'g') AS text_redacted
+         |FROM t2""".stripMargin,
+    // q80 replay: q43's recursive-CTE clusters, singletons defaulting to
+    // their own doc_id, then the same ':split' md5 key against CASE
+    // thresholds generated from the shared split fractions.
+    "q80_split_assign" ->
+      s"""WITH RECURSIVE $clustersCteSql,
+         |g AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_id
+         |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id),
+         |k AS (
+         |  SELECT doc_id, group_id,
+         |    substr(md5(concat(CAST(group_id AS VARCHAR), ':split')), 1, 8)
+         |      AS split_key
+         |  FROM g)
+         |SELECT doc_id, group_id, split_key,
+         |  CASE WHEN split_key < '${sampleThresholdHex(splitTrainFrac)}' THEN 'train'
+         |       WHEN split_key < '${sampleThresholdHex(splitTrainFrac + splitValFrac)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM k""".stripMargin,
     // q73 replay: same salted md5 key, same hex thresholds (generated from
     // the same Scala rate map — single source of truth).
     "q73_mixture_sample" ->

@@ -153,8 +153,14 @@ object StreamingOps {
       docs: DataFrame, staticEmb: DataFrame,
       eventTime: String = "event_time", delay: String = "1 hour",
       minQuality: Double = 0.5,
-      sampleRates: Map[String, Double] = Map.empty): DataFrame = {
-    val deduped = docs
+      sampleRates: Map[String, Double] = Map.empty,
+      piiRedact: Boolean = false): DataFrame = {
+    // PII scrub is a pure per-row projection (q79) — stateless in a
+    // stream; runs FIRST so the dedup fingerprint hashes redacted text,
+    // same order as the batch pipeline
+    val scrubbed =
+      if (piiRedact) graft.queries.TextQueries.piiRedactText(docs) else docs
+    val deduped = scrubbed
       .withColumn("__fp", graft.functions.TextOps.fingerprintMd5(col("text")))
       .withWatermark(eventTime, delay)
       .dropDuplicatesWithinWatermark("__fp")
