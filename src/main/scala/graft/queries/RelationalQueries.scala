@@ -371,6 +371,25 @@ object RelationalQueries {
             (col("event_type") =!= "click" && h < "80"))
         .select("event_id", "event_type")
     }),
+
+    // Z-order (Morton) clustering key over (user_id, event minute) — the
+    // sort key the OPTIMIZE-ZORDER layout rewrite clusters files by, so a
+    // 100 TB events table prunes row groups on user AND time predicates
+    // (see graft.sources.ZOrderLayout; per-file span shrinkage measured in
+    // ZOrderSpec). Pure codegen'd integer bit-arithmetic, generated from
+    // the same bit loop as the oracle's SQL. `div`/`//` agree because both
+    // operands are non-negative (events are post-epoch; pmod wraps into
+    // the 16-bit range).
+    "q82_zorder_key" -> ((s, d) => {
+      val minuteBucket = expr("unix_micros(ts) div 60000000")
+      Tables.events(s, d).select(
+        col("event_id"),
+        col("user_id"),
+        minuteBucket.as("t_bucket"),
+        graft.sources.ZOrderLayout.mortonKey(
+          pmod(col("user_id"), lit(65536L)),
+          pmod(minuteBucket, lit(65536L))).as("zkey"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -545,5 +564,15 @@ object RelationalQueries {
         |    AND substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '1a')
         |  OR (event_type <> 'click'
         |    AND substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '80')""".stripMargin,
+    // q82 replay: the morton SQL is GENERATED from the same bit loop as
+    // the Spark key (ZOrderLayout.mortonSql), so the interleave layout is
+    // defined once. `//` (DuckDB) and `div` (Spark) agree on the
+    // non-negative operands; % on non-negatives matches pmod.
+    "q82_zorder_key" -> {
+      val b = "(epoch_us(ts) // 60000000)"
+      s"""SELECT event_id, user_id, $b AS t_bucket,
+         |  ${graft.sources.ZOrderLayout.mortonSql("user_id % 65536", s"$b % 65536")} AS zkey
+         |FROM events""".stripMargin
+    },
   )
 }

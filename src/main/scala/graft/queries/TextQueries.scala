@@ -191,6 +191,37 @@ object TextQueries {
     train.join(contaminationHits(train, evalDocs, n).select("doc_id"),
       Seq("doc_id"), "left_anti")
 
+  /** [[decontaminate]] with a BLOOM PREFILTER on the corpus-side grams
+    * (q83): the eval set's distinct grams are folded into a ~1.2-byte-per-
+    * item bloom filter ([[graft.functions.SketchOps.buildStringBloom]])
+    * and probed INSIDE the corpus scan's codegen'd filter, so the ~all
+    * clean grams never reach the join at all. The exact join behind it
+    * then confirms the survivors — bloom false positives are re-checked,
+    * false negatives are impossible, so the RESULT is identical to
+    * [[decontaminate]] by construction (DecontamBloomSpec asserts
+    * equality; the oracle is literally q69's).
+    *
+    * Why it matters at 100 TB: the broadcast-hash-join variant ships the
+    * full eval gram set (strings + hash map, easily hundreds of MB for a
+    * large eval suite) to every executor and probes it per gram; the bloom
+    * is ~100× smaller and its probe is a few cache-friendly word reads —
+    * and when the eval side outgrows broadcast entirely (forcing a shuffle
+    * join), the prefilter cuts the shuffled corpus-side volume to the
+    * matching grams plus an fpp-sized trickle.
+    */
+  private[graft] def decontaminateBloom(
+      train: DataFrame, evalDocs: DataFrame,
+      n: Int = decontamGramN, fpp: Double = 0.01): DataFrame = {
+    val evGrams = docGrams(evalDocs, n).select("gram").distinct()
+    val bloom = graft.functions.SketchOps.buildStringBloom(
+      evGrams, "gram", expectedItems = evGrams.count(), fpp = fpp)
+    val hits = docGrams(train, n)
+      .filter(graft.functions.SketchOps.bloomMightContain(col("gram"), bloom))
+      .join(broadcast(evGrams), "gram")
+      .select("doc_id").distinct()
+    train.join(hits, Seq("doc_id"), "left_anti")
+  }
+
   /** q72's passage length: word 10-grams with multiplicity — Lee et al.
     * 2021 use 50-BPE-token spans; 10 lexicon words is the same idea scaled
     * to this corpus' 47–560-char documents.
@@ -349,6 +380,94 @@ object TextQueries {
             lit(4294967295L))))
       .filter(col("sample_key") < col("__thr"))
       .drop("__thr")
+
+  // ---- q84 incremental (batch-vs-corpus) dedup --------------------------
+
+  /** q84: admission dedup for a NEW batch against the accumulated corpus —
+    * the op an incremental-crawl pipeline runs per ingest: drop batch docs
+    * that are exact copies of a base doc (md5-of-normalized fingerprint
+    * present in the base) or near-dups of one (share an LSH band bucket
+    * with a base doc — the q22 candidate definition, applied cross-table).
+    * Surviving batch rows are returned unchanged; the batch is NOT deduped
+    * against itself (that happened — or will — under the full-corpus
+    * families; admission only answers "is this new vs what we have").
+    *
+    * Scale shape, per ingest of batch B against corpus C (|B| ≪ |C|):
+    * the base fingerprint/band tables are computed once per ingest here,
+    * but in production are INCREMENTALLY MAINTAINED (yesterday's table +
+    * yesterday's admitted batch — each a cheap append); the joins shuffle
+    * hash-sized keys, never text. The hot-bucket cap is applied on the
+    * BASE side — the accumulated corpus is where boilerplate buckets grow
+    * unbounded — and replayed by the oracle's HAVING.
+    */
+  /** The base side's (band, key) buckets surviving the hot-bucket cap —
+    * the static lookup table of the admission check, shared by the batch
+    * apply below and the stateless streaming twin
+    * ([[graft.streaming.StreamingOps.admissionDedupStream]]).
+    */
+  private[graft] def keptBaseBuckets(
+      base: DataFrame, maxBucket: Int = defaultMaxBucket): DataFrame =
+    sigsFrom(shingledDocs(base))
+      .select(col("doc_id"), bandsExploded.as(Seq("band", "key")))
+      .filter(col("key").isNotNull)
+      .groupBy("band", "key").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= maxBucket)
+      .select("band", "key")
+
+  private[graft] def incrementalDedup(
+      base: DataFrame, batch: DataFrame,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val exactHits = batch
+      .select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp"))
+      .join(base.select(TextOps.fingerprintMd5(col("text")).as("fp")).distinct(), "fp")
+      .select("doc_id")
+    val nearHits = sigsFrom(shingledDocs(batch))
+      .select(col("doc_id"), bandsExploded.as(Seq("band", "key")))
+      .filter(col("key").isNotNull)
+      .join(keptBaseBuckets(base, maxBucket), Seq("band", "key"))
+      .select("doc_id")
+    batch.join(exactHits.union(nearHits).distinct(), Seq("doc_id"), "left_anti")
+  }
+
+  // ---- q81 unigram LM-proxy score ---------------------------------------
+
+  /** q81 rare-token cutoff: a token is "rare" when its corpus-wide
+    * frequency is at most this. Shared with the oracle.
+    */
+  private[graft] val rareFreqMax = 2L
+
+  /** q81: unigram-LM quality proxy — the shape of the CCNet/RedPajama
+    * perplexity filter with the float-fragile log-probabilities replaced
+    * by exact integer statistics. Per doc: token count, summed corpus
+    * frequency of its tokens, rare-token count (corpus freq ≤
+    * [[rareFreqMax]]), and the two derived ratios (each a single division
+    * of exact integers → bit-replayable). Low avg_freq / high rare_ratio
+    * flags the same gibberish-and-boilerplate tail a unigram LM does.
+    *
+    * Scale shape: one corpus pass explodes tokens; the frequency table is
+    * a groupBy on token (partial aggregation — the shuffle carries the
+    * per-partition combined counts, not the token stream); the join back
+    * is left UNHINTED so AQE broadcasts the frequency table when it is
+    * small (a pruned LM vocab) and falls back to a shuffle join when it
+    * is not — exactly the decision a 100 TB run needs made at runtime.
+    * The per-doc aggregation map-side-combines on doc_id.
+    */
+  private[graft] def unigramScoreOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(TextOps.normalized(col("text")))).as("term"))
+    val freqs = toks.groupBy("term").agg(count(lit(1)).as("freq"))
+    toks.join(freqs, "term")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("freq")).as("sum_freq"),
+        sum(when(col("freq") <= rareFreqMax, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_freq"), col("n_rare"),
+        (col("sum_freq").cast("double") / col("n_tokens").cast("double"))
+          .as("avg_freq"),
+        (col("n_rare").cast("double") / col("n_tokens").cast("double"))
+          .as("rare_ratio"))
+  }
 
   // ---- q79 PII scrub ----------------------------------------------------
 
@@ -1228,6 +1347,40 @@ object TextQueries {
       splitAssignOf(Tables.documents(s, d),
         checkpointDir = ccCheckpointDir(s))),
 
+    // Unigram-LM quality proxy (the CCNet/RedPajama perplexity-filter
+    // shape with exact integer statistics): per doc, summed corpus
+    // frequency of its tokens, rare-token count, and the derived
+    // avg-frequency / rare-ratio signals. See unigramScoreOf for the
+    // AQE-decided join strategy at scale.
+    "q81_unigram_score" -> ((s, d) =>
+      unigramScoreOf(Tables.documents(s, d))),
+
+    // Incremental admission dedup: the doc_id % 10 = 0 slice plays the
+    // incoming batch, the rest the accumulated corpus; batch docs exactly
+    // or nearly duplicating a base doc are refused, novel docs admitted
+    // (see incrementalDedup — within-batch duplicates are NOT each
+    // other's problem here).
+    "q84_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      incrementalDedup(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    }),
+
+    // Bloom-prefiltered decontamination: q69's exact semantics with the
+    // eval gram set compiled into a codegen'd bloom probe inside the
+    // corpus scan (see decontaminateBloom for the scale rationale). Output
+    // and oracle are identical to q69 — the check IS that the prefilter
+    // changed nothing.
+    "q83_decontam_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      decontaminateBloom(trainSlice(docs), evalSlice(docs))
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    }),
+
     // The combined Gopher filter, apply-form: training docs passing ALL of
     // q70 ∧ q71 ∧ q74, evaluated in ONE narrow corpus pass (see
     // gopherFilterAll — composing the registry queries would scan the
@@ -1537,6 +1690,16 @@ object TextQueries {
          |  FROM dt),
          |ev AS (SELECT doc_id AS eval_id, gram FROM dg WHERE doc_id % $evalSliceMod = 0),
          |tr AS (SELECT doc_id, gram FROM dg WHERE doc_id % $evalSliceMod <> 0)""".stripMargin
+
+  // The q69 decontamination-apply replay, shared verbatim by q83 (whose
+  // bloom prefilter is result-invariant by construction).
+  private lazy val decontamApplySql =
+    raw"""WITH $decontamCteSql,
+         |hits AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.gram = ev.gram)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n_tokens
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |WHERE d.doc_id % $evalSliceMod <> 0 AND h.doc_id IS NULL""".stripMargin
 
   private val stopEn = TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
   private def hitsSql(lang: String): String = {
@@ -1973,6 +2136,25 @@ object TextQueries {
          |       WHEN split_key < '${sampleThresholdHex(splitTrainFrac + splitValFrac)}' THEN 'val'
          |       ELSE 'test' END AS split
          |FROM k""".stripMargin,
+    // q81 replay: same token explosion, same grouped frequency table, same
+    // join-back and per-doc aggregation; integer counts and sums are
+    // order-independent, the two ratios are single divisions of exact
+    // integers (float-parity rules). DuckDB sums BIGINT into HUGEINT, so
+    // every aggregate is cast back to BIGINT before comparison.
+    "q81_unigram_score" ->
+      raw"""WITH tk AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim($normSql), '\s+')) AS term
+           |  FROM documents),
+           |v AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tk GROUP BY term)
+           |SELECT doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(sum(freq) AS BIGINT) AS sum_freq,
+           |  CAST(count(*) FILTER (WHERE freq <= $rareFreqMax) AS BIGINT) AS n_rare,
+           |  CAST(sum(freq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_freq,
+           |  CAST(count(*) FILTER (WHERE freq <= $rareFreqMax) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS rare_ratio
+           |FROM tk JOIN v USING (term)
+           |GROUP BY doc_id""".stripMargin,
     // q73 replay: same salted md5 key, same hex thresholds (generated from
     // the same Scala rate map — single source of truth).
     "q73_mixture_sample" ->
@@ -1986,13 +2168,34 @@ object TextQueries {
              s"  WHEN lang = '$l' THEN sample_key < '${sampleThresholdHex(r)}'"
            }.mkString("\n")}
          |  ELSE true END""".stripMargin,
-    "q69_decontam_apply" ->
-      raw"""WITH $decontamCteSql,
-           |hits AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.gram = ev.gram)
+    "q69_decontam_apply" -> decontamApplySql,
+    // q84 replay: per-doc signatures are slice-independent, so the shared
+    // sigs CTE runs over ALL documents and the slice predicates carve out
+    // the base/batch sides; the base-side hot-bucket cap is the HAVING.
+    "q84_incremental_dedup" ->
+      raw"""WITH sigs AS ($sigsSql),
+           |e AS (
+           |  SELECT doc_id, 0 AS band, sig0 || sig1 AS key FROM sigs UNION ALL
+           |  SELECT doc_id, 1, sig2 || sig3 FROM sigs),
+           |bb AS (SELECT band, key FROM e
+           |  WHERE doc_id % 10 <> 0 AND key IS NOT NULL
+           |  GROUP BY band, key HAVING count(*) <= $defaultMaxBucket),
+           |near AS (
+           |  SELECT DISTINCT e.doc_id FROM e JOIN bb USING (band, key)
+           |  WHERE e.doc_id % 10 = 0 AND e.key IS NOT NULL),
+           |fp AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
+           |ex AS (
+           |  SELECT DISTINCT b.doc_id FROM fp b JOIN fp o ON b.fp = o.fp
+           |  WHERE b.doc_id % 10 = 0 AND o.doc_id % 10 <> 0),
+           |hits AS (SELECT doc_id FROM near UNION SELECT doc_id FROM ex)
            |SELECT d.doc_id,
            |  CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n_tokens
            |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-           |WHERE d.doc_id % $evalSliceMod <> 0 AND h.doc_id IS NULL""".stripMargin,
+           |WHERE d.doc_id % 10 = 0 AND h.doc_id IS NULL""".stripMargin,
+    // q83 is the SAME result as q69 by construction (the bloom only
+    // prefilters; the exact join re-confirms every survivor), so it binds
+    // the same replay — the oracle checks the prefilter changed nothing.
+    "q83_decontam_bloom" -> decontamApplySql,
     "q23_jaccard" ->
       s"""WITH pairs AS ($pairsSql),
          |sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents)

@@ -135,6 +135,44 @@ object StreamingOps {
   def termCounts(docs: DataFrame): DataFrame =
     graft.queries.TextQueries.termCountsOf(docs) // shared counting stage
 
+  /** Streaming twin of the q84 incremental admission dedup: a document
+    * STREAM admitted against a static accumulated corpus. Entirely
+    * STATELESS — the three checks are stream-static left joins against
+    * precomputed base-side tables (exact fingerprints; per-band kept
+    * buckets under the same hot-bucket cap as batch), and each join key is
+    * unique on the static side so the joins are row-preserving. A doc is
+    * admitted iff no check hit — bit-identical to the batch
+    * [[graft.queries.TextQueries.incrementalDedup]] contract
+    * (parity spec-asserted), including within-batch duplicates being
+    * admitted: admission compares against the BASE, not the stream.
+    *
+    * The static tables are built once per stream start; in production they
+    * are the incrementally-maintained fingerprint/bucket tables, refreshed
+    * by restarting the query (or a `foreachBatch` re-read) on the
+    * admission cadence.
+    */
+  def admissionDedupStream(docs: DataFrame, base: DataFrame): DataFrame = {
+    import graft.queries.TextQueries
+    val baseFps = base
+      .select(graft.functions.TextOps.fingerprintMd5(col("text")).as("__fp"))
+      .distinct().withColumn("__fphit", lit(1))
+    val kept = TextQueries.keptBaseBuckets(base)
+    val b0 = kept.filter(col("band") === 0)
+      .select(col("key").as("__k0"), lit(1).as("__hit0"))
+    val b1 = kept.filter(col("band") === 1)
+      .select(col("key").as("__k1"), lit(1).as("__hit1"))
+    TextQueries.withSignatures(docs)
+      .withColumn("__fp", graft.functions.TextOps.fingerprintMd5(col("text")))
+      .withColumn("__k0", concat(col("sig0"), col("sig1")))
+      .withColumn("__k1", concat(col("sig2"), col("sig3")))
+      .join(baseFps, Seq("__fp"), "left")
+      .join(b0, Seq("__k0"), "left")
+      .join(b1, Seq("__k1"), "left")
+      .filter(col("__fphit").isNull && col("__hit0").isNull && col("__hit1").isNull)
+      .drop("sig0", "sig1", "sig2", "sig3",
+        "__fp", "__k0", "__k1", "__fphit", "__hit0", "__hit1")
+  }
+
   /** Streaming twin of the q61 training-data export: documents are scored
     * (token count, quality, language — all narrow per-row expressions,
     * shared with the batch path via TextOps), exact-deduped within the

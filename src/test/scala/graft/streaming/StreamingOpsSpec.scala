@@ -356,6 +356,38 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming admission dedup matches the batch incrementalDedup contract") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the IncrementalDedupSpec fixture: disjoint token alphabets per family
+    def body(tag: String) = Seq.tabulate(40)(j => s"$tag$j").mkString(" ")
+    val base = Seq(
+      (1L, body("a")), (2L, body("b")), (3L, body("c"))).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, body("a")),                          // exact copy → refused
+      (11L, body("b").replace("b39", "CHANGED")), // near-dup → refused
+      (12L, body("z")),                          // novel → admitted
+      (13L, body("y")),                          // within-batch dup pair:
+      (14L, body("y")))                          // BOTH admitted
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingOps.admissionDedupStream(
+        input.toDF().toDF("doc_id", "text"), base)
+      .writeStream.format("memory").queryName("admission")
+      .outputMode("append").start()
+    try {
+      // one doc per micro-batch: statelessness means order cannot matter,
+      // and the within-batch dup pair must survive even arriving apart
+      batch.foreach { row => input.addData(row); query.processAllAvailable() }
+      val streamed = spark.table("admission")
+        .select("doc_id").as[Long].collect().toSet
+      val batchKept = graft.queries.TextQueries
+        .incrementalDedup(base, batch.toDF("doc_id", "text"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed === batchKept)
+      assert(streamed === Set(12L, 13L, 14L))
+    } finally query.stop()
+  }
+
   test("near-dup candidate state expires past the watermark horizon") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
