@@ -12,18 +12,20 @@ import org.apache.spark.sql.functions._
   * libm-log scoring — which get rows-only checks plus spec coverage):
   *   - q01–q16: relational ops (SURVEY §2 A/P/T/U families + joins,
   *     windows, sessionization, as-of, epoch-tumbling windows)
-  *   - q17–q25, q64–q84: text analysis + dedup (tokens/quality/langid,
+  *   - q17–q25, q64–q84, q86: text analysis + dedup (tokens/quality/langid,
   *     exact dedup, MinHash+LSH near-dup, Jaccard verify, SimHash and
   *     winnowing fingerprints + their pair/apply dedup families, word
   *     13-gram benchmark decontamination — exact q69 and bloom-prefiltered
   *     q83, the complete Gopher filter (repetition + quality + combined
   *     apply), cross-doc duplicated passages, mixture / quality-
   *     proportional sampling, source-priority and incremental-admission
-  *     dedup, PII scrub, leakage-safe splits, unigram LM-proxy scoring;
+  *     dedup, PII scrub, leakage-safe splits, unigram LM-proxy scoring,
+  *     deterministic shuffle + shard assignment (q86);
   *     q82 is the z-order layout key over events)
-  *   - q26–q29, q35, q39, q55: similarity search + embedding ops (brute
-  *     cosine kNN, multiprobe sign-LSH kNN, vector stats, centroids,
-  *     LSH-composed near-dup, IVF index, int8 quantization)
+  *   - q26–q29, q35, q39, q55, q85: similarity search + embedding ops
+  *     (brute cosine kNN, multiprobe sign-LSH kNN, vector stats,
+  *     centroids, LSH-composed near-dup, IVF index, int8 quantization,
+  *     embedding-space decontamination)
   *   - q30–q31: multimodal binary plumbing (metadata + byte features)
   *   - q38, q40, q42, q52–q54: tokenization pipeline (chunking, TF-IDF,
   *     BM25, vocabulary, sequence packing, dictionary encoding)

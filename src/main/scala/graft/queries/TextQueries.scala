@@ -381,6 +381,54 @@ object TextQueries {
       .filter(col("sample_key") < col("__thr"))
       .drop("__thr")
 
+  // ---- q86 deterministic corpus shuffle + shard assignment --------------
+
+  /** q86 shard count. Production uses data-parallel-worker multiples;
+    * the mechanism is count-agnostic.
+    */
+  private[graft] val shuffleShardCount = 8
+
+  /** The q86 shuffle key: 8 hex chars of a salted md5 — a uniform,
+    * engine-independent random order for the corpus (the shuffle every
+    * training run needs must NOT be the engine's nondeterministic row
+    * order: resuming, re-exporting, or re-sharding has to reproduce it).
+    * ':shuf' keeps the stream independent of the ':mix'/':qs'/':split'
+    * Bernoulli streams.
+    */
+  private[graft] def shuffleKeyCol: Column =
+    substring(md5(concat(col("doc_id").cast("string"), lit(":shuf"))), 1, 8)
+
+  /** Shard of a shuffle key: equal-width hex ranges via the
+    * [[sampleThresholdHex]] boundaries — shard i is keys in
+    * [thr(i/n), thr((i+1)/n)). Spark CASE chain and the oracle's SQL CASE
+    * are generated from the SAME boundary loop (the [[graft.sources
+    * .ZOrderLayout]] single-source convention), so the two engines cannot
+    * disagree on a boundary key.
+    */
+  private[graft] def shardOfKey(key: Column, n: Int = shuffleShardCount): Column =
+    (1 until n).foldRight(lit(n - 1): Column) { (i, rest) =>
+      when(key < lit(sampleThresholdHex(i.toDouble / n)), lit(i - 1))
+        .otherwise(rest)
+    }.cast("int")
+
+  private[graft] def shardOfKeySql(keyExpr: String, n: Int = shuffleShardCount): String =
+    (1 until n).map { i =>
+      s"WHEN $keyExpr < '${sampleThresholdHex(i.toDouble / n)}' THEN ${i - 1}"
+    }.mkString("CAST(CASE ", " ", s" ELSE ${n - 1} END AS INT)")
+
+  /** q86: the deterministic corpus shuffle + shard assignment — the step
+    * between filtering and tokenization in every training-data pipeline
+    * (data-parallel workers each read one shard, in shuffle-key order).
+    * Pure narrow projection: the KEY defines the order and the shard;
+    * no global sort runs here. The physical ordered layout is
+    * [[graft.sources.ShuffledShards.writeShuffled]] — a range partition
+    * on the key (scales: each of numFiles tasks sorts its slice), never a
+    * per-shard window (8 shards = 8 giant single partitions at 100 TB).
+    */
+  private[graft] def shuffleShardsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shuffleKeyCol.as("shuffle_key"))
+      .withColumn("shard", shardOfKey(col("shuffle_key")))
+
   // ---- q84 incremental (batch-vs-corpus) dedup --------------------------
 
   /** q84: admission dedup for a NEW batch against the accumulated corpus —
@@ -1360,6 +1408,11 @@ object TextQueries {
     // or nearly duplicating a base doc are refused, novel docs admitted
     // (see incrementalDedup — within-batch duplicates are NOT each
     // other's problem here).
+    // Deterministic corpus shuffle + shard assignment (see shuffleShardsOf;
+    // the ordered physical layout is ShuffledShards.writeShuffled).
+    "q86_shuffle_shard" -> ((s, d) =>
+      shuffleShardsOf(Tables.documents(s, d))),
+
     "q84_incremental_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       incrementalDedup(
@@ -2155,6 +2208,13 @@ object TextQueries {
            |    / CAST(count(*) AS DOUBLE) AS rare_ratio
            |FROM tk JOIN v USING (term)
            |GROUP BY doc_id""".stripMargin,
+    // q86 replay: same salted key, and the shard CASE chain is generated
+    // from the same Scala boundary loop as the Spark side.
+    "q86_shuffle_shard" ->
+      s"""SELECT doc_id,
+         |  substr(md5(concat(CAST(doc_id AS VARCHAR), ':shuf')), 1, 8) AS shuffle_key,
+         |  ${shardOfKeySql(s"substr(md5(concat(CAST(doc_id AS VARCHAR), ':shuf')), 1, 8)")} AS shard
+         |FROM documents""".stripMargin,
     // q73 replay: same salted md5 key, same hex thresholds (generated from
     // the same Scala rate map — single source of truth).
     "q73_mixture_sample" ->

@@ -86,6 +86,56 @@ object VectorQueries {
       .distinct()
   }
 
+  /** q85: EMBEDDING-SPACE decontamination — refuse train-slice vectors
+    * whose embedding is near (cosine > `threshold`) ANY eval-slice vector.
+    * The semantic complement of the q69/q83 13-gram decontamination: n-gram
+    * overlap catches verbatim leakage, embedding proximity catches the
+    * paraphrased benchmark questions that share no 13-gram with the eval
+    * suite (the gap Yang et al. 2023's "rephrased samples" attack exploits).
+    *
+    * Same "verified LSH candidates" semantics as q35: a (train, eval) pair
+    * is considered iff their sign-LSH codes agree within Hamming ≤ 1 in ≥1
+    * table (multiprobe, expanded on the EVAL side — the benchmark suite is
+    * the small fixed set in production) and both home buckets are under the
+    * hot-bucket cap; candidates are then exactly cosine-verified. Recall is
+    * ~1 in the true near-dup regime (cosine ≳ 0.9 — planted-copy spec) and
+    * intentionally partial in the noise tail, like q35.
+    *
+    * Scale shape: bucket codes are one narrow pass; the cap table is ≤
+    * nTables·2^nBits rows (broadcast); the candidates join carries
+    * (table, bucket, id) triples — never embeddings — and is left UNHINTED
+    * so AQE broadcasts the eval probe list when the eval suite is small
+    * (the production case) and shuffle-joins when it is not; only
+    * candidate pairs fetch vectors for the exact verify; the final
+    * anti-join is id-only.
+    */
+  private[graft] def embedDecontaminate(
+      emb: DataFrame, isEval: Column, threshold: Double = 0.4): DataFrame = {
+    val maxBucket = TextQueries.defaultMaxBucket
+    val home = withBuckets(emb)
+      .select(col("table"), col("bucket"), col("vec_id"), isEval.as("is_eval"))
+    val okBuckets = home.groupBy("table", "bucket")
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= maxBucket)
+      .select("table", "bucket")
+    val homeOk = home.join(broadcast(okBuckets), Seq("table", "bucket"))
+    val probeBuckets = col("bucket") +:
+      (0 until nBits).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+    val evalProbes = homeOk.filter(col("is_eval"))
+      .select(col("table"), explode(array(probeBuckets: _*)).as("bucket"),
+        col("vec_id").as("eval_id"))
+    val candidates = homeOk.filter(!col("is_eval"))
+      .join(evalProbes, Seq("table", "bucket"))
+      .select(col("vec_id"), col("eval_id")).distinct()
+    val contaminated = candidates
+      .join(emb.select(col("vec_id"), col("embedding").as("te")), "vec_id")
+      .join(emb.select(col("vec_id").as("eval_id"), col("embedding").as("ee")),
+        "eval_id")
+      .filter(VectorOps.cosine(col("te"), col("ee")) > threshold)
+      .select("vec_id").distinct()
+    emb.filter(!isEval).join(contaminated, Seq("vec_id"), "left_anti")
+  }
+
   /** Exact all-pairs cosine-threshold join — O(N²), verification scale
     * ONLY. Kept as the truth reference for EmbedNeardupSpec's recall
     * bounds; the registered q35 is the LSH-pruned composition.
@@ -272,6 +322,16 @@ object VectorQueries {
             lit(0.0), (acc, e) => acc + e).as("sq_err"))
     }),
 
+    // Embedding-space decontamination: the vec_id % 25 = 0 slice plays the
+    // eval benchmark suite (the q69 doc-slice convention); train vectors
+    // within cosine 0.4 of any eval vector — through the verified-LSH
+    // candidate pipeline — are refused (see embedDecontaminate).
+    "q85_embed_decontam" -> ((s, d) => {
+      embedDecontaminate(Tables.embeddings(s, d),
+          col("vec_id") % TextQueries.evalSliceMod === 0)
+        .select(col("vec_id"), col("label").cast("int").as("label"))
+    }),
+
     // Per-row vector stats (array access + deterministic norm).
     "q28_embed_stats" -> ((s, d) => {
       Tables.embeddings(s, d).select(
@@ -401,7 +461,37 @@ object VectorQueries {
        |WHERE cosine > 0.4""".stripMargin
   }
 
+  /** q85 oracle: the q35 bucket/cap replay with slice predicates — a train
+    * vec is refused iff some (train, eval) candidate pair (Hamming ≤ 1
+    * bucket agreement, both home buckets under cap) exactly verifies above
+    * the threshold; NULL cosine (zero norm) never verifies on either side.
+    */
+  private lazy val embedDecontamSql = {
+    val m = TextQueries.evalSliceMod
+    s"""$bucketCteSql,
+       |sz AS (SELECT t, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT tr.vec_id, ev.vec_id AS eval_id
+       |  FROM b tr JOIN b ev ON tr.t = ev.t
+       |    AND bit_count(xor(tr.bucket, ev.bucket)) <= 1
+       |  JOIN sz sx ON sx.t = tr.t AND sx.bucket = tr.bucket
+       |    AND sx.n <= ${TextQueries.defaultMaxBucket}
+       |  JOIN sz sy ON sy.t = ev.t AND sy.bucket = ev.bucket
+       |    AND sy.n <= ${TextQueries.defaultMaxBucket}
+       |  WHERE tr.vec_id % $m <> 0 AND ev.vec_id % $m = 0),
+       |hits AS (
+       |  SELECT DISTINCT cand.vec_id FROM cand
+       |  JOIN e ea ON ea.vec_id = cand.vec_id
+       |  JOIN e eb ON eb.vec_id = cand.eval_id
+       |  WHERE (CASE WHEN ${pairNormSql("ea.v")} * ${pairNormSql("eb.v")} <> 0.0
+       |    THEN $pairDotSql / (${pairNormSql("ea.v")} * ${pairNormSql("eb.v")}) END) > 0.4)
+       |SELECT em.vec_id, CAST(em.label AS INT) AS label
+       |FROM embeddings em LEFT JOIN hits h ON em.vec_id = h.vec_id
+       |WHERE em.vec_id % $m <> 0 AND h.vec_id IS NULL""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q85_embed_decontam" -> embedDecontamSql,
     "q26_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < $nQueries),
          |s AS (

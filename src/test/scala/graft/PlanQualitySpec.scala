@@ -148,6 +148,20 @@ class PlanQualitySpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size <= 1, p)
   }
 
+  test("q85: embedding decontamination — anti-join prune, no cartesian, cap table broadcasts") {
+    val p = plan("q85_embed_decontam", "simple")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the ≤ nTables·2^nBits hot-bucket cap table rides a broadcast join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q86: shuffle-shard assignment is fully narrow — zero exchanges") {
+    val p = plan("q86_shuffle_shard", "simple")
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("trades clean+agg: single shuffle for the 4-key aggregate") {
     val raw   = graft.etl.TradesEtl.extract(spark, "/root/reference/trades (1) (2) (1).csv")
     val clean = graft.etl.TradesEtl.clean(raw)
