@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * libm-log scoring — which get rows-only checks plus spec coverage):
   *   - q01–q16: relational ops (SURVEY §2 A/P/T/U families + joins,
   *     windows, sessionization, as-of, epoch-tumbling windows)
-  *   - q17–q25, q64–q84, q86: text analysis + dedup (tokens/quality/langid,
+  *   - q17–q25, q64–q84, q86–q87: text analysis + dedup (tokens/quality/langid,
   *     exact dedup, MinHash+LSH near-dup, Jaccard verify, SimHash and
   *     winnowing fingerprints + their pair/apply dedup families, word
   *     13-gram benchmark decontamination — exact q69 and bloom-prefiltered
@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   *     apply), cross-doc duplicated passages, mixture / quality-
   *     proportional sampling, source-priority and incremental-admission
   *     dedup, PII scrub, leakage-safe splits, unigram LM-proxy scoring,
-  *     deterministic shuffle + shard assignment (q86);
+  *     deterministic shuffle + shard assignment (q86), token-budget
+  *     selection (q87);
   *     q82 is the z-order layout key over events)
   *   - q26–q29, q35, q39, q55, q85: similarity search + embedding ops
   *     (brute cosine kNN, multiprobe sign-LSH kNN, vector stats,

@@ -134,12 +134,29 @@ object TrainingPipeline {
       docs: DataFrame,
       embeddings: Option[DataFrame] = None,
       cfg: Config = Config(),
-      evalDocs: Option[DataFrame] = None): DataFrame = {
+      evalDocs: Option[DataFrame] = None,
+      evalEmbeddings: Option[DataFrame] = None): DataFrame = {
     val scrubbed =
       if (cfg.piiRedact) TextQueries.piiRedactText(docs) else docs
-    val decontaminated = evalDocs match {
+    val ngramClean = evalDocs match {
       case Some(ev) => TextQueries.decontaminate(scrubbed, ev)
       case None     => scrubbed
+    }
+    // embedding-space decontamination (the q85 semantics): catches the
+    // paraphrased benchmark leakage the 13-gram pass can't see. Needs the
+    // corpus embedding table (doc_id = vec_id); docs without an embedding
+    // are not refusable on this signal and pass through. Runs with the
+    // other decontamination, BEFORE filters and dedup, so a contaminated
+    // doc can never be elected a cluster canonical.
+    val decontaminated = (evalEmbeddings, embeddings) match {
+      case (Some(evalEmb), Some(emb)) =>
+        ngramClean.join(
+          VectorQueries.embedContaminatedIdsAgainst(emb, evalEmb)
+            .withColumnRenamed("vec_id", "doc_id"),
+          Seq("doc_id"), "left_anti")
+      case (Some(_), None) => throw new IllegalArgumentException(
+        "evalEmbeddings requires the corpus `embeddings` table")
+      case _ => ngramClean
     }
     val clean =
       if (cfg.gopherFilter) TextQueries.gopherFilterAll(decontaminated)
@@ -191,12 +208,26 @@ object TrainingPipeline {
       embeddings: Option[DataFrame],
       outDir: String,
       cfg: Config = Config(),
-      partitionByLang: Boolean = false): DataFrame = {
+      partitionByLang: Boolean = false,
+      shuffledShardFiles: Option[Int] = None): DataFrame = {
+    require(!(partitionByLang && shuffledShardFiles.nonEmpty),
+      "partitionByLang and shuffledShardFiles are alternative layouts")
     val exported = export(docs, embeddings, cfg).cache() // fans out to 2 sinks
     try {
-      val writer = exported.write.mode(SaveMode.Overwrite)
-      if (partitionByLang) writer.partitionBy("lang_pred").parquet(s"$outDir/export")
-      else writer.parquet(s"$outDir/export")
+      shuffledShardFiles match {
+        // the q86 layout: deterministic shuffle order + shard dirs — what a
+        // data-parallel training run reads (shard=K/, key-sorted files)
+        case Some(nf) =>
+          graft.sources.ShuffledShards.writeShuffled(
+            exported
+              .withColumn("shuffle_key", TextQueries.shuffleKeyCol)
+              .withColumn("shard", TextQueries.shardOfKey(col("shuffle_key"))),
+            s"$outDir/export", numFiles = nf)
+        case None =>
+          val writer = exported.write.mode(SaveMode.Overwrite)
+          if (partitionByLang) writer.partitionBy("lang_pred").parquet(s"$outDir/export")
+          else writer.parquet(s"$outDir/export")
+      }
       stats(exported).write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
     } finally exported.unpersist() // don't pin executor memory past the call;
     // a caller that reads the returned frame recomputes from the sinks' plan

@@ -429,6 +429,50 @@ object TextQueries {
     docs.select(col("doc_id"), shuffleKeyCol.as("shuffle_key"))
       .withColumn("shard", shardOfKey(col("shuffle_key")))
 
+  // ---- q87 token-budget selection ---------------------------------------
+
+  /** q87 quality-band resolution: quality ∈ [0,1] → floor(q·10000). */
+  private[graft] val budgetBandScale = 10000
+
+  /** q87: token-budget corpus selection — the "best B tokens" op
+    * (SlimPajama/DCLM-style data curation): fill `budgetTokens` from the
+    * highest-quality documents down. Done the way that survives 100 TB:
+    * NEVER a global quality sort with a running sum (a single-partition
+    * window over the corpus). Instead (1) one narrow pass bands each doc's
+    * quality into ≤[[budgetBandScale]]+1 integer bands; (2) a tiny
+    * aggregate (one shuffle, ≤10001 rows) computes per-band token totals
+    * and a running total over the bands — the only unpartitioned window
+    * runs over that band table, not the corpus; (3) full bands above the
+    * cutoff keep everything, and the ONE partial boundary band is filled
+    * by deterministic Bernoulli thinning at rate needed/band_tokens on the
+    * ':tb' hex stream (expected tokens = needed; exact prefix selection
+    * within the band would reintroduce the global sort). The band decision
+    * table broadcasts back onto the corpus — the second corpus pass is a
+    * narrow filter.
+    */
+  private[graft] def tokenBudgetSelect(
+      docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val scored = scoreDocs(docs).select(
+      col("doc_id"), col("n_tokens"),
+      floor(col("quality") * budgetBandScale).cast("long").as("band"),
+      substring(md5(concat(col("doc_id").cast("string"), lit(":tb"))), 1, 8)
+        .as("tb_key"))
+    val bands = scored.groupBy("band").agg(sum("n_tokens").as("band_tokens"))
+    val w = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cut = bands
+      .withColumn("cum_before", coalesce(sum("band_tokens").over(w), lit(0L)))
+      .withColumn("needed", lit(budgetTokens) - col("cum_before"))
+      .filter(col("needed") > 0L)
+      .select(col("band"), col("band_tokens"), col("needed"))
+    scored.join(broadcast(cut), Seq("band"))
+      .filter(col("needed") >= col("band_tokens") ||
+        col("tb_key") < format_string("%08x",
+          floor(col("needed").cast("double") / col("band_tokens").cast("double")
+            * lit(4294967296.0)).cast("long")))
+      .select("doc_id", "n_tokens", "band")
+  }
+
   // ---- q84 incremental (batch-vs-corpus) dedup --------------------------
 
   /** q84: admission dedup for a NEW batch against the accumulated corpus —
@@ -1413,6 +1457,12 @@ object TextQueries {
     "q86_shuffle_shard" -> ((s, d) =>
       shuffleShardsOf(Tables.documents(s, d))),
 
+    // Token-budget selection: the best ~10k tokens by quality band (see
+    // tokenBudgetSelect — band histogram + broadcast cutoff, never a
+    // global quality sort).
+    "q87_token_budget" -> ((s, d) =>
+      tokenBudgetSelect(Tables.documents(s, d), budgetTokens = 10000L)),
+
     "q84_incremental_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       incrementalDedup(
@@ -2208,6 +2258,33 @@ object TextQueries {
            |    / CAST(count(*) AS DOUBLE) AS rare_ratio
            |FROM tk JOIN v USING (term)
            |GROUP BY doc_id""".stripMargin,
+    // q87 replay: same bands (quality is the oracled q19 expression), same
+    // tiny running-total-over-bands window, same needed/band_tokens double
+    // division (exact BIGINTs → one IEEE division both engines round the
+    // same way), same ':tb' Bernoulli boundary fill.
+    "q87_token_budget" ->
+      raw"""WITH s AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           |    CAST(floor(($qualitySql) * $budgetBandScale) AS BIGINT) AS band,
+           |    substr(md5(concat(CAST(doc_id AS VARCHAR), ':tb')), 1, 8) AS tb_key
+           |  FROM documents),
+           |b AS (SELECT band, CAST(sum(n_tokens) AS BIGINT) AS band_tokens
+           |  FROM s GROUP BY band),
+           |c AS (SELECT band, band_tokens,
+           |    CAST(coalesce(sum(band_tokens) OVER (ORDER BY band DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           |      AS cum_before
+           |  FROM b),
+           |k AS (SELECT band, band_tokens, 10000 - cum_before AS needed
+           |  FROM c WHERE 10000 - cum_before > 0)
+           |SELECT s.doc_id, s.n_tokens, s.band
+           |FROM s JOIN k USING (band)
+           |WHERE k.needed >= k.band_tokens
+           |   OR s.tb_key < printf('%08x', CAST(floor(
+           |        CAST(k.needed AS DOUBLE) / CAST(k.band_tokens AS DOUBLE)
+           |        * 4294967296.0) AS BIGINT))""".stripMargin,
+
     // q86 replay: same salted key, and the shard CASE chain is generated
     // from the same Scala boundary loop as the Spark side.
     "q86_shuffle_shard" ->

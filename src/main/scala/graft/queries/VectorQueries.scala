@@ -109,8 +109,12 @@ object VectorQueries {
     * candidate pairs fetch vectors for the exact verify; the final
     * anti-join is id-only.
     */
-  private[graft] def embedDecontaminate(
-      emb: DataFrame, isEval: Column, threshold: Double = 0.4): DataFrame = {
+  /** The refused (contaminated) non-eval vec_ids — the core of
+    * [[embedDecontaminate]], factored so the pipeline's cross-table form
+    * ([[embedContaminatedIdsAgainst]]) can reuse it.
+    */
+  private[graft] def embedContaminatedIds(
+      emb: DataFrame, isEval: Column, threshold: Double): DataFrame = {
     val maxBucket = TextQueries.defaultMaxBucket
     val home = withBuckets(emb)
       .select(col("table"), col("bucket"), col("vec_id"), isEval.as("is_eval"))
@@ -127,13 +131,33 @@ object VectorQueries {
     val candidates = homeOk.filter(!col("is_eval"))
       .join(evalProbes, Seq("table", "bucket"))
       .select(col("vec_id"), col("eval_id")).distinct()
-    val contaminated = candidates
+    candidates
       .join(emb.select(col("vec_id"), col("embedding").as("te")), "vec_id")
       .join(emb.select(col("vec_id").as("eval_id"), col("embedding").as("ee")),
         "eval_id")
       .filter(VectorOps.cosine(col("te"), col("ee")) > threshold)
       .select("vec_id").distinct()
-    emb.filter(!isEval).join(contaminated, Seq("vec_id"), "left_anti")
+  }
+
+  private[graft] def embedDecontaminate(
+      emb: DataFrame, isEval: Column, threshold: Double = 0.4): DataFrame =
+    emb.filter(!isEval).join(
+      embedContaminatedIds(emb, isEval, threshold), Seq("vec_id"), "left_anti")
+
+  /** Cross-table form for [[graft.pipeline.TrainingPipeline]]: corpus ids
+    * contaminated by a SEPARATE eval embedding table. The eval side is
+    * remapped into the negative id space (corpus vec_ids must be
+    * non-negative) so the union keeps both sides' identities distinct
+    * through the candidate and verify joins; the returned ids are corpus
+    * vec_ids.
+    */
+  private[graft] def embedContaminatedIdsAgainst(
+      corpus: DataFrame, evalEmb: DataFrame,
+      threshold: Double = 0.4): DataFrame = {
+    val both = corpus.select(col("vec_id"), col("embedding"))
+      .unionByName(evalEmb.select(
+        (-col("vec_id") - lit(1L)).as("vec_id"), col("embedding")))
+    embedContaminatedIds(both, col("vec_id") < 0L, threshold)
   }
 
   /** Exact all-pairs cosine-threshold join — O(N²), verification scale

@@ -97,4 +97,46 @@ class TrainingPipelineSpec extends SparkSpec {
     val nFromStats = st.agg(sum("n_docs")).head.getLong(0)
     assert(nFromStats === exported.count())
   }
+
+  test("evalEmbeddings refuses a doc whose embedding the eval suite contains") {
+    val docs = Tables.documents(spark, sf)
+    val emb  = Tables.embeddings(spark, sf)
+    val base = TrainingPipeline.export(docs, Some(emb))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val target = base.min
+    // the eval suite contains the target doc's own embedding (cosine 1 —
+    // an exact planted leak); the q85 pass must refuse it
+    val evalEmb = emb.filter(col("vec_id") === target)
+    val decontam = TrainingPipeline.export(docs, Some(emb),
+        evalEmbeddings = Some(evalEmb))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(base.contains(target))
+    assert(!decontam.contains(target))
+    assert(decontam.nonEmpty)
+    // and the guard: evalEmbeddings without the corpus table is an error
+    intercept[IllegalArgumentException] {
+      TrainingPipeline.export(docs, None, evalEmbeddings = Some(evalEmb))
+    }
+  }
+
+  test("writeExport shuffled-shard layout: shard dirs, rows preserved, stats reconcile") {
+    val out = Files.createTempDirectory("graft-export-shuf").toString
+    val exported = TrainingPipeline.writeExport(
+      Tables.documents(spark, sf), None, out, shuffledShardFiles = Some(8))
+    val dirs = new java.io.File(s"$out/export").list().toSeq
+    assert(dirs.exists(_.startsWith("shard=")), dirs.toString)
+    val reread = spark.read.parquet(s"$out/export")
+    assert(reread.count() === exported.count())
+    // the layout adds exactly the shuffle columns; doc rows are unchanged
+    assert(reread.columns.toSet === exported.columns.toSet ++ Set("shuffle_key", "shard"))
+    assert(reread.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      exported.select("doc_id").collect().map(_.getLong(0)).toSet)
+    val st = spark.read.parquet(s"$out/stats")
+    assert(st.agg(sum("n_docs")).head.getLong(0) === exported.count())
+    // both layouts at once is a config error
+    intercept[IllegalArgumentException] {
+      TrainingPipeline.writeExport(Tables.documents(spark, sf), None, out,
+        partitionByLang = true, shuffledShardFiles = Some(8))
+    }
+  }
 }
