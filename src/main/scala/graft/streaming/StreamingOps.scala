@@ -187,12 +187,21 @@ object StreamingOps {
     * batch recompaction step; its streaming precursor is
     * [[neardupCandidates]] feeding a periodic batch clustering.
     */
+  /** `shardAssign` appends the q86 shuffle_key + shard columns (pure
+    * per-row projections — stateless) so the streamed artifact lands
+    * pre-routed for a sharded training consumer; the KEY-SORTED file
+    * rewrite ([[graft.sources.ShuffledShards.writeShuffled]]) remains a
+    * batch compaction step — a stream cannot globally sort, but because
+    * key and shard are deterministic functions of doc_id, the later
+    * compaction reproduces exactly the order this stream's keys declare.
+    */
   def trainingExportStream(
       docs: DataFrame, staticEmb: DataFrame,
       eventTime: String = "event_time", delay: String = "1 hour",
       minQuality: Double = 0.5,
       sampleRates: Map[String, Double] = Map.empty,
-      piiRedact: Boolean = false): DataFrame = {
+      piiRedact: Boolean = false,
+      shardAssign: Boolean = false): DataFrame = {
     // PII scrub is a pure per-row projection (q79) — stateless in a
     // stream; runs FIRST so the dedup fingerprint hashes redacted text,
     // same order as the batch pipeline
@@ -211,8 +220,13 @@ object StreamingOps {
       if (sampleRates.isEmpty) kept
       else graft.queries.TextQueries.mixtureSample(
         kept, sampleRates, langCol = "lang_pred").drop("sample_key")
-    sampled.join(graft.queries.VectorQueries.codesCsvByDocId(staticEmb),
+    val joined = sampled.join(
+      graft.queries.VectorQueries.codesCsvByDocId(staticEmb),
       Seq("doc_id")) // stream-static equi-join, no state
+    if (!shardAssign) joined
+    else joined
+      .withColumn("shuffle_key", graft.queries.TextQueries.shuffleKeyCol)
+      .withColumn("shard", graft.queries.TextQueries.shardOfKey(col("shuffle_key")))
   }
 
   // ---- streaming near-duplicate candidates ------------------------------

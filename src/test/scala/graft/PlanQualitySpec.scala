@@ -162,6 +162,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q87: budget cutoff broadcasts; the only unpartitioned window is over the band table") {
+    val p = plan("q87_token_budget", "simple")
+    // the ≤10001-row band decision table rides a broadcast join back onto
+    // the corpus — the corpus itself never sorts globally
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exactly one single-partition exchange: the band-table window's (the
+    // corpus path is hash-partitioned aggregation + narrow filter)
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1, p)
+  }
+
   test("trades clean+agg: single shuffle for the 4-key aggregate") {
     val raw   = graft.etl.TradesEtl.extract(spark, "/root/reference/trades (1) (2) (1).csv")
     val clean = graft.etl.TradesEtl.clean(raw)

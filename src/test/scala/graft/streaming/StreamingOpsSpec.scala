@@ -596,6 +596,33 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming export shardAssign matches the batch q86 key/shard per doc") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Seq(
+      (0L, "the quick data pipeline of the spark system and the engine"),
+      (3L, "the data model is the core of the training corpus and the tokenizer"))
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val query = StreamingOps.trainingExportStream(
+        input.toDF().toDF("doc_id", "text", "event_time"), emb,
+        minQuality = 0.0, shardAssign = true)
+      .writeStream.format("memory").queryName("export_stream_shards")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.map { case (i, t) => (i, t, ts("2023-01-01 10:00:00")) }: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("export_stream_shards")
+        .select("doc_id", "shuffle_key", "shard").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val batch = graft.queries.TextQueries
+        .shuffleShardsOf(rows.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.map(_._1) === Set(0L, 3L))
+    } finally query.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and keeps open ones") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
