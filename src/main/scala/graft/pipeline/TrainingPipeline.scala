@@ -39,6 +39,13 @@ object TrainingPipeline {
     * overlap pairs at overlap ≥ 0.5; each cluster keeps its minimum doc_id.
     */
   case object WinnowDedup extends DedupMode
+  /** q90 semantics (SemDeDup-style): connected components over verified
+    * embedding-cosine near-dup pairs (the q35 multiprobe-LSH candidates at
+    * cosine > 0.4); each semantic cluster keeps its minimum doc_id.
+    * Requires the corpus `embeddings` table (doc_id = vec_id) — the only
+    * dedup family that sees paraphrases sharing no n-gram.
+    */
+  case object EmbedDedup extends DedupMode
 
   /** @param minQuality  keep docs with qualityScore ≥ this (NULL text drops)
     * @param dedup       dedup mode (see the case objects)
@@ -92,8 +99,14 @@ object TrainingPipeline {
       piiRedact: Boolean = false)
 
   /** Non-canonical doc_ids under the configured dedup mode. */
-  private def losers(docs: DataFrame, cfg: Config): Option[DataFrame] =
+  private def losers(
+      docs: DataFrame, emb: Option[DataFrame], cfg: Config): Option[DataFrame] =
     cfg.dedup match {
+      case EmbedDedup =>
+        val e = emb.getOrElse(throw new IllegalArgumentException(
+          "EmbedDedup requires the corpus `embeddings` table"))
+        Some(VectorQueries.embedLosersOf(
+          e, maxIters = cfg.maxIters, checkpointDir = ccDir(docs, cfg)))
       case NoDedup => None
       case ExactDedup => Some(
         docs
@@ -161,7 +174,7 @@ object TrainingPipeline {
     val clean =
       if (cfg.gopherFilter) TextQueries.gopherFilterAll(decontaminated)
       else decontaminated
-    val deduped = losers(clean, cfg) match {
+    val deduped = losers(clean, embeddings, cfg) match {
       case Some(l) => clean.join(l, Seq("doc_id"), "left_anti")
       case None    => clean
     }

@@ -1086,6 +1086,117 @@ object TextQueries {
       .select(explode(TextOps.tokens(TextOps.normalized(col("text")))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
 
+  /** Heavy-hitter threshold denominator for q88: report terms whose count
+    * exceeds 1/32 of all tokens (the corpus' top terms sit at ~1/28, so
+    * the set is small and non-empty at every SF).
+    */
+  private[graft] val heavyHittersK = 32
+
+  /** EXACT corpus heavy hitters (terms with cnt·k > total tokens) via the
+    * two-phase sketch-candidates + exact-recount pattern — the shape that
+    * survives 100 TB, where a full `groupBy(term)` shuffles the entire
+    * token stream (q52's counting stage) just to discard all but a handful
+    * of rows:
+    *
+    *  1. Candidate generation: one NARROW pass running a Misra–Gries
+    *     summary of `k` counters per partition (bounded memory, no
+    *     shuffle). Mergeability (Agarwal et al., PODS'12) gives the
+    *     union-superset guarantee: any term with global count f > N/k has
+    *     Σ_p max(f_p − N_p/k, 0) ≥ f − N/k > 0, so it survives in at least
+    *     one partition's summary — the union of per-partition summaries
+    *     (≤ k·P tiny rows) contains every true heavy hitter.
+    *  2. Exact verify: broadcast-semi-join the token stream down to
+    *     candidate terms only, then count exactly and keep cnt·k > N. Only
+    *     candidate occurrences ever shuffle.
+    *
+    * The output is therefore EXACT and deterministic — sketch internals
+    * (partition order, eviction order) can change which extra candidates
+    * are checked, never the result — so the query is DuckDB-oracled
+    * against a plain count + HAVING replay.
+    */
+  private[graft] def heavyHitters(
+      docs: DataFrame, k: Int = heavyHittersK): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(
+      explode(TextOps.tokens(TextOps.normalized(col("text")))).as("term"))
+    val cands = toks.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (m.contains(t)) m.update(t, m(t) + 1L)
+        else if (m.size < k) m.update(t, 1L)
+        else {
+          // the MG step: decrement all k counters (and the arrival),
+          // evicting those that reach zero
+          val dead = m.iterator.filter(_._2 == 1L).map(_._1).toArray
+          m.mapValuesInPlace((_, v) => v - 1L)
+          dead.foreach(m.remove)
+        }
+      }
+      m.keysIterator
+    }.toDF("term").distinct()
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks
+      .join(broadcast(cands), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * lit(k.toLong) > col("n_total"))
+      .select(col("term"), col("cnt"), col("n_total"))
+  }
+
+  /** Hash buckets for the q89 importance features: the first two hex chars
+    * of md5(term) — 256 buckets, replayable digit-by-digit in DuckDB (the
+    * established md5 hash-family trick).
+    */
+  private def termBucketCol(term: Column): Column =
+    conv(substring(md5(term), 1, 2), 16, 10).cast("long")
+
+  /** DSIR-style importance scores (Xie et al. 2023: rank raw documents by
+    * how target-like their hashed n-gram distribution is), linearized to
+    * INTEGER arithmetic so the whole query is bit-oracled: per hashed
+    * unigram bucket b, the weight is the cross-multiplied numerator
+    *
+    *   w(b) = c_T(b)·R − c_R(b)·T      (T, R = total target/raw tokens)
+    *
+    * — positive exactly when the bucket is over-represented in the target
+    * distribution (same sign as DSIR's log p_T(b)/p_R(b)), and a doc's
+    * score is Σ w(bucket(token)) over its tokens. The float form's
+    * per-bucket log-ratio is not replayable across engines (libm log, the
+    * q42 lesson); the cross-multiplied form trades the log's diminishing
+    * returns for exact verifiability. At 100-TB scale the weights would
+    * overflow int64 — there, divide both totals out (double weights) and
+    * keep this integer form as the verification twin.
+    *
+    * Target set = docs with qualityScore ≥ `minQuality` (the pipeline's
+    * own quality gate), so the scorer needs no external target corpus.
+    * Plan shape: one narrow tokenize+bucket pass, a 256-row aggregate
+    * carrying BOTH distributions (target counts filtered inside the same
+    * groupBy — one pass, not two), a 1-row totals aggregate, and a
+    * broadcast of the 256-row weight table back onto the token stream —
+    * the only corpus-scale shuffle is the final per-doc sum.
+    */
+  private[graft] def importanceScoresOf(
+      docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    val base = docs.select(
+      col("doc_id"),
+      (TextOps.qualityScore(col("text")) >= lit(minQuality)).as("is_target"),
+      TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
+    val tb = base
+      .select(col("doc_id"), col("is_target"), explode(col("toks")).as("term"))
+      .withColumn("bucket", termBucketCol(col("term")))
+    val perBucket = tb.groupBy("bucket").agg(
+      count(lit(1)).as("c_raw"),
+      count(when(col("is_target"), lit(1))).as("c_tgt"))
+    val totals = perBucket.agg(
+      sum(col("c_raw")).as("t_raw"), sum(col("c_tgt")).as("t_tgt"))
+    val weights = perBucket.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (col("c_tgt") * col("t_raw") - col("c_raw") * col("t_tgt")).as("w"))
+    tb.join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_tokens"))
+  }
+
   private[graft] def vocab(docs: DataFrame): DataFrame =
     termCountsOf(docs)
       .orderBy(col("cnt").desc, col("term").asc)
@@ -1463,6 +1574,15 @@ object TextQueries {
     "q87_token_budget" -> ((s, d) =>
       tokenBudgetSelect(Tables.documents(s, d), budgetTokens = 10000L)),
 
+    // Exact heavy hitters via Misra–Gries candidates + exact recount (see
+    // heavyHitters — the full-vocab shuffle never happens).
+    "q88_heavy_hitters" -> ((s, d) => heavyHitters(Tables.documents(s, d))),
+
+    // DSIR-style hashed-unigram importance scores, integer-exact
+    // linearization (see importanceScoresOf).
+    "q89_importance_weight" -> ((s, d) =>
+      importanceScoresOf(Tables.documents(s, d))),
+
     "q84_incremental_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       incrementalDedup(
@@ -1647,7 +1767,7 @@ object TextQueries {
   // doc_b)` CTE — the oracle twin of DedupClustering, shared by every
   // dedup family's cluster/apply oracle (q43/q58 LSH, q66 simhash, q67
   // winnow) so the replayed clustering semantics are defined once.
-  private lazy val ccOverPairsSql =
+  private[queries] lazy val ccOverPairsSql =
     s"""edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -2285,6 +2405,47 @@ object TextQueries {
            |        CAST(k.needed AS DOUBLE) / CAST(k.band_tokens AS DOUBLE)
            |        * 4294967296.0) AS BIGINT))""".stripMargin,
 
+    // q88 replay: the sketch phase only proposes CANDIDATES (a guaranteed
+    // superset — see heavyHitters); the exact recount makes the final
+    // answer plain count + cross-multiplied HAVING, which is all the
+    // oracle needs to replay.
+    "q88_heavy_hitters" ->
+      raw"""WITH t AS (
+           |  SELECT unnest(string_split_regex(trim($normSql), '\s+')) AS term
+           |  FROM documents),
+           |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t)
+           |SELECT term, cnt, n_total FROM c, n
+           |WHERE cnt * $heavyHittersK > n_total""".stripMargin,
+    // q89 replay: bucket = first-two-md5-hex-digits value (strpos gives
+    // each nibble), then the same integer count/total/cross-multiply
+    // chain — every intermediate is a BIGINT (DuckDB's sum() widens to
+    // HUGEINT; the final CAST narrows back), so the scores are bit-exact.
+    "q89_importance_weight" ->
+      raw"""WITH base AS (
+           |  SELECT doc_id, ($qualitySql) >= 0.5 AS is_target,
+           |    string_split_regex(trim($normSql), '\s+') AS toks
+           |  FROM documents),
+           |tb AS (
+           |  SELECT doc_id, is_target,
+           |    CAST((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+           |      + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1)
+           |      AS BIGINT) AS bucket
+           |  FROM (SELECT doc_id, is_target, unnest(toks) AS term FROM base)),
+           |pb AS (
+           |  SELECT bucket, count(*) AS c_raw,
+           |    count(*) FILTER (WHERE is_target) AS c_tgt
+           |  FROM tb GROUP BY 1),
+           |tot AS (
+           |  SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw,
+           |    CAST(sum(c_tgt) AS BIGINT) AS t_tgt FROM pb),
+           |w AS (
+           |  SELECT bucket, c_tgt * t_raw - c_raw * t_tgt AS w
+           |  FROM pb, tot)
+           |SELECT doc_id, CAST(sum(w.w) AS BIGINT) AS score,
+           |  count(*) AS n_tokens
+           |FROM tb JOIN w USING (bucket)
+           |GROUP BY doc_id""".stripMargin,
     // q86 replay: same salted key, and the shard CASE chain is generated
     // from the same Scala boundary loop as the Spark side.
     "q86_shuffle_shard" ->

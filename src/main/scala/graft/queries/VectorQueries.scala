@@ -86,6 +86,40 @@ object VectorQueries {
       .distinct()
   }
 
+  /** The q35 pair stage as a reusable frame: multiprobe sign-LSH candidate
+    * pairs (never an all-pairs scan) verified by exact fused cosine >
+    * `minCosine`. Shared by the q35 registry entry and [[embedLosersOf]]
+    * so the pair semantics cannot diverge between the report and the
+    * dedup apply.
+    */
+  private[graft] def embedNeardupPairs(
+      emb: DataFrame, minCosine: Double = 0.4): DataFrame =
+    lshCandidatePairs(emb)
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        VectorOps.cosine(col("ea"), col("eb")).as("cosine"))
+      .filter(col("cosine") > minCosine)
+
+  /** Semantic-dedup losers: connected components over the q35 verified
+    * embedding near-dup pairs, min-id canonical per cluster — the same
+    * CC + election semantics as every text dedup family
+    * ([[graft.queries.TextQueries.neardupLosersOf]] etc.), so SemDeDup-
+    * style embedding dedup composes into the identical apply shape. At
+    * scale the CC input is the (small) verified pair set, never the
+    * corpus; the pair stage itself is the near-linear bucketed multiprobe.
+    */
+  private[graft] def embedLosersOf(
+      emb: DataFrame, minCosine: Double = 0.4, maxIters: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame =
+    graft.operators.DedupClustering
+      .connectedComponents(
+        embedNeardupPairs(emb, minCosine)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")),
+        maxIters = maxIters, checkpointDir = checkpointDir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+
   /** q85: EMBEDDING-SPACE decontamination — refuse train-slice vectors
     * whose embedding is near (cosine > `threshold`) ANY eval-slice vector.
     * The semantic complement of the q69/q83 13-gram decontamination: n-gram
@@ -278,14 +312,25 @@ object VectorQueries {
     // DuckDB oracle replays the same hyperplanes, multiprobe rule, and
     // hot-bucket cap bit-exactly, so the full candidate+verify pipeline
     // is hash-checked.
-    "q35_embed_neardup" -> ((s, d) => {
+    "q35_embed_neardup" -> ((s, d) =>
+      embedNeardupPairs(Tables.embeddings(s, d))),
+
+    // Semantic dedup APPLY (SemDeDup, Abbas et al. 2023, re-expressed on
+    // the oracled LSH-candidate path instead of k-means clusters): the q35
+    // verified embedding near-dup pairs feed the SAME connected-components
+    // + min-id-canonical semantics as every text dedup family — so
+    // embedding-space dedup is a complete METHOD (pairs → clusters →
+    // apply), not just a pair report. Output is the kept embedding rows;
+    // with the corpus convention vec_id = doc_id this IS the semantic
+    // dedup of the document set (TrainingPipeline.EmbedDedup wires it).
+    "q90_embed_dedup_apply" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      lshCandidatePairs(emb)
-        .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
-        .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
-        .select(col("id_a"), col("id_b"),
-          VectorOps.cosine(col("ea"), col("eb")).as("cosine"))
-        .filter(col("cosine") > 0.4)
+      emb.join(
+          embedLosersOf(emb,
+            checkpointDir = s.conf.getOption("spark.graft.checkpoint.dir"))
+            .withColumnRenamed("doc_id", "vec_id"),
+          Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label").cast("int").as("label"))
     }),
 
     // IVF approximate kNN: k-means coarse quantizer, nprobe cluster probes.
@@ -434,7 +479,7 @@ object VectorQueries {
     val bucketSelects = (0 until nTables).map { t =>
       s"SELECT vec_id, $t AS t, ${bucketSql(t)} AS bucket FROM e"
     }.mkString("\nUNION ALL ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS ($bucketSelects)""".stripMargin
   }
 
@@ -445,7 +490,7 @@ object VectorQueries {
     * approximate ANN query is hash-checked end to end.
     */
   private lazy val knnLshSql =
-    s"""$bucketCteSql,
+    s"""WITH $bucketCteSql,
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
        |  FROM b q JOIN b c ON q.t = c.t
@@ -463,7 +508,10 @@ object VectorQueries {
        |    PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM s)
        |SELECT q_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= $topK""".stripMargin
 
-  private lazy val neardupSql = {
+  // The q35 pair replay as a CTE chain ending in p(id_a, id_b, cosine) —
+  // shared by the q35 oracle and the q90 dedup-apply oracle (which runs
+  // connected components over the same pairs).
+  private lazy val neardupPairsCteSql = {
     s"""$bucketCteSql,
        |sz AS (SELECT t, bucket, count(*) AS n FROM b GROUP BY 1, 2),
        |cand AS (
@@ -474,16 +522,34 @@ object VectorQueries {
        |  JOIN sz sx ON sx.t = x.t AND sx.bucket = x.bucket
        |    AND sx.n <= ${TextQueries.defaultMaxBucket}
        |  JOIN sz sy ON sy.t = y.t AND sy.bucket = y.bucket
-       |    AND sy.n <= ${TextQueries.defaultMaxBucket})
-       |SELECT id_a, id_b, cosine FROM (
-       |  SELECT id_a, id_b,
-       |    CASE WHEN ${pairNormSql("ea.v")} * ${pairNormSql("eb.v")} <> 0.0
-       |      THEN $pairDotSql / (${pairNormSql("ea.v")} * ${pairNormSql("eb.v")}) END AS cosine
-       |  FROM cand
-       |  JOIN e ea ON ea.vec_id = cand.id_a
-       |  JOIN e eb ON eb.vec_id = cand.id_b)
-       |WHERE cosine > 0.4""".stripMargin
+       |    AND sy.n <= ${TextQueries.defaultMaxBucket}),
+       |p AS (
+       |  SELECT id_a, id_b, cosine FROM (
+       |    SELECT id_a, id_b,
+       |      CASE WHEN ${pairNormSql("ea.v")} * ${pairNormSql("eb.v")} <> 0.0
+       |        THEN $pairDotSql / (${pairNormSql("ea.v")} * ${pairNormSql("eb.v")}) END AS cosine
+       |    FROM cand
+       |    JOIN e ea ON ea.vec_id = cand.id_a
+       |    JOIN e eb ON eb.vec_id = cand.id_b)
+       |  WHERE cosine > 0.4)""".stripMargin
   }
+
+  private lazy val neardupSql =
+    s"WITH $neardupPairsCteSql\nSELECT id_a, id_b, cosine FROM p"
+
+  /** q90 oracle: the q35 pair replay, then the shared recursive-CTE
+    * connected-components + min-id apply ([[TextQueries.ccOverPairsSql]])
+    * anti-joined back onto the embedding table — the embedding-family
+    * instance of the q58/q66/q67 apply oracle shape.
+    */
+  private lazy val embedDedupApplySql =
+    s"""WITH RECURSIVE $neardupPairsCteSql,
+       |pairs AS (SELECT id_a AS doc_a, id_b AS doc_b FROM p),
+       |${TextQueries.ccOverPairsSql},
+       |losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+       |SELECT em.vec_id, CAST(em.label AS INT) AS label
+       |FROM embeddings em LEFT JOIN losers l ON em.vec_id = l.doc_id
+       |WHERE l.doc_id IS NULL""".stripMargin
 
   /** q85 oracle: the q35 bucket/cap replay with slice predicates — a train
     * vec is refused iff some (train, eval) candidate pair (Hamming ≤ 1
@@ -492,7 +558,7 @@ object VectorQueries {
     */
   private lazy val embedDecontamSql = {
     val m = TextQueries.evalSliceMod
-    s"""$bucketCteSql,
+    s"""WITH $bucketCteSql,
        |sz AS (SELECT t, bucket, count(*) AS n FROM b GROUP BY 1, 2),
        |cand AS (
        |  SELECT DISTINCT tr.vec_id, ev.vec_id AS eval_id
@@ -516,6 +582,7 @@ object VectorQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q85_embed_decontam" -> embedDecontamSql,
+    "q90_embed_dedup_apply" -> embedDedupApplySql,
     "q26_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < $nQueries),
          |s AS (
