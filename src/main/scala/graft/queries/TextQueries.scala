@@ -1175,26 +1175,50 @@ object TextQueries {
     * broadcast of the 256-row weight table back onto the token stream —
     * the only corpus-scale shuffle is the final per-doc sum.
     */
-  private[graft] def importanceScoresOf(
-      docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
-    val base = docs.select(
-      col("doc_id"),
-      (TextOps.qualityScore(col("text")) >= lit(minQuality)).as("is_target"),
-      TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
-    val tb = base
+  private def tokenBuckets(docs: DataFrame, minQuality: Double): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        (TextOps.qualityScore(col("text")) >= lit(minQuality)).as("is_target"),
+        TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
       .select(col("doc_id"), col("is_target"), explode(col("toks")).as("term"))
       .withColumn("bucket", termBucketCol(col("term")))
-    val perBucket = tb.groupBy("bucket").agg(
+
+  /** The (bucket, w) weight table of [[importanceScoresOf]] — ≤256 rows,
+    * exposed so a stream can score against a FROZEN reference snapshot
+    * ([[graft.streaming.StreamingOps.importanceScoreStream]]).
+    */
+  private[graft] def importanceWeightsOf(
+      docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    val perBucket = tokenBuckets(docs, minQuality).groupBy("bucket").agg(
       count(lit(1)).as("c_raw"),
       count(when(col("is_target"), lit(1))).as("c_tgt"))
     val totals = perBucket.agg(
       sum(col("c_raw")).as("t_raw"), sum(col("c_tgt")).as("t_tgt"))
-    val weights = perBucket.crossJoin(broadcast(totals))
+    perBucket.crossJoin(broadcast(totals))
       .select(col("bucket"),
         (col("c_tgt") * col("t_raw") - col("c_raw") * col("t_tgt")).as("w"))
-    tb.join(broadcast(weights), Seq("bucket"))
+  }
+
+  private[graft] def importanceScoresOf(
+      docs: DataFrame, minQuality: Double = 0.5): DataFrame =
+    tokenBuckets(docs, minQuality)
+      .join(broadcast(importanceWeightsOf(docs, minQuality)), Seq("bucket"))
       .groupBy("doc_id")
       .agg(sum(col("w")).as("score"), count(lit(1)).as("n_tokens"))
+
+  /** Per-row importance score against a FIXED weight map (bucket → w):
+    * bucket each token, look the weight up in the map literal, sum
+    * left-to-right — a pure narrow projection, so it is streaming-safe
+    * and costs zero shuffles. Buckets absent from the map score 0.
+    */
+  private[graft] def importanceScoreCol(
+      text: Column, weights: Map[Long, Long]): Column = {
+    val m = typedlit(weights)
+    aggregate(
+      transform(TextOps.tokens(TextOps.normalized(text)),
+        t => coalesce(element_at(m, termBucketCol(t)), lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   private[graft] def vocab(docs: DataFrame): DataFrame =

@@ -229,6 +229,26 @@ object StreamingOps {
       .withColumn("shard", graft.queries.TextQueries.shardOfKey(col("shuffle_key")))
   }
 
+  /** Streaming twin of the q89 importance scorer — the standard DSIR
+    * deployment shape: the (≤256-row) weight table is trained ONCE on a
+    * batch reference snapshot ([[graft.queries.TextQueries
+    * .importanceWeightsOf]]), frozen, and every arriving document is
+    * scored against it as a pure per-row fold (bucket each token, map
+    * lookup, left-to-right sum) — stateless, zero shuffles, so the scores
+    * are bit-identical to running the batch scorer over the same docs
+    * with the same frozen table (parity-spec'd). Retraining the weights
+    * is a periodic batch job, exactly like the near-dup recompaction.
+    */
+  def importanceScoreStream(docs: DataFrame, staticWeights: DataFrame): DataFrame = {
+    val w = staticWeights.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.filter(col("text").isNotNull)
+      .withColumn("score",
+        graft.queries.TextQueries.importanceScoreCol(col("text"), w))
+      .withColumn("n_tokens",
+        graft.functions.TextOps.tokenCount(col("text")).cast("long"))
+  }
+
   // ---- streaming near-duplicate candidates ------------------------------
 
   case class BandedDoc(band: Int, key: String, doc_id: Long, event_us: Long)

@@ -172,6 +172,20 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange SinglePartition".r.findAllIn(p).size <= 1, p)
   }
 
+  test("q88: candidate filter is a broadcast semi-join before the count shuffle") {
+    val p = plan("q88_heavy_hitters", "simple")
+    // the token stream is semi-joined down to sketch candidates BEFORE the
+    // exact-count aggregation — the full-vocab shuffle never happens
+    assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q89: the weight table broadcasts back onto the token stream") {
+    val p = plan("q89_importance_weight", "simple")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("trades clean+agg: single shuffle for the 4-key aggregate") {
     val raw   = graft.etl.TradesEtl.extract(spark, "/root/reference/trades (1) (2) (1).csv")
     val clean = graft.etl.TradesEtl.clean(raw)

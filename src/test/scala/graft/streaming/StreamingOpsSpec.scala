@@ -623,6 +623,33 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming importance scores equal batch q89 under the same frozen weights") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val corpus  = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val weights = graft.queries.TextQueries.importanceWeightsOf(corpus)
+    val sample = corpus.filter(col("doc_id") < 10)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingOps.importanceScoreStream(
+        input.toDF().toDF("doc_id", "text"), weights)
+      .writeStream.format("memory").queryName("imp_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(sample: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("imp_stream")
+        .select("doc_id", "score", "n_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.queries.TextQueries.importanceScoresOf(corpus)
+        .filter(col("doc_id") < 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.size === 10)
+    } finally query.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and keeps open ones") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
