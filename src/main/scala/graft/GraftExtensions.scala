@@ -46,6 +46,21 @@ object GraftExtensions {
     ("cosine_sim",
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))),
+    ("cdc_cuts",
+      new ExpressionInfo(
+        classOf[graft.functions.CdcCuts].getName, "cdc_cuts"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text)    => graft.functions.CdcCuts(text, 8)
+        case Seq(text, k) => graft.functions.CdcCuts(text, intArg(k, "k"))
+        case _ => throw new IllegalArgumentException("cdc_cuts(text[, k])")
+      }),
+    ("gram_run_stats",
+      new ExpressionInfo(
+        classOf[graft.functions.GramRunStats].getName, "gram_run_stats"),
+      (args: Seq[Expression]) => args match {
+        case Seq(toks, n) => graft.functions.GramRunStats(toks, intArg(n, "n"))
+        case _ => throw new IllegalArgumentException("gram_run_stats(tokens, n)")
+      }),
     ("media_byte_features",
       new ExpressionInfo(
         classOf[graft.multimodal.MediaByteFeatures].getName, "media_byte_features"),

@@ -39,6 +39,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.isNullAt(2))
   }
 
+  test("cdc_cuts and gram_run_stats callable from SQL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(text).toDF("t")
+    val viaSql = df.selectExpr(
+      "cdc_cuts(t) AS cuts", "cdc_cuts(t, 4) AS cuts4",
+      "gram_run_stats(split(t, ' '), 2) AS g").head
+    val viaApi = df.select(
+      graft.functions.TextFingerprints.cdcCuts(col("t"), 8).as("cuts"),
+      graft.functions.TextFingerprints.gramRunStats(split(col("t"), " "), 2).as("g")).head
+    assert(viaSql.getSeq[Int](0) === viaApi.getSeq[Int](0))
+    assert(viaSql.getStruct(2) === viaApi.getStruct(1))
+    assert(viaSql.getStruct(2).getAs[Long]("total_chars") > 0L)
+  }
+
   test("SQL result equals the DataFrame API result") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
