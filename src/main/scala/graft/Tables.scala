@@ -19,20 +19,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 refuses
-    * ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos and floor-convert to
-    * microsecond TimestampType (same floor DuckDB's `epoch_us` applies, so
-    * oracle comparisons line up exactly). True floor division, not `div`:
-    * `div` truncates toward zero, which differs by 1µs for pre-1970
-    * timestamps; `(ts - pmod(ts, 1000)) div 1000` is exact in longs.
-    *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` — a session conf
-    * with no per-read equivalent, set once in [[GraftSession.create]]
-    * (loaders must not mutate session state per call).
+  /** `events.ts` has shipped in two encodings across testdata generations:
+    * parquet TIMESTAMP(NANOS) — which Spark 4 refuses ([PARQUET_TYPE_ILLEGAL])
+    * unless `spark.sql.legacy.parquet.nanosAsLong=true` (set once in
+    * [[GraftSession.create]]; loaders must not mutate session state), where
+    * it arrives as raw nano LONGS — and plain TIMESTAMP(MICROS) with no
+    * UTC-adjustment flag, where it arrives as TIMESTAMP_NTZ. Normalize both
+    * to microsecond TimestampType: nanos floor-convert with true floor
+    * division (`div` truncates toward zero, off by 1µs pre-1970;
+    * `(ts - pmod(ts, 1000)) div 1000` is exact in longs — the same floor
+    * DuckDB's `epoch_us` applies), NTZ re-tags under the session's UTC
+    * zone (value-preserving, matches DuckDB reading the file natively).
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
