@@ -178,4 +178,132 @@ object RelationalOps {
         last(when(col(typeCol) === fromType, col(tsCol)), ignoreNulls = true).over(w))
       .filter(col(typeCol) === ofType)
   }
+
+  /** Ordered funnel: per key, the earliest timestamp of each step such that
+    * step i happens STRICTLY after the chosen (earliest-qualifying) step
+    * i−1 — the product-analytics "view → click → purchase" conversion
+    * operator. Computed as a cascade of running conditional minima over ONE
+    * (key, ts) sort: run_i at a row is the earliest step-i timestamp that
+    * itself qualified, so a step-(i+1) row qualifies iff its ts is strictly
+    * greater. No self-joins (the naive formulation joins the event table
+    * once per step) and no per-key collect: a single shuffle on the key,
+    * and the per-key aggregate on top reuses the window's hash
+    * partitioning, so the whole funnel is one exchange end-to-end
+    * (plan-asserted in FunnelSpec). Equal timestamps do NOT qualify
+    * (strict ordering; the deterministic tie-break only orders the sort,
+    * it never promotes a tie into a conversion).
+    *
+    * Returns one row per key: (key, <step>_ts ... ) with NULL from the
+    * first unreached step onward.
+    */
+  def funnelStages(events: DataFrame, keyCol: String, ts: Column,
+      tieBreaker: Column, typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelStages: steps must be non-empty")
+    val w = Window.partitionBy(keyCol).orderBy(ts, tieBreaker)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // qualifies(i) — this row is a step-i event occurring strictly after
+    // the running earliest qualifying step-(i-1) timestamp
+    val base = events.filter(col(typeCol).isin(steps.map(s => s: Any): _*))
+    val (withRuns, quals) =
+      steps.zipWithIndex.foldLeft((base, Vector.empty[Column])) {
+        case ((df, qs), (step, i)) =>
+          val qual =
+            if (i == 0) col(typeCol) === step
+            else col(typeCol) === step &&
+              col(s"__run_${i - 1}").isNotNull && ts > col(s"__run_${i - 1}")
+          // the running min must be over the QUALIFYING rows of this step,
+          // so later steps chain off a timestamp that itself converted
+          (df.withColumn(s"__run_$i", min(when(qual, ts)).over(w)),
+            qs :+ qual)
+      }
+    val aggCols = steps.indices.map(i =>
+      min(when(quals(i), ts)).as(s"${steps(i)}_ts"))
+    withRuns.groupBy(keyCol).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Cohort retention: assign each key to the period of its first event
+    * (cohort), then count distinct active keys per (cohort, period-offset).
+    * One window shuffle on the key (min-over-partition, no sort needed) and
+    * one small aggregate; at extreme scale swap the exact distinct for
+    * `approx_count_distinct` — the shape is otherwise unchanged.
+    * Periods are epoch-aligned (`periodSeconds`, e.g. 604800 = weeks),
+    * floor-divided via the pmod subtract so pre-1970 rows land in the
+    * right period (same rule as q16).
+    */
+  def cohortRetention(events: DataFrame, keyCol: String, tsCol: String,
+      periodSeconds: Long): DataFrame = {
+    val p = periodSeconds
+    def periodNum(c: String) =
+      expr(s"(unix_seconds($c) - pmod(unix_seconds($c), $p)) div $p")
+    events
+      .withColumn("__first_ts",
+        min(col(tsCol)).over(Window.partitionBy(keyCol)))
+      .select(col(keyCol),
+        (periodNum("__first_ts") * p).as("cohort_start"),
+        (periodNum(tsCol) - periodNum("__first_ts")).as("period_offset"))
+      .groupBy("cohort_start", "period_offset")
+      .agg(countDistinct(col(keyCol)).as("n_active"))
+  }
+
+  /** Exact deterministic k-per-group sample — eval-set construction
+    * ("exactly k docs per language, reproducibly"). The selection rule is
+    * pure: rank rows by `md5(id || salt)` within each group and keep the k
+    * smallest, so any engine replays it bit-for-bit.
+    *
+    * The naive implementation is one `row_number` window partitioned by
+    * the group — but with few groups (5 languages over a 100 TB corpus)
+    * that sorts ~n/5 rows per partition: the giant-partition anti-pattern.
+    * Instead, two narrow passes (the q87 token-budget discipline):
+    *   1. per-group counts (tiny aggregate), from which a per-group hash
+    *      threshold `ceil(safety·k/n · 2^32)` is derived — broadcast back,
+    *      so the corpus-side filter keeps ~safety·k rows per group;
+    *   2. the window runs over that O(groups·k) survivor set only.
+    * Exactness is BY CONSTRUCTION, not probability: groups whose survivor
+    * count falls short of min(k, n) (Chernoff-tail rare at safety=4) are
+    * re-selected through a full per-group window on just those groups,
+    * and the union replaces their thresholded rows. With no shortfall the
+    * fallback branch is empty and AQE's empty-relation propagation erases
+    * its scan at runtime.
+    *
+    * Output: (group, id, rk) with rk ∈ [1, min(k, group size)].
+    */
+  def stratifiedExactK(df: DataFrame, groupCol: String, idCol: String,
+      k: Int, salt: String, safety: Int = 4): DataFrame = {
+    require(k > 0, "stratifiedExactK: k must be positive")
+    val key = md5(concat(col(idCol).cast("string"), lit(salt)))
+    val keyed = df.select(col(groupCol), col(idCol), key.as("__key"),
+      // first 8 hex chars as an unsigned 32-bit value: the thresholdable
+      // numeric twin of the lexicographic hex order
+      conv(substring(key, 1, 8), 16, 10).cast("long").as("__k32"))
+    val thresholds = keyed.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+      .select(col(groupCol), col("__n"),
+        least(lit((1L << 32) - 1),
+          ceil(lit(safety.toLong * k) * lit(4294967296.0) / col("__n"))
+            .cast("long")).as("__thr"))
+    val w = Window.partitionBy(groupCol).orderBy(col("__key"), col(idCol))
+    val survivors = keyed
+      .join(broadcast(thresholds.select(groupCol, "__thr")), Seq(groupCol))
+      .filter(col("__k32") <= col("__thr"))
+    val ranked = survivors
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+    // shortfall groups: fewer survivors than min(k, group size) — the
+    // group sizes ride along on the (tiny) thresholds frame, no re-count.
+    // Outer join FROM thresholds: a group with ZERO survivors is absent
+    // from the survivor aggregate entirely, and must still be flagged
+    // (caught by StratifiedExactKSpec's starved-threshold case).
+    val short = thresholds.select(groupCol, "__n")
+      .join(survivors.groupBy(groupCol).agg(count(lit(1)).as("__surv")),
+        Seq(groupCol), "left_outer")
+      .filter(coalesce(col("__surv"), lit(0L)) < least(lit(k.toLong), col("__n")))
+      .select(col(groupCol))
+    val fallback = keyed
+      .join(broadcast(short), Seq(groupCol), "left_semi")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+    ranked
+      .join(broadcast(short), Seq(groupCol), "left_anti")
+      .select(col(groupCol), col(idCol), col("rk"))
+      .unionByName(fallback.select(col(groupCol), col(idCol), col("rk")))
+  }
 }

@@ -380,6 +380,42 @@ object RelationalQueries {
     // the same bit loop as the oracle's SQL. `div`/`//` agree because both
     // operands are non-negative (events are post-epoch; pmod wraps into
     // the 16-bit range).
+    // Ordered conversion funnel (view → click → purchase, strictly
+    // increasing timestamps): running conditional-min cascade over ONE
+    // (user, ts) sort — no per-step self-joins, no collect; the per-user
+    // aggregate reuses the window's hash partitioning so the whole funnel
+    // is a single exchange (plan-asserted in FunnelSpec).
+    "q91_funnel" -> ((s, d) => {
+      RelationalOps.funnelStages(
+          Tables.events(s, d), "user_id", col("ts"), col("event_id"),
+          "event_type", Seq("view", "click", "purchase"))
+        .select(col("user_id"),
+          unix_micros(col("view_ts")).as("view_us"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purchase_ts")).as("purchase_us"))
+    }),
+
+    // Cohort retention matrix: cohort = epoch-aligned week of each user's
+    // first event; count distinct active users per (cohort, week offset).
+    // One window shuffle (min-over-partition, sortless frame) + one small
+    // aggregate.
+    "q92_cohort_retention" -> ((s, d) => {
+      RelationalOps.cohortRetention(Tables.events(s, d), "user_id", "ts",
+        604800L)
+    }),
+
+    // Exact deterministic k-per-group sample (eval-set construction).
+    // NOT the window-over-the-whole-corpus formulation: per-group hash
+    // thresholds from a tiny count aggregate keep ~safety·k rows per
+    // group, the ranking window runs over that O(groups·k) survivor set,
+    // and a shortfall fallback keeps the result exact by construction
+    // (see RelationalOps.stratifiedExactK). Oracle is the plain window
+    // truth the two-pass plan must reproduce.
+    "q93_stratified_k" -> ((s, d) => {
+      RelationalOps.stratifiedExactK(
+        Tables.documents(s, d), "lang", "doc_id", k = 20, salt = ":strat")
+    }),
+
     "q82_zorder_key" -> ((s, d) => {
       val minuteBucket = expr("unix_micros(ts) div 60000000")
       Tables.events(s, d).select(
@@ -564,6 +600,50 @@ object RelationalQueries {
         |    AND substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '1a')
         |  OR (event_type <> 'click'
         |    AND substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '80')""".stripMargin,
+    // q91 replay: the same running conditional-min cascade, spelled as
+    // stacked window CTEs (run0 feeds run1's qualification, exactly like
+    // the Spark __run columns).
+    "q91_funnel" ->
+      """WITH f AS (SELECT user_id, event_id, ts, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |w1 AS (SELECT *,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run0
+        |  FROM f),
+        |w2 AS (SELECT *,
+        |  min(CASE WHEN event_type = 'click' AND run0 IS NOT NULL
+        |      AND ts > run0 THEN ts END) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run1
+        |  FROM w1)
+        |SELECT user_id,
+        |  epoch_us(min(CASE WHEN event_type = 'view' THEN ts END)) AS view_us,
+        |  epoch_us(min(CASE WHEN event_type = 'click' AND run0 IS NOT NULL
+        |    AND ts > run0 THEN ts END)) AS click_us,
+        |  epoch_us(min(CASE WHEN event_type = 'purchase' AND run1 IS NOT NULL
+        |    AND ts > run1 THEN ts END)) AS purchase_us
+        |FROM w2 GROUP BY user_id""".stripMargin,
+    "q92_cohort_retention" ->
+      """WITH f AS (SELECT user_id, ts,
+        |    min(ts) OVER (PARTITION BY user_id) AS first_ts
+        |  FROM events),
+        |p AS (SELECT user_id,
+        |    (CAST(floor(epoch(first_ts)) AS BIGINT) // 604800) AS fp,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 604800) AS tp
+        |  FROM f)
+        |SELECT fp * 604800 AS cohort_start, tp - fp AS period_offset,
+        |  count(DISTINCT user_id) AS n_active
+        |FROM p GROUP BY 1, 2""".stripMargin,
+    // q93 replay: the layout-independent truth — a plain per-group
+    // row_number over the md5 sort key. The Spark side must land on the
+    // identical set through its two-pass threshold plan.
+    "q93_stratified_k" ->
+      """SELECT lang, doc_id, rk FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat'), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20""".stripMargin,
     // q82 replay: the morton SQL is GENERATED from the same bit loop as
     // the Spark key (ZOrderLayout.mortonSql), so the interleave layout is
     // defined once. `//` (DuckDB) and `div` (Spark) agree on the

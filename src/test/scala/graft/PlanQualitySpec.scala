@@ -186,6 +186,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q91: funnel is ONE exchange end-to-end; step filter reaches the scan") {
+    val p = plan("q91_funnel", "simple")
+    // the per-user aggregate reuses the window's hash partitioning — the
+    // cascade + final rollup share a single shuffle on user_id
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // the three-step isin prunes non-funnel events at the parquet scan
+    val f = plan("q91_funnel")
+    assert(f.contains("In(event_type"), f)
+  }
+
+  test("q92: cohort matrix — user window + small aggregate, two shuffles") {
+    val p = plan("q92_cohort_retention", "simple")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q93: stratified-k thresholds and shortfall groups ride broadcasts, never a corpus sort") {
+    val p = plan("q93_stratified_k", "simple")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("trades clean+agg: single shuffle for the 4-key aggregate") {
     val raw   = graft.etl.TradesEtl.extract(spark, "/root/reference/trades (1) (2) (1).csv")
     val clean = graft.etl.TradesEtl.clean(raw)

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Funnel + cohort-retention operators: hand-built fixtures exercising the
+  * ordering edge cases the running-min cascade must get right (step out of
+  * order, missing steps, timestamp ties, repeated later steps), plus the
+  * cohort matrix arithmetic on epoch-aligned weeks.
+  */
+class EventAnalyticsSpec extends SparkSpec {
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  private def funnelOf(rows: Seq[(Long, Long, Long, String)]) = {
+    import spark.implicits._
+    val df = rows.toDF("user_id", "event_id", "sec", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    RelationalOps.funnelStages(df, "user_id", col("ts"), col("event_id"),
+        "event_type", Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+          Option(r.getTimestamp(3))))
+      .toMap
+  }
+
+  test("funnel: in-order conversion captures all three steps") {
+    val f = funnelOf(Seq(
+      (1L, 1L, 100L, "view"), (1L, 2L, 200L, "click"),
+      (1L, 3L, 300L, "purchase")))
+    assert(f(1L) === ((Some(ts(100)), Some(ts(200)), Some(ts(300)))))
+  }
+
+  test("funnel: a click BEFORE the first view does not convert") {
+    val f = funnelOf(Seq(
+      (2L, 1L, 100L, "click"), (2L, 2L, 200L, "view"),
+      (2L, 3L, 300L, "purchase")))
+    // view lands at 200, but the only click precedes it → no click stage,
+    // and the purchase cannot chain off a missing click
+    assert(f(2L) === ((Some(ts(200)), None, None)))
+  }
+
+  test("funnel: a purchase before the qualifying click is skipped; a later one counts") {
+    val f = funnelOf(Seq(
+      (3L, 1L, 100L, "view"), (3L, 2L, 200L, "purchase"),
+      (3L, 3L, 300L, "click"), (3L, 4L, 400L, "purchase")))
+    assert(f(3L) === ((Some(ts(100)), Some(ts(300)), Some(ts(400)))))
+  }
+
+  test("funnel: equal timestamps do NOT qualify (strict ordering)") {
+    val f = funnelOf(Seq(
+      (4L, 1L, 100L, "view"), (4L, 2L, 100L, "click"),
+      (4L, 3L, 200L, "purchase")))
+    assert(f(4L) === ((Some(ts(100)), None, None)))
+  }
+
+  test("funnel: users with no step events are absent; view-only user present") {
+    val f = funnelOf(Seq(
+      (5L, 1L, 100L, "view"),
+      (6L, 2L, 100L, "error"), (6L, 3L, 200L, "signup")))
+    assert(f(5L) === ((Some(ts(100)), None, None)))
+    assert(!f.contains(6L))
+  }
+
+  test("funnel: chains off the EARLIEST qualifying step, not the latest") {
+    // two views; the click between them qualifies via the first view even
+    // though it precedes the second view
+    val f = funnelOf(Seq(
+      (7L, 1L, 100L, "view"), (7L, 2L, 150L, "click"),
+      (7L, 3L, 200L, "view"), (7L, 4L, 250L, "purchase")))
+    assert(f(7L) === ((Some(ts(100)), Some(ts(150)), Some(ts(250)))))
+  }
+
+  test("cohortRetention: matrix of first-event cohorts by week offset") {
+    import spark.implicits._
+    val wk = 604800L
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC, mid-week (mod wk = 345600)
+    val rows = Seq(
+      (1L, base), (1L, base + 3600L), (1L, base + 2 * wk), // w0: offsets 0,0,2
+      (2L, base), (2L, base + wk),                         // w0: offsets 0,1
+      (3L, base + wk), (3L, base + wk + 5L))               // w1: offsets 0,0
+    val df = rows.toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = RelationalOps.cohortRetention(df, "user_id", "ts", wk)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w0 = Math.floorDiv(base, wk) * wk
+    assert(got === Set(
+      (w0, 0L, 2L), (w0, 1L, 1L), (w0, 2L, 1L), (w0 + wk, 0L, 1L)))
+  }
+}
