@@ -531,4 +531,84 @@ object StreamingOps {
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
+
+  // ---- streaming ordered funnel -----------------------------------------
+
+  case class FunnelEvent(user_id: Long, ts_micros: Long, event_type: String)
+
+  /** `minima(i)` is the committed earliest qualifying timestamp of step i
+    * (-1 = unreached); `buffer` holds the not-yet-committed out-of-order
+    * tail, (ts, type) pairs newer than the watermark.
+    */
+  case class FunnelState(minima: Seq[Long], buffer: List[(Long, String)])
+
+  case class FunnelUpdate(
+      user_id: Long,
+      view_us: Option[Long],
+      click_us: Option[Long],
+      purchase_us: Option[Long])
+
+  /** Streaming twin of [[graft.operators.RelationalOps.funnelStages]] for
+    * the three-step funnel: per-user state, exact batch parity under the
+    * watermark contract. The batch cascade is order-sensitive — a view
+    * arriving late can re-qualify a click that was already seen — so the
+    * state cannot be just the three minima: events newer than the
+    * watermark stay in a per-user BUFFER and are only folded into the
+    * committed minima (in timestamp order, which makes the fold exactly
+    * the batch cascade) once the watermark passes them and no earlier
+    * event can still arrive. Each trigger emits the user's current funnel
+    * snapshot — committed minima plus a provisional fold of the buffer —
+    * so the sink sees Update-mode rows whose final value per user equals
+    * the batch result (parity-spec'd, including out-of-order arrival).
+    * Events later than the watermark itself are dropped (the watermark
+    * contract; `flatMapGroupsWithState` does not drop them for us).
+    */
+  def funnelStream(
+      events: Dataset[FunnelEvent],
+      steps: (String, String, String) = ("view", "click", "purchase")): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    val stepSeq = Vector(steps._1, steps._2, steps._3)
+
+    // one batch-cascade transition: minima are folded in ts order, so a
+    // step-0 minimum is final once set, and step i qualifies iff strictly
+    // after the (already-final) step i-1 minimum
+    def fold(m: Vector[Long], e: (Long, String)): Vector[Long] = {
+      val (ts, typ) = e
+      val i = stepSeq.indexOf(typ)
+      if (i < 0) m
+      else if (m(i) >= 0) m
+      else if (i == 0) m.updated(0, ts)
+      else if (m(i - 1) >= 0 && ts > m(i - 1)) m.updated(i, ts)
+      else m
+    }
+
+    def fn(
+        userId: Long,
+        rows: Iterator[FunnelEvent],
+        state: GroupState[FunnelState]): Iterator[FunnelUpdate] = {
+      val prev = state.getOption.getOrElse(
+        FunnelState(Vector.fill(3)(-1L), Nil))
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val fresh = rows.map(e => (e.ts_micros, e.event_type))
+        .filter(e => e._1 >= wmUs && stepSeq.contains(e._2)).toList
+      // sort ONCE over the merged tail: ties collapse to the same minima
+      // under the strict-> cascade, so (ts) order alone is parity-safe
+      val merged = (prev.buffer ++ fresh).sortBy(_._1)
+      val (commit, keep) = merged.partition(_._1 < wmUs)
+      val committed = commit.foldLeft(prev.minima.toVector)(fold)
+      state.update(FunnelState(committed, keep))
+      val provisional = keep.foldLeft(committed)(fold)
+      def opt(v: Long) = if (v >= 0) Some(v) else None
+      Iterator.single(FunnelUpdate(
+        userId, opt(provisional(0)), opt(provisional(1)), opt(provisional(2))))
+    }
+
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_micros")))
+      .withWatermark("event_time", "10 minutes")
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
+  }
 }

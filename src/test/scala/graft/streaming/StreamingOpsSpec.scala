@@ -708,4 +708,64 @@ class StreamingOpsSpec extends SparkSpec {
       assert(stream === batch)
     } finally query.stop()
   }
+
+  test("streaming funnel matches the batch cascade, including out-of-order arrival") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import StreamingOps.{FunnelEvent, FunnelUpdate}
+    val H = 3600L * 1000000L
+    // user 1 converts in arrival order; user 2's click ARRIVES before its
+    // view (out-of-order within the watermark) and its purchase lands in a
+    // later trigger, exercising buffer → committed-minima promotion
+    val all = Seq(
+      FunnelEvent(1L, 10 * H, "view"),
+      FunnelEvent(1L, 10 * H + 60000000L, "click"),
+      FunnelEvent(2L, 10 * H + 120000000L, "click"),
+      FunnelEvent(1L, 10 * H + 180000000L, "purchase"),
+      FunnelEvent(2L, 10 * H + 60000000L, "view"),
+      FunnelEvent(2L, 11 * H, "purchase"))
+    val input = MemoryStream[FunnelEvent]
+    val query = StreamingOps.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel_updates")
+      .outputMode("update").start()
+    try {
+      input.addData(all(0), all(1), all(2))
+      query.processAllAvailable()
+      input.addData(all(3), all(4))
+      query.processAllAvailable()
+      input.addData(all(5))
+      query.processAllAvailable()
+
+      val updates = spark.table("funnel_updates")
+        .as[FunnelUpdate].collect().toSet
+      // every emitted snapshot, trigger by trigger: user 2's click stays
+      // unqualified until its (late-arriving) view folds in
+      assert(updates === Set(
+        FunnelUpdate(1L, Some(10 * H), Some(10 * H + 60000000L), None),
+        FunnelUpdate(2L, None, None, None),
+        FunnelUpdate(1L, Some(10 * H), Some(10 * H + 60000000L),
+          Some(10 * H + 180000000L)),
+        FunnelUpdate(2L, Some(10 * H + 60000000L), Some(10 * H + 120000000L),
+          None),
+        FunnelUpdate(2L, Some(10 * H + 60000000L), Some(10 * H + 120000000L),
+          Some(11 * H))))
+
+      // final snapshots equal the batch cascade on the same events
+      val batch = graft.operators.RelationalOps.funnelStages(
+          all.toDF("user_id", "ts_micros", "event_type")
+            .withColumn("ts", timestamp_micros(col("ts_micros"))),
+          "user_id", col("ts"), col("ts_micros"), "event_type",
+          Seq("view", "click", "purchase"))
+        .collect().map(r => FunnelUpdate(r.getLong(0),
+          Option(r.getTimestamp(1)).map(t => t.getTime * 1000L),
+          Option(r.getTimestamp(2)).map(t => t.getTime * 1000L),
+          Option(r.getTimestamp(3)).map(t => t.getTime * 1000L))).toSet
+      val finalPerUser = Set(
+        FunnelUpdate(1L, Some(10 * H), Some(10 * H + 60000000L),
+          Some(10 * H + 180000000L)),
+        FunnelUpdate(2L, Some(10 * H + 60000000L), Some(10 * H + 120000000L),
+          Some(11 * H)))
+      assert(batch === finalPerUser)
+    } finally query.stop()
+  }
 }
