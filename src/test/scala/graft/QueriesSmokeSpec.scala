@@ -32,4 +32,43 @@ class QueriesSmokeSpec extends SparkSpec {
   test("entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  // Plan-hazard sweep (graft.PlanAudit run as a spec): single-partition
+  // exchanges, cartesian products, and nested-loop joins are corpus-scale
+  // killers UNLESS they provably sit on a tiny side. Every occurrence in
+  // the registry is audited and allowlisted here with its reason; a new
+  // query (or a regression in an old one) that introduces one fails this
+  // sweep and must either fix the plan or justify its entry.
+  test("no query has an unaudited single-partition exchange / cartesian / nested-loop join") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val allowed: Map[String, Set[String]] = Map(
+      // broadcast scalar threshold (kth count) + rank over the ≤k winners
+      "q07_rank_window" -> Set("Exchange SinglePartition", "BroadcastNestedLoopJoin"),
+      // brute-force kNN baseline: query vectors broadcast across the corpus
+      "q26_knn_brute" -> Set("BroadcastNestedLoopJoin"),
+      // corpus-size scalar (N for idf) broadcast-crossed onto the term table
+      "q40_tfidf" -> Set("Exchange SinglePartition", "BroadcastNestedLoopJoin"),
+      "q42_bm25" -> Set("Exchange SinglePartition", "BroadcastNestedLoopJoin"),
+      // the intended band join: 4-row interval dim, non-equi predicate
+      "q46_range_join" -> Set("BroadcastNestedLoopJoin"),
+      // ADC scoring: tiny query/codebook side broadcast across codes
+      "q56_knn_pq" -> Set("BroadcastNestedLoopJoin"),
+      // the ≤10001-row band table's cumulative window (documented in q87)
+      "q87_token_budget" -> Set("Exchange SinglePartition"),
+      // merged Misra–Gries sketch (one row) + threshold scalar join
+      "q88_heavy_hitters" -> Set("Exchange SinglePartition", "BroadcastNestedLoopJoin"),
+      // 256-row weight table build + corpus-total scalar join
+      "q89_importance_weight" -> Set("Exchange SinglePartition", "BroadcastNestedLoopJoin"))
+    val hazards = Seq("Exchange SinglePartition", "CartesianProduct",
+      "BroadcastNestedLoopJoin")
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = fn(spark, sf).queryExecution
+          .explainString(ExplainMode.fromString("simple"))
+        hazards.filter(p.contains)
+          .filterNot(allowed.getOrElse(name, Set.empty))
+          .map(h => s"$name: $h")
+    }
+    assert(violations.isEmpty, s"unaudited plan hazards:\n${violations.mkString("\n")}")
+  }
 }
