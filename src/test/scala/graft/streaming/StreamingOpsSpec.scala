@@ -735,6 +735,13 @@ class StreamingOpsSpec extends SparkSpec {
       query.processAllAvailable()
       input.addData(all(5))
       query.processAllAvailable()
+      // beyond-watermark straggler: a 9H view for user 2 arrives after the
+      // watermark (11H − 10 min) passed it. If it were (wrongly) folded it
+      // would lower view_us to 9H and a NEW distinct snapshot would appear
+      // below; the drop contract makes this trigger re-emit the final
+      // snapshot unchanged.
+      input.addData(FunnelEvent(2L, 9 * H, "view"))
+      query.processAllAvailable()
 
       val updates = spark.table("funnel_updates")
         .as[FunnelUpdate].collect().toSet
