@@ -214,7 +214,10 @@ object TrainingPipeline {
   /** Write the artifact + its stats sidecar. `partitionByLang` switches the
     * parquet layout to hive-partitioning on lang_pred — the layout a
     * per-language training consumer prunes on (mirrors runEtl's
-    * partitionByWeek option).
+    * partitionByWeek option). `exportFormat = "jsonl"` emits the artifact
+    * as gzipped JSONL instead of parquet — the interchange format training
+    * stacks ingest directly (stats sidecar stays parquet; the shuffled-
+    * shard layout is parquet-only, its consumers are Spark-side).
     */
   def writeExport(
       docs: DataFrame,
@@ -222,9 +225,14 @@ object TrainingPipeline {
       outDir: String,
       cfg: Config = Config(),
       partitionByLang: Boolean = false,
-      shuffledShardFiles: Option[Int] = None): DataFrame = {
+      shuffledShardFiles: Option[Int] = None,
+      exportFormat: String = "parquet"): DataFrame = {
     require(!(partitionByLang && shuffledShardFiles.nonEmpty),
       "partitionByLang and shuffledShardFiles are alternative layouts")
+    require(Set("parquet", "jsonl")(exportFormat),
+      s"exportFormat must be parquet or jsonl, got $exportFormat")
+    require(!(shuffledShardFiles.nonEmpty && exportFormat == "jsonl"),
+      "the shuffled-shard layout is parquet-only")
     val exported = export(docs, embeddings, cfg).cache() // fans out to 2 sinks
     try {
       shuffledShardFiles match {
@@ -238,8 +246,13 @@ object TrainingPipeline {
             s"$outDir/export", numFiles = nf)
         case None =>
           val writer = exported.write.mode(SaveMode.Overwrite)
-          if (partitionByLang) writer.partitionBy("lang_pred").parquet(s"$outDir/export")
-          else writer.parquet(s"$outDir/export")
+          val laidOut =
+            if (partitionByLang) writer.partitionBy("lang_pred") else writer
+          exportFormat match {
+            case "jsonl" =>
+              laidOut.option("compression", "gzip").json(s"$outDir/export")
+            case _ => laidOut.parquet(s"$outDir/export")
+          }
       }
       stats(exported).write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
     } finally exported.unpersist() // don't pin executor memory past the call;

@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** JSONL (newline-delimited JSON) source/sink — the interchange format
+  * LLM training corpora actually ship in (one JSON object per line,
+  * usually gzip/zstd-compressed per file; splittable-read when
+  * uncompressed, per-file parallel when gzipped).
+  *
+  * Scale rules baked in:
+  *   - the schema is EXPLICIT, never inferred — schema inference is a full
+  *     extra pass over the data (at 100 TB, a second 100 TB scan) and can
+  *     silently widen types between corpus versions;
+  *   - corrupt lines don't kill the job OR silently vanish: [[readSplit]]
+  *     returns (clean, quarantine) so ingest can count/inspect rejects —
+  *     the same dirty-input discipline as the reference's coerce-then-drop
+  *     CSV cleaning (`etl_weekly_trades.py:33-48`).
+  *
+  * Implementation note: parsing goes through `text` + `from_json` (the
+  * same Jackson parse the json source runs) rather than `spark.read.json`,
+  * because Spark refuses any plan over a raw json scan whose referenced
+  * columns are only the internal corrupt-record column
+  * ([UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN]) — which is
+  * exactly what a quarantine count is. The text route has no such
+  * restriction and keeps the raw line for the quarantine for free.
+  */
+object JsonlIO {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** Read JSONL with an explicit schema; malformed or type-mismatched
+    * lines surface with their raw text in the `_corrupt_record` column
+    * (NULL for clean rows) instead of failing the scan or being dropped.
+    * Blank lines are skipped (the json source's convention).
+    */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(from_json(col("value"), schema.add(CorruptCol, "string"),
+        java.util.Map.of(
+          "mode", "PERMISSIVE", "columnNameOfCorruptRecord", CorruptCol))
+        .as("r"))
+      .select(col("r.*"))
+
+  /** (clean rows without the corrupt column, quarantined raw lines as
+    * `line`). Two filters over one text scan; the clean branch prunes the
+    * corrupt column after its filter.
+    */
+  def readSplit(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    val raw = read(spark, path, schema)
+    (raw.filter(col(CorruptCol).isNull).drop(CorruptCol),
+      raw.filter(col(CorruptCol).isNotNull).select(col(CorruptCol).as("line")))
+  }
+
+  /** Write JSONL, optionally compressed (`gzip`, `zstd`, `none`). One file
+    * per partition — size output files with the upstream partitioning
+    * (e.g. repartition(n) or ShuffledShards for the training layout).
+    */
+  def write(df: DataFrame, path: String, compression: String = "none"): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", compression)
+      .json(path)
+}

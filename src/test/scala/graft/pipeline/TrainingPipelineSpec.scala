@@ -139,4 +139,29 @@ class TrainingPipelineSpec extends SparkSpec {
         partitionByLang = true, shuffledShardFiles = Some(8))
     }
   }
+
+  test("writeExport jsonl format: gzipped interchange artifact, rows round-trip") {
+    val out = Files.createTempDirectory("graft-export-jsonl").toString
+    val exported = TrainingPipeline.writeExport(
+      Tables.documents(spark, sf), None, out, exportFormat = "jsonl")
+    val files = new java.io.File(s"$out/export").list().toSeq
+    assert(files.exists(_.endsWith(".json.gz")), files.toString)
+    // the artifact reads back through the quarantining jsonl source: zero
+    // rejects, same doc set
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang_pred STRING, quality DOUBLE, n_tokens BIGINT")
+    val (clean, bad) = graft.sources.JsonlIO.readSplit(
+      spark, s"$out/export", schema)
+    assert(bad.count() === 0)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      exported.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // stats sidecar unaffected by the artifact format
+    assert(spark.read.parquet(s"$out/stats")
+      .agg(sum("n_docs")).head.getLong(0) === exported.count())
+    // shards + jsonl is a config error (shard consumers are Spark-side)
+    intercept[IllegalArgumentException] {
+      TrainingPipeline.writeExport(Tables.documents(spark, sf), None, out,
+        shuffledShardFiles = Some(8), exportFormat = "jsonl")
+    }
+  }
 }
