@@ -611,4 +611,74 @@ object StreamingOps {
       .flatMapGroupsWithState(
         OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
   }
+
+  // ---- streaming cohort activity ----------------------------------------
+
+  case class CohortEvent(user_id: Long, ts_micros: Long)
+
+  /** `firstTs` is committed only from behind-the-watermark events (-1 =
+    * none yet); `seenOffsets` are the offsets already emitted; `buffer`
+    * holds the out-of-order tail (bounded by the watermark horizon).
+    */
+  case class CohortState(
+      firstTs: Long, seenOffsets: Seq[Long], buffer: List[Long])
+
+  case class CohortActivity(
+      user_id: Long, cohort_start: Long, period_offset: Long)
+
+  /** Streaming twin of [[graft.operators.RelationalOps.cohortRetention]]'s
+    * per-user stage: emits each (user, cohort_start, period_offset)
+    * EXACTLY ONCE, so `groupBy(cohort_start, period_offset).count()` over
+    * this stream's output is the batch retention matrix (parity-spec'd).
+    * The cohort is the period of the user's EARLIEST event — which a late
+    * arrival can change retroactively — so, like the funnel stream, rows
+    * buffer until the watermark passes them and are folded in timestamp
+    * order; emission happens on commit only, which is what makes the
+    * exactly-once-per-offset contract (and Append mode) possible. The
+    * trade-off is emission latency of one watermark horizon.
+    */
+  def cohortActivityStream(
+      events: Dataset[CohortEvent],
+      periodSeconds: Long): Dataset[CohortActivity] = {
+    import events.sparkSession.implicits._
+    val periodUs = periodSeconds * 1000000L
+
+    def fn(
+        userId: Long,
+        rows: Iterator[CohortEvent],
+        state: GroupState[CohortState]): Iterator[CohortActivity] = {
+      val prev = state.getOption.getOrElse(CohortState(-1L, Nil, Nil))
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val merged = (prev.buffer ++ rows.map(_.ts_micros).filter(_ >= wmUs))
+        .sorted
+      val (commit, keep) = merged.partition(_ < wmUs)
+      var firstTs = prev.firstTs
+      val seen = scala.collection.mutable.Set(prev.seenOffsets: _*)
+      val out = Seq.newBuilder[CohortActivity]
+      commit.foreach { ts =>
+        if (firstTs < 0) firstTs = ts
+        val cohortP = Math.floorDiv(firstTs, periodUs)
+        val off = Math.floorDiv(ts, periodUs) - cohortP
+        if (seen.add(off))
+          out += CohortActivity(userId, cohortP * periodSeconds, off)
+      }
+      state.update(CohortState(firstTs, seen.toSeq, keep))
+      // a group only re-enters fn on new data OR a timeout — without one,
+      // a quiet user's buffered rows would never commit. Fire when the
+      // watermark passes the oldest buffered event (clamped above the
+      // current watermark, the sessionize rule).
+      if (keep.nonEmpty)
+        state.setTimeoutTimestamp(math.max(
+          keep.head / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+      out.result().iterator
+    }
+
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_micros")))
+      .withWatermark("event_time", "10 minutes")
+      .as[CohortEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
 }

@@ -775,4 +775,58 @@ class StreamingOpsSpec extends SparkSpec {
       assert(batch === finalPerUser)
     } finally query.stop()
   }
+
+  test("streaming cohort activity: exactly-once offsets, late-first-event cohort, batch matrix parity") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import StreamingOps.{CohortEvent, CohortActivity}
+    val S = 1000000L // one second in micros
+    val H = 3600L * S
+    val period = 300L // 5-minute periods; 10H is exactly on a boundary
+    // user 1: two events in period 120 (dup offset — emitted once) and one
+    // in period 124; user 2: its EARLIEST event (period 120) ARRIVES a
+    // batch AFTER its period-121 event, 400 s out of order — inside the
+    // 10-minute watermark, so the cohort must still anchor at period 120
+    val u12 = Seq(
+      CohortEvent(1L, 10 * H + 60 * S),
+      CohortEvent(1L, 10 * H + 120 * S),
+      CohortEvent(2L, 10 * H + 500 * S),
+      CohortEvent(1L, 10 * H + 1200 * S),
+      CohortEvent(2L, 10 * H + 100 * S))
+    val input = MemoryStream[CohortEvent]
+    val query = StreamingOps.cohortActivityStream(input.toDS(), period)
+      .writeStream.format("memory").queryName("cohort_activity")
+      .outputMode("append").start()
+    try {
+      input.addData(u12(0), u12(1), u12(2))
+      query.processAllAvailable()
+      input.addData(u12(3), u12(4))
+      query.processAllAvailable()
+      // watermark flushers: a throwaway user pushes the watermark past
+      // every real row so their commits emit
+      input.addData(CohortEvent(99L, 11 * H))
+      query.processAllAvailable()
+      input.addData(CohortEvent(99L, 12 * H))
+      query.processAllAvailable()
+
+      val stream = spark.table("cohort_activity").as[CohortActivity]
+        .filter(_.user_id != 99L).collect()
+      // exactly once per (user, offset)
+      assert(stream.length ===
+        stream.map(a => (a.user_id, a.period_offset)).distinct.length)
+      val streamMatrix = stream
+        .groupBy(a => (a.cohort_start, a.period_offset))
+        .view.mapValues(_.length.toLong).toMap
+      val batchMatrix = graft.operators.RelationalOps.cohortRetention(
+          u12.toDF("user_id", "ts_micros")
+            .withColumn("ts", timestamp_micros(col("ts_micros"))),
+          "user_id", "ts", period)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamMatrix === batchMatrix)
+      // the late-arriving earliest event anchored user 2's cohort at
+      // period 120 (= 10H), not at its first-DELIVERED event's period 121
+      assert(stream.filter(_.user_id == 2L).map(_.cohort_start).distinct.toSeq ===
+        Seq(120L * period))
+    } finally query.stop()
+  }
 }
