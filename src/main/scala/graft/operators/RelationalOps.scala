@@ -245,6 +245,40 @@ object RelationalOps {
       .agg(countDistinct(col(keyCol)).as("n_active"))
   }
 
+  /** Temporal densification (gap-fill): per key, the COMPLETE epoch-aligned
+    * period grid from its first to its last event, with explicit zero-count
+    * rows for silent periods and a forward-filled last observed aggregate —
+    * the resample/ffill every time-series consumer needs before charting
+    * or feature-izing.
+    *
+    * Scale shape: the grid is exploded from the per-key (min, max) span
+    * AGGREGATE — a tiny table — never from the raw events; the join back
+    * onto per-period aggregates is (key, period)-partitioned; the
+    * forward-fill window partitions by key (never global). Output size is
+    * Σ per-key span periods — bounded by keys × horizon, the size any
+    * dense time-series consumer pays by definition.
+    */
+  def gapFillPeriods(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, periodSeconds: Long): DataFrame = {
+    val p = periodSeconds
+    val weekly = events
+      .groupBy(col(keyCol),
+        expr(s"(unix_seconds($tsCol) - pmod(unix_seconds($tsCol), $p)) div $p")
+          .as("__w"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col(valueCol)), 2).as("value_sum"))
+    val grid = weekly
+      .groupBy(keyCol).agg(min("__w").as("__w0"), max("__w").as("__w1"))
+      .select(col(keyCol), explode(sequence(col("__w0"), col("__w1"))).as("__w"))
+    val ffill = Window.partitionBy(keyCol).orderBy(col("__w"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(weekly, Seq(keyCol, "__w"), "left")
+      .select(col(keyCol), (col("__w") * p).as("win_start"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"), col("value_sum"),
+        last(col("value_sum"), ignoreNulls = true).over(ffill).as("filled_sum"))
+  }
+
   /** Exact deterministic k-per-group sample — eval-set construction
     * ("exactly k docs per language, reproducibly"). The selection rule is
     * pure: rank rows by `md5(id || salt)` within each group and keep the k

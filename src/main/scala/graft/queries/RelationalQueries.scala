@@ -416,6 +416,14 @@ object RelationalQueries {
         Tables.documents(s, d), "lang", "doc_id", k = 20, salt = ":strat")
     }),
 
+    // Temporal gap-fill: dense per-user weekly grid with zero rows for
+    // silent weeks and a forward-filled last aggregate. The grid explodes
+    // from the per-user span AGGREGATE, never the raw events.
+    "q94_gapfill" -> ((s, d) => {
+      RelationalOps.gapFillPeriods(
+        Tables.events(s, d), "user_id", "ts", "value", 604800L)
+    }),
+
     "q82_zorder_key" -> ((s, d) => {
       val minuteBucket = expr("unix_micros(ts) div 60000000")
       Tables.events(s, d).select(
@@ -644,6 +652,26 @@ object RelationalQueries {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat'), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 20""".stripMargin,
+    // q94 replay: generate_series densifies each user's week span; the
+    // forward fill is last_value IGNORE NULLS over the same frame as
+    // Spark's last(_, ignoreNulls).
+    "q94_gapfill" ->
+      """WITH weekly AS (
+        |  SELECT user_id,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 604800) AS w,
+        |    count(*) AS cnt, round(sum(value), 2) AS value_sum
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(w) AS w0, max(w) AS w1
+        |  FROM weekly GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(w0, w1)) AS w
+        |  FROM spans)
+        |SELECT g.user_id, g.w * 604800 AS win_start,
+        |  coalesce(weekly.cnt, 0) AS cnt, weekly.value_sum,
+        |  last_value(weekly.value_sum IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.w
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+        |FROM grid g LEFT JOIN weekly
+        |  ON g.user_id = weekly.user_id AND g.w = weekly.w""".stripMargin,
     // q82 replay: the morton SQL is GENERATED from the same bit loop as
     // the Spark key (ZOrderLayout.mortonSql), so the interleave layout is
     // defined once. `//` (DuckDB) and `div` (Spark) agree on the

@@ -72,6 +72,31 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(f(7L) === ((Some(ts(100)), Some(ts(150)), Some(ts(250)))))
   }
 
+  test("gapFillPeriods: silent periods appear with zero counts and carried fill") {
+    import spark.implicits._
+    val p = 100L // 100-second periods
+    // user 1 active in periods 5, 7, 8 — period 6 must materialize with
+    // cnt 0, NULL value_sum, and the period-5 sum carried forward
+    val rows = Seq(
+      (1L, 510L, 2.0), (1L, 590L, 3.0), // period 5, sum 5.0
+      (1L, 700L, 7.5),                  // period 7
+      (1L, 800L, 1.25),                 // period 8
+      (2L, 420L, 9.0))                  // single-period user: no gaps
+    val df = rows.toDF("user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = RelationalOps.gapFillPeriods(df, "user_id", "ts", "value", p)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+    assert(got === Set(
+      (1L, 500L, 2L, Some(5.0), Some(5.0)),
+      (1L, 600L, 0L, None, Some(5.0)),
+      (1L, 700L, 1L, Some(7.5), Some(7.5)),
+      (1L, 800L, 1L, Some(1.25), Some(1.25)),
+      (2L, 400L, 1L, Some(9.0), Some(9.0))))
+  }
+
   test("cohortRetention: matrix of first-event cohorts by week offset") {
     import spark.implicits._
     val wk = 604800L
