@@ -279,6 +279,47 @@ object RelationalOps {
         last(col("value_sum"), ignoreNulls = true).over(ffill).as("filled_sum"))
   }
 
+  /** One-pass per-column data-quality profile — the extraction-stage
+    * monitoring summary the reference's own scaling notes ask for
+    * (README.md §3: per-field types, null fractions, value ranges):
+    * (col_name, n_rows, n_nulls, n_distinct, min_num, max_num), where
+    * min/max are surfaced for numeric and timestamp columns (as unix
+    * micros) and NULL otherwise.
+    *
+    * Scale shape: ONE aggregate over the corpus computes every statistic
+    * (the per-column melt runs on the single result row). The exact
+    * multi-column distinct expands the aggregate input #columns-fold —
+    * the price of exactness; swap `count_distinct` for
+    * `approx_count_distinct` on very wide tables (same single-pass shape,
+    * HLL state instead of expand).
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    def numeric(c: String): Option[Column] = df.schema(c).dataType match {
+      case _: NumericType => Some(col(c).cast("double"))
+      case TimestampType | TimestampNTZType => Some(unix_micros(col(c)).cast("double"))
+      case _ => None
+    }
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__dist_$c")) ++
+        numeric(c).toSeq.flatMap(n =>
+          Seq(min(n).as(s"__min_$c"), max(n).as(s"__max_$c")))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      val (mn, mx) = numeric(c) match {
+        case Some(_) => (col(s"__min_$c"), col(s"__max_$c"))
+        case None    => (lit(null).cast("double"), lit(null).cast("double"))
+      }
+      struct(lit(c).as("col_name"), col("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"), col(s"__dist_$c").as("n_distinct"),
+        mn.as("min_num"), mx.as("max_num"))
+    }
+    one.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Exact deterministic k-per-group sample — eval-set construction
     * ("exactly k docs per language, reproducibly"). The selection rule is
     * pure: rank rows by `md5(id || salt)` within each group and keep the k

@@ -424,6 +424,14 @@ object RelationalQueries {
         Tables.events(s, d), "user_id", "ts", "value", 604800L)
     }),
 
+    // Per-column data-quality profile of the events table — the
+    // extraction-stage monitoring summary (null/distinct/range per field)
+    // in ONE corpus aggregate.
+    "q95_profile" -> ((s, d) => {
+      RelationalOps.profileColumns(Tables.events(s, d),
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    }),
+
     "q82_zorder_key" -> ((s, d) => {
       val minuteBucket = expr("unix_micros(ts) div 60000000")
       Tables.events(s, d).select(
@@ -672,6 +680,26 @@ object RelationalQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
         |FROM grid g LEFT JOIN weekly
         |  ON g.user_id = weekly.user_id AND g.w = weekly.w""".stripMargin,
+    // q95 replay: one SELECT per profiled column, unioned — the same
+    // statistics the single Spark aggregate computes.
+    "q95_profile" -> {
+      def num(c: String, expr: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST($expr(min($c)) AS DOUBLE) AS min_num,
+           |  CAST($expr(max($c)) AS DOUBLE) AS max_num
+           |FROM events""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num
+           |FROM events""".stripMargin
+      Seq(num("event_id", ""), num("ts", "epoch_us"), num("user_id", ""),
+        str("event_type"), num("value", ""), str("props"))
+        .mkString("\nUNION ALL\n")
+    },
     // q82 replay: the morton SQL is GENERATED from the same bit loop as
     // the Spark key (ZOrderLayout.mortonSql), so the interleave layout is
     // defined once. `//` (DuckDB) and `div` (Spark) agree on the

@@ -97,6 +97,24 @@ class EventAnalyticsSpec extends SparkSpec {
       (2L, 400L, 1L, Some(9.0), Some(9.0))))
   }
 
+  test("profileColumns: one-pass null/distinct/range summary per column") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some(2.5), Some("a")),
+      (Some(2L), None, Some("b")),
+      (None, Some(4.0), Some("a")),
+      (Some(2L), Some(-1.5), None))
+      .toDF("id", "v", "s")
+    val got = RelationalOps.profileColumns(df, Seq("id", "v", "s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    assert(got("id") === ((4L, 1L, 2L, Some(1.0), Some(2.0))))
+    assert(got("v") === ((4L, 1L, 3L, Some(-1.5), Some(4.0))))
+    assert(got("s") === ((4L, 1L, 2L, None, None))) // string: no numeric range
+  }
+
   test("cohortRetention: matrix of first-event cohorts by week offset") {
     import spark.implicits._
     val wk = 604800L
