@@ -58,7 +58,11 @@ class QueriesSmokeSpec extends SparkSpec {
       // merged Misra–Gries sketch (one row) + threshold scalar join
       "q88_heavy_hitters" -> Set("Exchange SinglePartition", "BroadcastNestedLoopJoin"),
       // 256-row weight table build + corpus-total scalar join
-      "q89_importance_weight" -> Set("Exchange SinglePartition", "BroadcastNestedLoopJoin"))
+      "q89_importance_weight" -> Set("Exchange SinglePartition", "BroadcastNestedLoopJoin"),
+      // the profile IS a global one-row aggregate (that's the operator);
+      // partial aggregation happens map-side, the single partition merges
+      // #partitions pre-aggregated rows
+      "q95_profile" -> Set("Exchange SinglePartition"))
     val hazards = Seq("Exchange SinglePartition", "CartesianProduct",
       "BroadcastNestedLoopJoin")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
