@@ -148,13 +148,31 @@ object TrainingPipeline {
       embeddings: Option[DataFrame] = None,
       cfg: Config = Config(),
       evalDocs: Option[DataFrame] = None,
-      evalEmbeddings: Option[DataFrame] = None): DataFrame = {
+      evalEmbeddings: Option[DataFrame] = None): DataFrame =
+    stagedFrames(docs, embeddings, cfg, evalDocs, evalEmbeddings).last._2
+
+  /** The export composition as an ordered (stage name, frame-after-stage)
+    * list — ONE definition shared by [[export]] (which takes the last
+    * frame) and [[stageWaterfall]] (which counts each), so observability
+    * can never drift from the pipeline it observes. Only configured
+    * stages appear.
+    */
+  private def stagedFrames(
+      docs: DataFrame,
+      embeddings: Option[DataFrame],
+      cfg: Config,
+      evalDocs: Option[DataFrame],
+      evalEmbeddings: Option[DataFrame]): Seq[(String, DataFrame)] = {
+    val b = Seq.newBuilder[(String, DataFrame)]
+    b += ("input" -> docs)
     val scrubbed =
       if (cfg.piiRedact) TextQueries.piiRedactText(docs) else docs
+    if (cfg.piiRedact) b += ("pii_redact" -> scrubbed)
     val ngramClean = evalDocs match {
       case Some(ev) => TextQueries.decontaminate(scrubbed, ev)
       case None     => scrubbed
     }
+    if (evalDocs.nonEmpty) b += ("ngram_decontam" -> ngramClean)
     // embedding-space decontamination (the q85 semantics): catches the
     // paraphrased benchmark leakage the 13-gram pass can't see. Needs the
     // corpus embedding table (doc_id = vec_id); docs without an embedding
@@ -171,15 +189,19 @@ object TrainingPipeline {
         "evalEmbeddings requires the corpus `embeddings` table")
       case _ => ngramClean
     }
+    if (evalEmbeddings.nonEmpty) b += ("embed_decontam" -> decontaminated)
     val clean =
       if (cfg.gopherFilter) TextQueries.gopherFilterAll(decontaminated)
       else decontaminated
+    if (cfg.gopherFilter) b += ("gopher_filter" -> clean)
     val deduped = losers(clean, embeddings, cfg) match {
       case Some(l) => clean.join(l, Seq("doc_id"), "left_anti")
       case None    => clean
     }
+    if (cfg.dedup != NoDedup) b += ("dedup" -> deduped)
     val kept = TextQueries.scoreDocs(deduped)
       .filter(col("quality") >= cfg.minQuality)
+    b += ("quality_gate" -> kept)
     // soft quality sampling composes with (or replaces, via minQuality=0)
     // the hard threshold; its ':qs' hash stream is independent of the
     // language sampler's ':mix' stream, so the two decisions never
@@ -187,14 +209,38 @@ object TrainingPipeline {
     val soft =
       if (!cfg.qualitySample) kept
       else TextQueries.qualitySample(kept).drop("sample_key")
+    if (cfg.qualitySample) b += ("quality_sample" -> soft)
     val sampled =
       if (cfg.sampleRates.isEmpty) soft
       else TextQueries.mixtureSample(soft, cfg.sampleRates, langCol = "lang_pred")
         .drop("sample_key")
-    embeddings match {
-      case Some(emb) => sampled.join(VectorQueries.codesCsvByDocId(emb), Seq("doc_id"))
-      case None      => sampled
+    if (cfg.sampleRates.nonEmpty) b += ("mixture_sample" -> sampled)
+    embeddings.foreach { emb =>
+      b += ("codes_join" ->
+        sampled.join(VectorQueries.codesCsvByDocId(emb), Seq("doc_id")))
     }
+    b.result()
+  }
+
+  /** Stage-by-stage doc-count waterfall of the configured export: one row
+    * per active stage, in pipeline order — where the corpus shrinks, and
+    * by how much. An observability/audit helper: each stage's count
+    * re-executes its prefix (cache `docs` for repeated audits); the
+    * counts are actions, so this is NOT for the hot path — it answers
+    * "why did my corpus halve" once, when curating.
+    */
+  def stageWaterfall(
+      docs: DataFrame,
+      embeddings: Option[DataFrame] = None,
+      cfg: Config = Config(),
+      evalDocs: Option[DataFrame] = None,
+      evalEmbeddings: Option[DataFrame] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val frames = stagedFrames(docs, embeddings, cfg, evalDocs, evalEmbeddings)
+    frames.zipWithIndex
+      .map { case ((stage, df), i) => (i.toLong, stage, df.count()) }
+      .toDF("stage_idx", "stage", "n_docs")
   }
 
   /** Composition stats of a scored frame (needs lang_pred + n_tokens; the

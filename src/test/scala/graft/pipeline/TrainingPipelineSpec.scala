@@ -140,6 +140,28 @@ class TrainingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("stageWaterfall: one row per active stage, monotone counts, ends at the export count") {
+    val docs = Tables.documents(spark, sf)
+    val emb  = Tables.embeddings(spark, sf)
+    val cfg  = TrainingPipeline.Config(
+      dedup = TrainingPipeline.ExactDedup, minQuality = 0.3,
+      sampleRates = Map("en" -> 0.5))
+    val evalDocs = docs.filter(col("doc_id") % 25 === 0).select("doc_id", "text")
+    val wf = TrainingPipeline.stageWaterfall(
+        docs, Some(emb), cfg, evalDocs = Some(evalDocs))
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(wf.map(_._1).toSeq === Seq("input", "ngram_decontam", "dedup",
+      "quality_gate", "mixture_sample", "codes_join"))
+    // monotone non-increasing, anchored at the corpus and the export
+    assert(wf.head._2 === docs.count())
+    assert(wf.map(_._2).toSeq === wf.map(_._2).toSeq.sorted.reverse)
+    assert(wf.last._2 === TrainingPipeline.export(
+      docs, Some(emb), cfg, evalDocs = Some(evalDocs)).count())
+    // stages actually dropped docs in this configuration
+    assert(wf.last._2 < wf.head._2)
+  }
+
   test("writeExport jsonl format: gzipped interchange artifact, rows round-trip") {
     val out = Files.createTempDirectory("graft-export-jsonl").toString
     val exported = TrainingPipeline.writeExport(
