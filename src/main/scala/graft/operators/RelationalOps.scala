@@ -199,6 +199,8 @@ object RelationalOps {
   def funnelStages(events: DataFrame, keyCol: String, ts: Column,
       tieBreaker: Column, typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnelStages: steps must be non-empty")
+    require(steps.distinct.size == steps.size,
+      s"funnelStages: duplicate step names in $steps (output columns collide)")
     val w = Window.partitionBy(keyCol).orderBy(ts, tieBreaker)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // qualifies(i) — this row is a step-i event occurring strictly after
@@ -261,12 +263,18 @@ object RelationalOps {
   def gapFillPeriods(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, periodSeconds: Long): DataFrame = {
     val p = periodSeconds
+    // localCheckpoint: BOTH consumers (the span aggregate feeding the grid
+    // and the join back) would otherwise re-run the corpus scan + period
+    // aggregate — Catalyst does not reuse the shared subtree (the q72
+    // lesson); materializing the periods table (keys × periods, tiny
+    // relative to events) makes the corpus pass run once
     val weekly = events
       .groupBy(col(keyCol),
         expr(s"(unix_seconds($tsCol) - pmod(unix_seconds($tsCol), $p)) div $p")
           .as("__w"))
       .agg(count(lit(1)).as("cnt"),
         round(sum(col(valueCol)), 2).as("value_sum"))
+      .localCheckpoint()
     val grid = weekly
       .groupBy(keyCol).agg(min("__w").as("__w0"), max("__w").as("__w1"))
       .select(col(keyCol), explode(sequence(col("__w0"), col("__w1"))).as("__w"))
