@@ -681,4 +681,112 @@ object StreamingOps {
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
+
+  // ---- streaming gap-fill (per-key period heartbeat) --------------------
+
+  case class GapEvent(key: Long, ts_micros: Long, value: Double)
+
+  /** `nextEmit` = first not-yet-emitted period (-1 before the key's first
+    * commit); `agg` holds per-period (cnt, sum) for committed events whose
+    * period has not closed; `silent` counts consecutive zero periods
+    * emitted; `buffer` is the out-of-order tail above the watermark.
+    */
+  case class GapState(
+      nextEmit: Long, agg: Map[Long, (Long, Double)], silent: Int,
+      buffer: List[(Long, Double)])
+
+  case class GapFillRow(
+      key: Long, win_start: Long, cnt: Long, value_sum: Option[Double])
+
+  /** Streaming twin of [[graft.operators.RelationalOps.gapFillPeriods]]:
+    * per key, one row per CLOSED epoch-aligned period from its first event
+    * onward — aggregated where data existed, an explicit zero row where
+    * the key was silent. A period closes when the watermark passes its
+    * end; event-time timeouts re-arm at each next boundary so silent keys
+    * keep emitting zeros WITHOUT new data — that is the operator's point
+    * (gap detection / heartbeat). Two documented differences from the
+    * batch op: the still-open tail period never emits (no "last event"
+    * exists on a stream), and after `maxSilentPeriods` consecutive zeros
+    * the key's state drops and the heartbeat stops (bounds state for dead
+    * keys; a returning event re-anchors the key as fresh, so its silent
+    * gap beyond the expiry is NOT back-filled).
+    */
+  def gapFillStream(
+      events: Dataset[GapEvent],
+      periodSeconds: Long,
+      maxSilentPeriods: Int = 8): Dataset[GapFillRow] = {
+    import events.sparkSession.implicits._
+    val periodUs = periodSeconds * 1000000L
+
+    def fn(
+        key: Long,
+        rows: Iterator[GapEvent],
+        state: GroupState[GapState]): Iterator[GapFillRow] = {
+      val prev = state.getOption.getOrElse(GapState(-1L, Map.empty, 0, Nil))
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val merged = (prev.buffer ++
+        rows.map(e => (e.ts_micros, e.value)).filter(_._1 >= wmUs))
+        .sortBy(_._1)
+      val (commit, keep) = merged.partition(_._1 < wmUs)
+      var nextEmit = prev.nextEmit
+      val agg = scala.collection.mutable.Map(prev.agg.toSeq: _*)
+      commit.foreach { case (ts, v) =>
+        val p = Math.floorDiv(ts, periodUs)
+        if (nextEmit < 0) nextEmit = p // the key's span starts here
+        val (c, s) = agg.getOrElse(p, (0L, 0.0))
+        agg(p) = (c + 1L, s + v)
+      }
+      val out = Seq.newBuilder[GapFillRow]
+      var silent = prev.silent
+      var expired = false
+      if (nextEmit >= 0) {
+        val closedUpTo = Math.floorDiv(wmUs, periodUs) // exclusive bound
+        while (nextEmit < closedUpTo && !expired) {
+          agg.remove(nextEmit) match {
+            case Some((c, s)) =>
+              silent = 0
+              out += GapFillRow(key, nextEmit * periodSeconds, c,
+                // HALF_UP like Spark's round(sum, 2) in the batch op —
+                // math.rint would be HALF_EVEN and drift on exact halves
+                Some(BigDecimal(s)
+                  .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            case None =>
+              silent += 1
+              if (silent > maxSilentPeriods) expired = true
+              else out += GapFillRow(key, nextEmit * periodSeconds, 0L, None)
+          }
+          nextEmit += 1
+        }
+      }
+      if (expired && keep.isEmpty && agg.isEmpty) {
+        state.remove() // dead key: heartbeat stops, state dropped
+      } else {
+        // on expiry with data still pending (committed open-period rows or
+        // buffered future events), the span RE-ANCHORS: emission resumes at
+        // the earliest pending period, the expired gap is not back-filled
+        val anchor =
+          if (!expired) nextEmit
+          else if (agg.nonEmpty) agg.keys.min
+          else -1L
+        state.update(GapState(anchor, agg.toMap,
+          if (expired) 0 else silent, keep))
+        // re-arm at the next period boundary (or just past the watermark,
+        // whichever is later) so zero rows flow without new data
+        val nextBoundaryMs =
+          if (anchor >= 0) (anchor + 1L) * periodUs / 1000L
+          else Long.MinValue
+        state.setTimeoutTimestamp(math.max(
+          nextBoundaryMs, state.getCurrentWatermarkMs() + 1L))
+      }
+      out.result().iterator
+    }
+
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_micros")))
+      .withWatermark("event_time", "10 minutes")
+      .as[GapEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
 }

@@ -829,4 +829,57 @@ class StreamingOpsSpec extends SparkSpec {
         Seq(120L * period))
     } finally query.stop()
   }
+
+  test("streaming gap-fill: closed periods match batch, silent periods heartbeat zeros, dead keys expire") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import StreamingOps.{GapEvent, GapFillRow}
+    val S = 1000000L
+    val H = 3600L * S
+    val period = 300L // 5-minute periods; 10H is a boundary (36000 = 120·300)
+    // key 1: data in periods 120 and 122 — 121 must heartbeat a zero row;
+    // key 2: one event, then silence — heartbeats until maxSilentPeriods
+    // zeros, then the state drops and emission STOPS
+    val data = Seq(
+      GapEvent(1L, 10 * H + 10 * S, 2.0), GapEvent(1L, 10 * H + 20 * S, 3.0),
+      GapEvent(1L, 10 * H + 650 * S, 7.5),
+      GapEvent(2L, 10 * H + 40 * S, 1.25))
+    val input = MemoryStream[GapEvent]
+    val query = StreamingOps.gapFillStream(input.toDS(), period,
+        maxSilentPeriods = 2)
+      .writeStream.format("memory").queryName("gapfill_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(data: _*)
+      query.processAllAvailable()
+      // advance the watermark far past every period either key could
+      // heartbeat through (key 2 expires after 2 zeros)
+      input.addData(GapEvent(99L, 13 * H, 0.0))
+      query.processAllAvailable()
+      input.addData(GapEvent(99L, 14 * H, 0.0))
+      query.processAllAvailable()
+
+      val rows = spark.table("gapfill_stream").as[GapFillRow]
+        .filter(_.key != 99L).collect().toSet
+      // key 1 matches the batch gap-fill on its closed span exactly
+      val batch1 = graft.operators.RelationalOps.gapFillPeriods(
+          data.filter(_.key == 1L).toDF("key", "ts_micros", "value")
+            .withColumn("ts", timestamp_micros(col("ts_micros"))),
+          "key", "ts", "value", period)
+        .collect().map(r => GapFillRow(r.getLong(0), r.getLong(1),
+          r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+      val (inSpan, pastSpan) = rows.filter(_.key == 1L)
+        .partition(_.win_start <= 122L * period)
+      assert(inSpan === batch1)
+      // past its last event the key heartbeats zeros until expiry — the
+      // batch op (which knows the span end) has no counterpart rows
+      assert(pastSpan.forall(r => r.cnt == 0L && r.value_sum.isEmpty))
+      assert(pastSpan.size === 2)
+      // key 2: its data row + exactly maxSilentPeriods zero heartbeats
+      val k2 = rows.filter(_.key == 2L).toSeq.sortBy(_.win_start)
+      assert(k2.head === GapFillRow(2L, 120L * period, 1L, Some(1.25)))
+      assert(k2.tail.map(r => (r.cnt, r.value_sum)).toSet === Set((0L, None)))
+      assert(k2.size === 3) // 1 data row + 2 zeros, then the key expired
+    } finally query.stop()
+  }
 }
