@@ -395,6 +395,29 @@ object RelationalQueries {
           unix_micros(col("purchase_ts")).as("purchase_us"))
     }),
 
+    // Funnel summary: conversion counts per stage + time-to-convert stats
+    // over the q91 per-user frame — one global single-row aggregate (the
+    // operator's output), micros are integers so the median midpoint is
+    // engine-exact (the q50 rule).
+    "q96_funnel_summary" -> ((s, d) => {
+      RelationalOps.funnelStages(
+          Tables.events(s, d), "user_id", col("ts"), col("event_id"),
+          "event_type", Seq("view", "click", "purchase"))
+        .select(col("user_id"),
+          unix_micros(col("view_ts")).as("view_us"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purchase_ts")).as("purchase_us"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          count(col("view_us")).as("n_viewed"),
+          count(col("click_us")).as("n_clicked"),
+          count(col("purchase_us")).as("n_purchased"),
+          percentile(col("purchase_us") - col("view_us"), lit(0.5))
+            .as("median_convert_us"),
+          min(col("purchase_us") - col("view_us")).as("min_convert_us"),
+          max(col("purchase_us") - col("view_us")).as("max_convert_us"))
+    }),
+
     // Cohort retention matrix: cohort = epoch-aligned week of each user's
     // first event; count distinct active users per (cohort, week offset).
     // One window shuffle (min-over-partition, sortless frame) + one small
@@ -443,6 +466,31 @@ object RelationalQueries {
           pmod(minuteBucket, lit(65536L))).as("zkey"))
     }),
   )
+
+  // The q91 running conditional-min cascade as a `funnel(user_id, view_us,
+  // click_us, purchase_us)` CTE — ONE definition for the q91 replay and the
+  // q96 summary replay, so the two oracles cannot drift.
+  private lazy val funnelCteSql: String =
+    """f AS (SELECT user_id, event_id, ts, event_type FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |w1 AS (SELECT *,
+      |  min(CASE WHEN event_type = 'view' THEN ts END) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run0
+      |  FROM f),
+      |w2 AS (SELECT *,
+      |  min(CASE WHEN event_type = 'click' AND run0 IS NOT NULL
+      |      AND ts > run0 THEN ts END) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run1
+      |  FROM w1),
+      |funnel AS (SELECT user_id,
+      |  epoch_us(min(CASE WHEN event_type = 'view' THEN ts END)) AS view_us,
+      |  epoch_us(min(CASE WHEN event_type = 'click' AND run0 IS NOT NULL
+      |    AND ts > run0 THEN ts END)) AS click_us,
+      |  epoch_us(min(CASE WHEN event_type = 'purchase' AND run1 IS NOT NULL
+      |    AND ts > run1 THEN ts END)) AS purchase_us
+      |FROM w2 GROUP BY user_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q00_clean_cast" ->
@@ -618,28 +666,21 @@ object RelationalQueries {
         |    AND substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '80')""".stripMargin,
     // q91 replay: the same running conditional-min cascade, spelled as
     // stacked window CTEs (run0 feeds run1's qualification, exactly like
-    // the Spark __run columns).
-    "q91_funnel" ->
-      """WITH f AS (SELECT user_id, event_id, ts, event_type FROM events
-        |  WHERE event_type IN ('view', 'click', 'purchase')),
-        |w1 AS (SELECT *,
-        |  min(CASE WHEN event_type = 'view' THEN ts END) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run0
-        |  FROM f),
-        |w2 AS (SELECT *,
-        |  min(CASE WHEN event_type = 'click' AND run0 IS NOT NULL
-        |      AND ts > run0 THEN ts END) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run1
-        |  FROM w1)
-        |SELECT user_id,
-        |  epoch_us(min(CASE WHEN event_type = 'view' THEN ts END)) AS view_us,
-        |  epoch_us(min(CASE WHEN event_type = 'click' AND run0 IS NOT NULL
-        |    AND ts > run0 THEN ts END)) AS click_us,
-        |  epoch_us(min(CASE WHEN event_type = 'purchase' AND run1 IS NOT NULL
-        |    AND ts > run1 THEN ts END)) AS purchase_us
-        |FROM w2 GROUP BY user_id""".stripMargin,
+    // the Spark __run columns). Shared with q96's summary replay.
+    "q91_funnel" -> s"WITH $funnelCteSql\nSELECT * FROM funnel",
+    // q96 replay: aggregates over the SAME cascade CTE — conversion
+    // counts and time-to-convert stats (micros are integers, so the
+    // even-count median midpoint (a+b)/2 is exact in doubles).
+    "q96_funnel_summary" ->
+      s"""WITH $funnelCteSql
+         |SELECT count(*) AS n_users,
+         |  count(view_us) AS n_viewed,
+         |  count(click_us) AS n_clicked,
+         |  count(purchase_us) AS n_purchased,
+         |  quantile_cont(purchase_us - view_us, 0.5) AS median_convert_us,
+         |  CAST(min(purchase_us - view_us) AS BIGINT) AS min_convert_us,
+         |  CAST(max(purchase_us - view_us) AS BIGINT) AS max_convert_us
+         |FROM funnel""".stripMargin,
     "q92_cohort_retention" ->
       """WITH f AS (SELECT user_id, ts,
         |    min(ts) OVER (PARTITION BY user_id) AS first_ts

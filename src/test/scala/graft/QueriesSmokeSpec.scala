@@ -62,7 +62,9 @@ class QueriesSmokeSpec extends SparkSpec {
       // the profile IS a global one-row aggregate (that's the operator);
       // partial aggregation happens map-side, the single partition merges
       // #partitions pre-aggregated rows
-      "q95_profile" -> Set("Exchange SinglePartition"))
+      "q95_profile" -> Set("Exchange SinglePartition"),
+      // single-row funnel summary: the global aggregate IS the output
+      "q96_funnel_summary" -> Set("Exchange SinglePartition"))
     val hazards = Seq("Exchange SinglePartition", "CartesianProduct",
       "BroadcastNestedLoopJoin")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
