@@ -223,6 +223,46 @@ object RelationalOps {
     withRuns.groupBy(keyCol).agg(aggCols.head, aggCols.tail: _*)
   }
 
+  /** Windowed funnel (conversion-window semantics, the q91 cascade's
+    * product-analytics sibling): step i qualifies iff it happens strictly
+    * after AND within `window` of the MOST RECENT qualifying step-(i−1)
+    * event — so a user who re-views later can still convert off the fresh
+    * view even when the first view expired. Contrast [[funnelStages]],
+    * which chains each step off the EARLIEST qualifying predecessor with
+    * no horizon. Implemented as running conditional MAXIMA over the same
+    * single (key, ts) sort — one shuffle, and the per-key rollup reuses
+    * the window partitioning. Emits the earliest QUALIFYING timestamp per
+    * step (NULL from the first unreached step onward).
+    */
+  def funnelStagesWindowed(events: DataFrame, keyCol: String, ts: Column,
+      tieBreaker: Column, typeCol: String, steps: Seq[String],
+      window: java.time.Duration): DataFrame = {
+    require(steps.nonEmpty, "funnelStagesWindowed: steps must be non-empty")
+    require(steps.distinct.size == steps.size,
+      s"funnelStagesWindowed: duplicate step names in $steps")
+    val horizonUs = window.toMillis * 1000L
+    val w = Window.partitionBy(keyCol).orderBy(ts, tieBreaker)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = events.filter(col(typeCol).isin(steps.map(s => s: Any): _*))
+    val (withRuns, quals) =
+      steps.zipWithIndex.foldLeft((base, Vector.empty[Column])) {
+        case ((df, qs), (step, i)) =>
+          val qual =
+            if (i == 0) col(typeCol) === step
+            else col(typeCol) === step &&
+              col(s"__last_${i - 1}").isNotNull &&
+              ts > col(s"__last_${i - 1}") &&
+              unix_micros(ts) - unix_micros(col(s"__last_${i - 1}")) <= horizonUs
+          // running LAST qualifying occurrence of this step — later steps
+          // chain off the freshest predecessor, not the earliest
+          (df.withColumn(s"__last_$i", max(when(qual, ts)).over(w)),
+            qs :+ qual)
+      }
+    val aggCols = steps.indices.map(i =>
+      min(when(quals(i), ts)).as(s"${steps(i)}_ts"))
+    withRuns.groupBy(keyCol).agg(aggCols.head, aggCols.tail: _*)
+  }
+
   /** Cohort retention: assign each key to the period of its first event
     * (cohort), then count distinct active keys per (cohort, period-offset).
     * One window shuffle on the key (min-over-partition, no sort needed) and

@@ -418,6 +418,20 @@ object RelationalQueries {
           max(col("purchase_us") - col("view_us")).as("max_convert_us"))
     }),
 
+    // Windowed funnel: each step within 24 h of the MOST RECENT qualifying
+    // predecessor (conversion-window semantics — a fresh re-view re-opens
+    // the funnel where q91's earliest-chaining would have expired).
+    "q97_funnel_windowed" -> ((s, d) => {
+      RelationalOps.funnelStagesWindowed(
+          Tables.events(s, d), "user_id", col("ts"), col("event_id"),
+          "event_type", Seq("view", "click", "purchase"),
+          java.time.Duration.ofHours(24))
+        .select(col("user_id"),
+          unix_micros(col("view_ts")).as("view_us"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purchase_ts")).as("purchase_us"))
+    }),
+
     // Cohort retention matrix: cohort = epoch-aligned week of each user's
     // first event; count distinct active users per (cohort, week offset).
     // One window shuffle (min-over-partition, sortless frame) + one small
@@ -681,6 +695,35 @@ object RelationalQueries {
          |  CAST(min(purchase_us - view_us) AS BIGINT) AS min_convert_us,
          |  CAST(max(purchase_us - view_us) AS BIGINT) AS max_convert_us
          |FROM funnel""".stripMargin,
+    // q97 replay: the windowed cascade — running conditional MAXIMA (the
+    // freshest qualifying predecessor) with the 24 h horizon on micros.
+    "q97_funnel_windowed" ->
+      """WITH f AS (SELECT user_id, event_id, ts, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |w1 AS (SELECT *,
+        |  max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last0
+        |  FROM f),
+        |w2 AS (SELECT *,
+        |  max(CASE WHEN event_type = 'click' AND last0 IS NOT NULL
+        |      AND ts > last0
+        |      AND epoch_us(ts) - epoch_us(last0) <= 86400000000
+        |    THEN ts END) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last1
+        |  FROM w1)
+        |SELECT user_id,
+        |  epoch_us(min(CASE WHEN event_type = 'view' THEN ts END)) AS view_us,
+        |  epoch_us(min(CASE WHEN event_type = 'click' AND last0 IS NOT NULL
+        |    AND ts > last0
+        |    AND epoch_us(ts) - epoch_us(last0) <= 86400000000
+        |    THEN ts END)) AS click_us,
+        |  epoch_us(min(CASE WHEN event_type = 'purchase' AND last1 IS NOT NULL
+        |    AND ts > last1
+        |    AND epoch_us(ts) - epoch_us(last1) <= 86400000000
+        |    THEN ts END)) AS purchase_us
+        |FROM w2 GROUP BY user_id""".stripMargin,
     "q92_cohort_retention" ->
       """WITH f AS (SELECT user_id, ts,
         |    min(ts) OVER (PARTITION BY user_id) AS first_ts

@@ -72,6 +72,54 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(f(7L) === ((Some(ts(100)), Some(ts(150)), Some(ts(250)))))
   }
 
+  private def windowedFunnelOf(rows: Seq[(Long, Long, Long, String)],
+      horizonSec: Long) = {
+    import spark.implicits._
+    val df = rows.toDF("user_id", "event_id", "sec", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    RelationalOps.funnelStagesWindowed(df, "user_id", col("ts"),
+        col("event_id"), "event_type", Seq("view", "click", "purchase"),
+        java.time.Duration.ofSeconds(horizonSec))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+          Option(r.getTimestamp(3))))
+      .toMap
+  }
+
+  test("windowed funnel: a click past the horizon does not convert") {
+    val f = windowedFunnelOf(Seq(
+      (1L, 1L, 100L, "view"), (1L, 2L, 300L, "click"),
+      (1L, 3L, 350L, "purchase")), horizonSec = 100L)
+    // click is 200 s after the only view (> 100 s horizon) → funnel stops
+    assert(f(1L) === ((Some(ts(100)), None, None)))
+  }
+
+  test("windowed funnel: a fresh re-view re-opens the expired funnel (unlike q91's earliest-chaining)") {
+    val rows = Seq(
+      (2L, 1L, 100L, "view"), (2L, 2L, 400L, "view"),
+      (2L, 3L, 450L, "click"), (2L, 4L, 500L, "purchase"))
+    val f = windowedFunnelOf(rows, horizonSec = 100L)
+    // the click is 350 s after the FIRST view but 50 s after the second —
+    // it converts off the freshest view; q91's strict cascade (no horizon)
+    // would chain off the first view, so the two operators agree here on
+    // reachability but differ by construction on the qualifying witness
+    assert(f(2L) === ((Some(ts(100)), Some(ts(450)), Some(ts(500)))))
+    // shrink the horizon to 25 s: even the second view is too stale
+    val g = windowedFunnelOf(rows, horizonSec = 25L)
+    assert(g(2L) === ((Some(ts(100)), None, None)))
+  }
+
+  test("windowed funnel: each stage's horizon anchors at the freshest QUALIFYING predecessor") {
+    val f = windowedFunnelOf(Seq(
+      (3L, 1L, 100L, "view"), (3L, 2L, 150L, "click"),
+      (3L, 3L, 600L, "click"), // stale: 500 s after the view
+      (3L, 4L, 650L, "purchase")), horizonSec = 100L)
+    // the second click does NOT qualify (no view within 100 s), so the
+    // purchase may only anchor on the first click — 500 s away, too stale
+    assert(f(3L) === ((Some(ts(100)), Some(ts(150)), None)))
+  }
+
   test("gapFillPeriods: silent periods appear with zero counts and carried fill") {
     import spark.implicits._
     val p = 100L // 100-second periods
