@@ -441,6 +441,24 @@ object RelationalQueries {
         604800L)
     }),
 
+    // Retention-rate matrix: q92 normalized by cohort size (the offset-0
+    // count). The cohort-size table is tiny (one row per cohort) and rides
+    // a broadcast join; the per-row division is a single IEEE operation,
+    // deterministic across engines (the documented float rule).
+    "q98_retention_rate" -> ((s, d) => {
+      // localCheckpoint: the matrix (≤ periods² rows) feeds BOTH the size
+      // lookup and the join — without it the corpus window re-runs twice
+      val m = RelationalOps.cohortRetention(
+        Tables.events(s, d), "user_id", "ts", 604800L).localCheckpoint()
+      val sizes = m.filter(col("period_offset") === 0L)
+        .select(col("cohort_start"), col("n_active").as("cohort_size"))
+      m.join(broadcast(sizes), Seq("cohort_start"))
+        .select(col("cohort_start"), col("period_offset"), col("n_active"),
+          col("cohort_size"),
+          (col("n_active").cast("double") / col("cohort_size").cast("double"))
+            .as("retention_rate"))
+    }),
+
     // Exact deterministic k-per-group sample (eval-set construction).
     // NOT the window-over-the-whole-corpus formulation: per-group hash
     // thresholds from a tiny count aggregate keep ~safety·k rows per
@@ -735,6 +753,24 @@ object RelationalQueries {
         |SELECT fp * 604800 AS cohort_start, tp - fp AS period_offset,
         |  count(DISTINCT user_id) AS n_active
         |FROM p GROUP BY 1, 2""".stripMargin,
+    // q98 replay: q92's matrix CTE self-joined on its offset-0 row.
+    "q98_retention_rate" ->
+      """WITH f AS (SELECT user_id, ts,
+        |    min(ts) OVER (PARTITION BY user_id) AS first_ts
+        |  FROM events),
+        |p AS (SELECT user_id,
+        |    (CAST(floor(epoch(first_ts)) AS BIGINT) // 604800) AS fp,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 604800) AS tp
+        |  FROM f),
+        |m AS (SELECT fp * 604800 AS cohort_start, tp - fp AS period_offset,
+        |    count(DISTINCT user_id) AS n_active
+        |  FROM p GROUP BY 1, 2)
+        |SELECT m.cohort_start, m.period_offset, m.n_active,
+        |  z.n_active AS cohort_size,
+        |  CAST(m.n_active AS DOUBLE) / CAST(z.n_active AS DOUBLE)
+        |    AS retention_rate
+        |FROM m JOIN m z ON m.cohort_start = z.cohort_start
+        |  AND z.period_offset = 0""".stripMargin,
     // q93 replay: the layout-independent truth — a plain per-group
     // row_number over the md5 sort key. The Spark side must land on the
     // identical set through its two-pass threshold plan.
