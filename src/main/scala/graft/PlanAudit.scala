@@ -12,6 +12,10 @@ object PlanAudit {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = GraftSession.create("graft-plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    // audit the FULL lineage: plan-reuse localCheckpoints would otherwise
+    // truncate the plan (hiding the pre-checkpoint subplan) and eagerly
+    // execute a job during this explain-only sweep
+    spark.conf.set("spark.graft.materialize.skip", "true")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, sf).queryExecution

@@ -10,6 +10,21 @@ import org.apache.spark.sql.functions._
   */
 object RelationalOps {
 
+  /** Plan-reuse materialization point: `localCheckpoint` a subtree that
+    * feeds multiple consumers (Catalyst does not reuse shared subtrees —
+    * the q72 lesson). Session conf `spark.graft.materialize.skip=true`
+    * turns it into the identity so plan audits see the FULL lineage —
+    * checkpointing truncates the plan, which both hid the pre-checkpoint
+    * subplan from the hazard sweep and made explain-only sweeps eagerly
+    * execute a job (advisor round-6 finding). Only plan-REUSE checkpoints
+    * route through here; algorithmic iteration checkpoints
+    * ([[DedupClustering]]) must stay unconditional.
+    */
+  private[graft] def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption("spark.graft.materialize.skip")
+        .contains("true")) df
+    else df.localCheckpoint()
+
   /** Latest row per key by event time, deterministic under ties via
     * `tieBreaker`. Planned as a single shuffle on `keys` + partition-local
     * sort (window), no join. For the 2-column case `max_by(value, ts)` is
@@ -240,7 +255,10 @@ object RelationalOps {
     require(steps.nonEmpty, "funnelStagesWindowed: steps must be non-empty")
     require(steps.distinct.size == steps.size,
       s"funnelStagesWindowed: duplicate step names in $steps")
-    val horizonUs = window.toMillis * 1000L
+    // toNanos/1000, NOT toMillis*1000: the latter silently truncates
+    // sub-millisecond Duration components, which would disagree with the
+    // micros-precision qualifying predicate (and its oracle replay)
+    val horizonUs = window.toNanos / 1000L
     val w = Window.partitionBy(keyCol).orderBy(ts, tieBreaker)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val base = events.filter(col(typeCol).isin(steps.map(s => s: Any): _*))
@@ -287,6 +305,29 @@ object RelationalOps {
       .agg(countDistinct(col(keyCol)).as("n_active"))
   }
 
+  /** Retention-RATE matrix from a [[cohortRetention]]-shaped matrix
+    * (cohort_start, period_offset, n_active): each cell normalized by its
+    * cohort's size (the offset-0 count). The size table is one row per
+    * cohort — broadcast; the division is a single IEEE operation,
+    * deterministic across engines. Shared by the batch q98 and the
+    * streaming twin so both normalize identically.
+    */
+  def retentionRateFrom(matrix: DataFrame): DataFrame = {
+    // the size table is a SELF-join of `matrix`: alias every output
+    // (fresh exprIds) so the join resolves whatever plan backs the input
+    // — with shared attribute ids (e.g. a memory-sink view, or q98 with
+    // materialization skipped) an un-aliased key is a conflicting
+    // reference
+    val sizes = matrix.filter(col("period_offset") === 0L)
+      .select(col("cohort_start").as("__size_cohort"),
+        col("n_active").as("cohort_size"))
+    matrix.join(broadcast(sizes), col("cohort_start") === col("__size_cohort"))
+      .select(col("cohort_start"), col("period_offset"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention_rate"))
+  }
+
   /** Temporal densification (gap-fill): per key, the COMPLETE epoch-aligned
     * period grid from its first to its last event, with explicit zero-count
     * rows for silent periods and a forward-filled last observed aggregate —
@@ -303,18 +344,16 @@ object RelationalOps {
   def gapFillPeriods(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, periodSeconds: Long): DataFrame = {
     val p = periodSeconds
-    // localCheckpoint: BOTH consumers (the span aggregate feeding the grid
+    // materialize: BOTH consumers (the span aggregate feeding the grid
     // and the join back) would otherwise re-run the corpus scan + period
-    // aggregate — Catalyst does not reuse the shared subtree (the q72
-    // lesson); materializing the periods table (keys × periods, tiny
-    // relative to events) makes the corpus pass run once
-    val weekly = events
+    // aggregate; the periods table (keys × periods) is tiny relative to
+    // events, so checkpointing it makes the corpus pass run once
+    val weekly = materialize(events
       .groupBy(col(keyCol),
         expr(s"(unix_seconds($tsCol) - pmod(unix_seconds($tsCol), $p)) div $p")
           .as("__w"))
       .agg(count(lit(1)).as("cnt"),
-        round(sum(col(valueCol)), 2).as("value_sum"))
-      .localCheckpoint()
+        round(sum(col(valueCol)), 2).as("value_sum")))
     val grid = weekly
       .groupBy(keyCol).agg(min("__w").as("__w0"), max("__w").as("__w1"))
       .select(col(keyCol), explode(sequence(col("__w0"), col("__w1"))).as("__w"))

@@ -446,17 +446,11 @@ object RelationalQueries {
     // a broadcast join; the per-row division is a single IEEE operation,
     // deterministic across engines (the documented float rule).
     "q98_retention_rate" -> ((s, d) => {
-      // localCheckpoint: the matrix (≤ periods² rows) feeds BOTH the size
+      // materialize: the matrix (≤ periods² rows) feeds BOTH the size
       // lookup and the join — without it the corpus window re-runs twice
-      val m = RelationalOps.cohortRetention(
-        Tables.events(s, d), "user_id", "ts", 604800L).localCheckpoint()
-      val sizes = m.filter(col("period_offset") === 0L)
-        .select(col("cohort_start"), col("n_active").as("cohort_size"))
-      m.join(broadcast(sizes), Seq("cohort_start"))
-        .select(col("cohort_start"), col("period_offset"), col("n_active"),
-          col("cohort_size"),
-          (col("n_active").cast("double") / col("cohort_size").cast("double"))
-            .as("retention_rate"))
+      RelationalOps.retentionRateFrom(RelationalOps.materialize(
+        RelationalOps.cohortRetention(
+          Tables.events(s, d), "user_id", "ts", 604800L)))
     }),
 
     // Exact deterministic k-per-group sample (eval-set construction).

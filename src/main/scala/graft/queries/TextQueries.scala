@@ -756,8 +756,8 @@ object TextQueries {
     // aggregate, so ReuseExchange can never match the subtrees — verified
     // against the final adaptive plan). One pass over the dominant stage
     // instead of two.
-    val perDoc = occ.groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+    val perDoc = RelationalOps.materialize(
+      occ.groupBy("doc_id", "h").agg(count(lit(1)).as("cnt")))
     val dfTab = perDoc.groupBy("h").agg(count(lit(1)).as("docs"))
     perDoc.join(dfTab, "h")
       .groupBy("doc_id")
@@ -827,7 +827,7 @@ object TextQueries {
     */
   private[graft] def chunkDedupApplyOf(docs: DataFrame): DataFrame = {
     val norm = docs.select(col("doc_id"), TextOps.normalized(col("text")).as("norm"))
-    val chunks = cdcChunksOf(docs).localCheckpoint()
+    val chunks = RelationalOps.materialize(cdcChunksOf(docs))
     val canon = chunks.groupBy("chunk_fp")
       .agg(min(struct(col("doc_id"), col("chunk_start"))).as("__c"))
       .select(col("chunk_fp"),
@@ -1036,13 +1036,12 @@ object TextQueries {
     */
   private[graft] def winnowOverlapFrom(
       fps: DataFrame, maxDf: Int = 16, minOverlap: Double = 0.5): DataFrame = {
-    val buckets = fps
+    val buckets = RelationalOps.materialize(fps
       .filter(size(col("fps")) > 0)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
       .groupBy("fp")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) <= maxDf)
-      .localCheckpoint()
+      .filter(size(col("ids")) <= maxDf))
     val nRare = buckets
       .select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
@@ -1259,6 +1258,45 @@ object TextQueries {
       .agg(sum("score").as("bm25"))
   }
 
+  /** BM25 linearized to INTEGER arithmetic (the q89 cross-multiplication
+    * trick) so the scoring is bit-oracled: per (doc, term) emit the exact
+    * integer components that determine the BM25 score instead of its libm
+    * `log`/division float value. With k1 = 1.2, b = 0.75:
+    *
+    *   tf-saturation = tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)
+    *                 = 22·tf·T / (10·tf·T + 3·T + 9·dl·N)   (×10T/10T)
+    *   idf argument  = (N − df + ½)/(df + ½) + 1 = 2(N+1) / (2·df + 1)
+    *
+    * where N = corpus doc count and T = total token count (avgdl = T/N).
+    * Both are exact rationals of int64 components; `log` is monotone, so
+    * (idf_num, idf_den) is rank-equivalent to the float idf. [[bm25]]
+    * remains the float-scoring production variant; this is its
+    * verification twin. At 100-TB scale 22·tf·T overflows int64 — there,
+    * divide T out (double weights) and keep this integer form for
+    * fixed-size verification samples, exactly as documented for q89.
+    */
+  private[graft] def bm25Components(docs: DataFrame, qTerms: Seq[String]): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = toks.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val terms = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+    val tf = terms.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("total_dl"),
+        (lit(22L) * col("tf") * col("total_dl")).as("sat_num"),
+        (lit(10L) * col("tf") * col("total_dl") + lit(3L) * col("total_dl")
+          + lit(9L) * col("dl") * col("n_docs")).as("sat_den"),
+        (lit(2L) * (col("n_docs") + lit(1L))).as("idf_num"),
+        (lit(2L) * col("df") + lit(1L)).as("idf_den"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Token counting + punctuation + stopword ratio (single divisions only).
     "q17_text_stats" -> ((s, d) => {
@@ -1305,7 +1343,7 @@ object TextQueries {
     // The shingle table feeds three consumers (sigs→pairs, sh_a, sh_b) —
     // localCheckpoint materializes it once instead of three scan subtrees.
     "q23_jaccard" -> ((s, d) => {
-      val sh = shingled(s, d).localCheckpoint()
+      val sh = RelationalOps.materialize(shingled(s, d))
       candidatePairsFrom(sigsFrom(sh))
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -1410,7 +1448,7 @@ object TextQueries {
       // the signature table feeds three consumers (pair generation + both
       // join sides) — localCheckpoint materializes the corpus-scale
       // signature computation once, not three times (the q23 trade)
-      val sg = sigs(s, d).localCheckpoint()
+      val sg = RelationalOps.materialize(sigs(s, d))
       val agree = (a: String) =>
         when(col(s"a_$a") === col(s"b_$a"), 1).otherwise(0)
       candidatePairsFrom(sg)
@@ -1655,6 +1693,12 @@ object TextQueries {
     // (SURVEY float-parity rules) → rows-only check; the rational-idf
     // q40 is the oracle-checked variant of the same shape.
     "q42_bm25" -> ((s, d) => bm25(Tables.documents(s, d),
+      Seq("data", "spark", "query"))),
+
+    // BM25 verification twin: the same scoring, linearized to integer
+    // components (exact rational saturation + rank-equivalent idf) so the
+    // whole query is hash-oracled — see [[bm25Components]].
+    "q42b_bm25_rational" -> ((s, d) => bm25Components(Tables.documents(s, d),
       Seq("data", "spark", "query"))),
 
     // Vocabulary building: top-16 terms by frequency with dense token ids.
@@ -2000,7 +2044,7 @@ object TextQueries {
          |WHERE quality >= 0.5""".stripMargin,
     "q62_lang_stats" ->
       s"""SELECT lang_pred, CAST(floor(n_tokens / 50) AS BIGINT) AS len_band,
-         |  count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
          |FROM (SELECT $langCaseSql AS lang_pred,
          |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
@@ -2036,6 +2080,25 @@ object TextQueries {
            |r AS (SELECT *, row_number() OVER (
            |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk FROM scored)
            |SELECT doc_id, term, tf, df, score, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    "q42b_bm25_rational" ->
+      raw"""WITH d AS (
+           |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl
+           |  FROM (SELECT doc_id,
+           |      string_split_regex(trim($normSql), '\s+') AS t FROM documents)),
+           |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(dl) AS BIGINT) AS total_dl FROM d),
+           |tf AS (
+           |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
+           |  WHERE term IN ('data', 'spark', 'query') GROUP BY 1, 2, 3),
+           |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           |  FROM tf GROUP BY 1)
+           |SELECT doc_id, term, tf, df, dl, n_docs, total_dl,
+           |  CAST(22 * tf * total_dl AS BIGINT) AS sat_num,
+           |  CAST(10 * tf * total_dl + 3 * total_dl + 9 * dl * n_docs AS BIGINT) AS sat_den,
+           |  CAST(2 * (n_docs + 1) AS BIGINT) AS idf_num,
+           |  CAST(2 * df + 1 AS BIGINT) AS idf_den
+           |FROM tf JOIN df USING (term) CROSS JOIN stats""".stripMargin,
     "q52_vocab" -> vocabOracleSql,
     "q53_pack_bins" ->
       raw"""SELECT doc_id, n_tokens, shard,

@@ -35,7 +35,13 @@ object JsonlIO {
     * (NULL for clean rows) instead of failing the scan or being dropped.
     * Blank lines are skipped (the json source's convention).
     */
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    // the quarantine column is appended below; a caller schema already
+    // containing it would produce a duplicate field and a confusing
+    // analysis error deep inside from_json
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"JsonlIO.read: caller schema must not contain the reserved " +
+        s"'$CorruptCol' column (it is added by the reader)")
     spark.read.text(path)
       .filter(length(trim(col("value"))) > 0)
       .select(from_json(col("value"), schema.add(CorruptCol, "string"),
@@ -43,6 +49,7 @@ object JsonlIO {
           "mode", "PERMISSIVE", "columnNameOfCorruptRecord", CorruptCol))
         .as("r"))
       .select(col("r.*"))
+  }
 
   /** (clean rows without the corrupt column, quarantined raw lines as
     * `line`). Two filters over one text scan; the clean branch prunes the

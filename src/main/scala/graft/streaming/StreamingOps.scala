@@ -562,10 +562,17 @@ object StreamingOps {
     * the batch result (parity-spec'd, including out-of-order arrival).
     * Events later than the watermark itself are dropped (the watermark
     * contract; `flatMapGroupsWithState` does not drop them for us).
+    * An event-time timeout commits a quiet user's buffered tail once the
+    * watermark passes it (without one the tail would stay provisional
+    * forever and state would grow with user cardinality); `idleExpiry`
+    * additionally drops a user's state after that long with nothing
+    * buffered — bounding state for abandoned users at the cost of parity
+    * for users who return after the expiry (their funnel restarts).
     */
   def funnelStream(
       events: Dataset[FunnelEvent],
-      steps: (String, String, String) = ("view", "click", "purchase")): Dataset[FunnelUpdate] = {
+      steps: (String, String, String) = ("view", "click", "purchase"),
+      idleExpiry: Option[java.time.Duration] = None): Dataset[FunnelUpdate] = {
     import events.sparkSession.implicits._
     val stepSeq = Vector(steps._1, steps._2, steps._3)
 
@@ -589,6 +596,14 @@ object StreamingOps {
       val prev = state.getOption.getOrElse(
         FunnelState(Vector.fill(3)(-1L), Nil))
       val wmUs = state.getCurrentWatermarkMs() * 1000L
+      // idle-expiry firing with nothing buffered: drop the long-dead
+      // user's state. Parity caveat (documented on the knob): if the user
+      // re-appears, their funnel restarts from scratch.
+      if (state.hasTimedOut && prev.buffer.isEmpty && rows.isEmpty &&
+          idleExpiry.isDefined) {
+        state.remove()
+        return Iterator.empty
+      }
       val fresh = rows.map(e => (e.ts_micros, e.event_type))
         .filter(e => e._1 >= wmUs && stepSeq.contains(e._2)).toList
       // sort ONCE over the merged tail: ties collapse to the same minima
@@ -597,6 +612,17 @@ object StreamingOps {
       val (commit, keep) = merged.partition(_._1 < wmUs)
       val committed = commit.foldLeft(prev.minima.toVector)(fold)
       state.update(FunnelState(committed, keep))
+      // a group only re-enters fn on new data OR a timeout — without one,
+      // a quiet user's buffered out-of-order tail would stay provisional
+      // forever (the advisor's round-6 finding). Fire when the watermark
+      // passes the oldest buffered event (clamped above the current
+      // watermark, the sessionize rule); with an empty buffer, arm the
+      // optional idle expiry instead so long-dead users' state is freed.
+      if (keep.nonEmpty)
+        state.setTimeoutTimestamp(math.max(
+          keep.head._1 / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+      else idleExpiry.foreach(d => state.setTimeoutTimestamp(
+        state.getCurrentWatermarkMs() + math.max(d.toMillis, 1L)))
       val provisional = keep.foldLeft(committed)(fold)
       def opt(v: Long) = if (v >= 0) Some(v) else None
       Iterator.single(FunnelUpdate(
@@ -609,7 +635,93 @@ object StreamingOps {
       .as[FunnelEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
-        OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
+  /** Per-user state of [[funnelStreamWindowed]]: committed earliest
+    * qualifying timestamps (`minima`, the output) plus committed LATEST
+    * qualifying timestamps (`lasts`, what the next step's horizon chains
+    * off — the windowed cascade needs both); `buffer` as in
+    * [[FunnelState]].
+    */
+  case class FunnelWinState(
+      minima: Seq[Long], lasts: Seq[Long], buffer: List[(Long, String)])
+
+  /** Streaming twin of
+    * [[graft.operators.RelationalOps.funnelStagesWindowed]] (q97):
+    * conversion-window semantics — step i qualifies iff strictly after AND
+    * within `window` of the MOST RECENT qualifying step-(i−1) event. The
+    * ts-order fold keeps, per step, both the earliest qualifying timestamp
+    * (emitted) and the latest (chained off): qualifying timestamps are
+    * nondecreasing under the fold, so "most recent" is simply the last
+    * fold update — exactly the batch's running conditional maximum.
+    * Watermark/buffer/timeout machinery is identical to [[funnelStream]]
+    * (same parity and state-expiry contracts).
+    */
+  def funnelStreamWindowed(
+      events: Dataset[FunnelEvent],
+      window: java.time.Duration,
+      steps: (String, String, String) = ("view", "click", "purchase"),
+      idleExpiry: Option[java.time.Duration] = None): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    val stepSeq = Vector(steps._1, steps._2, steps._3)
+    // toNanos/1000, not toMillis*1000 — sub-millisecond components must
+    // round-trip (same rule as the batch operator)
+    val horizonUs = window.toNanos / 1000L
+
+    def fold(st: (Vector[Long], Vector[Long]),
+        e: (Long, String)): (Vector[Long], Vector[Long]) = {
+      val (mins, lasts) = st
+      val (ts, typ) = e
+      val i = stepSeq.indexOf(typ)
+      if (i < 0) st
+      else {
+        val qual = i == 0 ||
+          (lasts(i - 1) >= 0 && ts > lasts(i - 1) &&
+            ts - lasts(i - 1) <= horizonUs)
+        if (!qual) st
+        else (if (mins(i) >= 0) mins else mins.updated(i, ts),
+          lasts.updated(i, ts))
+      }
+    }
+
+    def fn(
+        userId: Long,
+        rows: Iterator[FunnelEvent],
+        state: GroupState[FunnelWinState]): Iterator[FunnelUpdate] = {
+      val prev = state.getOption.getOrElse(
+        FunnelWinState(Vector.fill(3)(-1L), Vector.fill(3)(-1L), Nil))
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      if (state.hasTimedOut && prev.buffer.isEmpty && rows.isEmpty &&
+          idleExpiry.isDefined) {
+        state.remove()
+        return Iterator.empty
+      }
+      val fresh = rows.map(e => (e.ts_micros, e.event_type))
+        .filter(e => e._1 >= wmUs && stepSeq.contains(e._2)).toList
+      val merged = (prev.buffer ++ fresh).sortBy(_._1)
+      val (commit, keep) = merged.partition(_._1 < wmUs)
+      val committed = commit.foldLeft(
+        (prev.minima.toVector, prev.lasts.toVector))(fold)
+      state.update(FunnelWinState(committed._1, committed._2, keep))
+      if (keep.nonEmpty)
+        state.setTimeoutTimestamp(math.max(
+          keep.head._1 / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+      else idleExpiry.foreach(d => state.setTimeoutTimestamp(
+        state.getCurrentWatermarkMs() + math.max(d.toMillis, 1L)))
+      val provisional = keep.foldLeft(committed)(fold)._1
+      def opt(v: Long) = if (v >= 0) Some(v) else None
+      Iterator.single(FunnelUpdate(
+        userId, opt(provisional(0)), opt(provisional(1)), opt(provisional(2))))
+    }
+
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_micros")))
+      .withWatermark("event_time", "10 minutes")
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
   // ---- streaming cohort activity ----------------------------------------
@@ -681,6 +793,21 @@ object StreamingOps {
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
+
+  /** Retention-RATE matrix (q98's streaming twin) over the exactly-once
+    * activity log emitted by [[cohortActivityStream]]: because that stream
+    * emits each (user, cohort, offset) exactly once, a plain `count(*)`
+    * per cell IS the distinct-user count, and the rate normalization is
+    * the same shared [[graft.operators.RelationalOps.retentionRateFrom]]
+    * step the batch q98 uses. Run it over the activity sink table (or in
+    * `foreachBatch` on an upserted snapshot) — the stateful streaming
+    * work is all in the activity stream; this finishing step is
+    * stateless.
+    */
+  def retentionRateOf(activity: DataFrame): DataFrame =
+    graft.operators.RelationalOps.retentionRateFrom(
+      activity.groupBy("cohort_start", "period_offset")
+        .agg(count(lit(1)).as("n_active")))
 
   // ---- streaming gap-fill (per-key period heartbeat) --------------------
 

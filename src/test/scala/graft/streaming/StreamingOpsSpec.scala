@@ -776,6 +776,151 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming windowed funnel matches the batch windowed cascade, including expired horizons and out-of-order arrival") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import StreamingOps.{FunnelEvent, FunnelUpdate}
+    val M = 60L * 1000000L
+    val H = 3600L * 1000000L
+    val win = java.time.Duration.ofMinutes(30)
+    // user 1's first purchase lands 40 min after its click — beyond the
+    // 30-min window — and only a FRESH view→click→purchase run converts;
+    // user 2's click arrives before its view (out-of-order within the
+    // watermark) and still chains once the view folds in
+    val b1 = Seq(
+      FunnelEvent(1L, 10 * H, "view"),
+      FunnelEvent(1L, 10 * H + 10 * M, "click"),
+      FunnelEvent(2L, 10 * H + 2 * M, "click"))
+    val b2 = Seq(
+      FunnelEvent(1L, 10 * H + 50 * M, "purchase"), // 40 min > horizon
+      FunnelEvent(2L, 10 * H + 1 * M, "view"),      // late arrival
+      FunnelEvent(2L, 10 * H + 8 * M, "purchase"))
+    val b3 = Seq(
+      FunnelEvent(1L, 11 * H, "view"),              // fresh funnel start
+      FunnelEvent(1L, 11 * H + 5 * M, "click"))
+    val b4 = Seq(
+      FunnelEvent(1L, 11 * H + 20 * M, "purchase")) // 15 min ≤ horizon
+    val all = b1 ++ b2 ++ b3 ++ b4
+    val input = MemoryStream[FunnelEvent]
+    val query = StreamingOps.funnelStreamWindowed(input.toDS(), win)
+      .writeStream.format("memory").queryName("funnel_win_updates")
+      .outputMode("update").start()
+    try {
+      Seq(b1, b2, b3, b4).foreach { b =>
+        input.addData(b: _*); query.processAllAvailable()
+      }
+      val updates = spark.table("funnel_win_updates")
+        .as[FunnelUpdate].collect().toSet
+      // the expired-horizon purchase never shows up in ANY snapshot
+      assert(!updates.exists(_.purchase_us.contains(10 * H + 50 * M)))
+      // user 1's post-b2 snapshot shows the stalled funnel
+      assert(updates.contains(
+        FunnelUpdate(1L, Some(10 * H), Some(10 * H + 10 * M), None)))
+
+      // final snapshots equal the batch windowed cascade on the same rows
+      val batch = graft.operators.RelationalOps.funnelStagesWindowed(
+          all.toDF("user_id", "ts_micros", "event_type")
+            .withColumn("ts", timestamp_micros(col("ts_micros"))),
+          "user_id", col("ts"), col("ts_micros"), "event_type",
+          Seq("view", "click", "purchase"), win)
+        .collect().map(r => FunnelUpdate(r.getLong(0),
+          Option(r.getTimestamp(1)).map(t => t.getTime * 1000L),
+          Option(r.getTimestamp(2)).map(t => t.getTime * 1000L),
+          Option(r.getTimestamp(3)).map(t => t.getTime * 1000L))).toSet
+      assert(batch === Set(
+        FunnelUpdate(1L, Some(10 * H), Some(10 * H + 10 * M),
+          Some(11 * H + 20 * M)),
+        FunnelUpdate(2L, Some(10 * H + 1 * M), Some(10 * H + 2 * M),
+          Some(10 * H + 8 * M))))
+      assert(batch.subsetOf(updates)) // stream converged to the batch truth
+    } finally query.stop()
+  }
+
+  test("funnel stream: idle expiry restarts a returning user; without it state survives") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import StreamingOps.{FunnelEvent, FunnelUpdate}
+    val M = 60L * 1000000L
+    val H = 3600L * 1000000L
+    def run(expiry: Option[java.time.Duration], name: String): Set[FunnelUpdate] = {
+      val input = MemoryStream[FunnelEvent]
+      val query = StreamingOps.funnelStream(input.toDS(), idleExpiry = expiry)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        // user 1 reaches view+click, then goes quiet
+        input.addData(FunnelEvent(1L, 10 * H, "view"),
+          FunnelEvent(1L, 10 * H + M, "click"))
+        query.processAllAvailable()
+        // flushers advance the watermark in stages: the first brings the
+        // watermark past user 1's events; the second fires the commit
+        // timeout (folding the buffer into the minima, arming the idle
+        // expiry); the third fires the idle-expiry timeout itself
+        input.addData(FunnelEvent(99L, 10 * H + 60 * M, "view"))
+        query.processAllAvailable()
+        input.addData(FunnelEvent(99L, 12 * H, "view"))
+        query.processAllAvailable()
+        input.addData(FunnelEvent(99L, 13 * H, "view"))
+        query.processAllAvailable()
+        // user 1 returns with a purchase (above the current watermark)
+        input.addData(FunnelEvent(1L, 13 * H + M, "purchase"))
+        query.processAllAvailable()
+        spark.table(name).as[FunnelUpdate].collect().toSet
+          .filter(_.user_id == 1L)
+      } finally query.stop()
+    }
+    val expired = run(Some(java.time.Duration.ofMinutes(30)), "funnel_expiry")
+    // state was dropped: the returning purchase found a FRESH funnel, so
+    // it does not qualify and the snapshot is empty
+    assert(expired.contains(FunnelUpdate(1L, None, None, None)))
+    assert(!expired.exists(_.purchase_us.isDefined))
+    val kept = run(None, "funnel_noexpiry")
+    // without the knob the committed minima survive arbitrary quiet
+    // periods and the late purchase completes the funnel
+    assert(kept.contains(FunnelUpdate(1L, Some(10 * H), Some(10 * H + M),
+      Some(13 * H + M))))
+  }
+
+  test("streaming retention rate (q98 twin) matches the batch rate matrix") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import StreamingOps.CohortEvent
+    val S = 1000000L
+    val H = 3600L * S
+    val period = 300L
+    // two cohorts: users 1+2 start in period 120 (user 2 retained at
+    // offset 4), user 3 starts in period 124
+    val evs = Seq(
+      CohortEvent(1L, 10 * H + 60 * S),
+      CohortEvent(2L, 10 * H + 100 * S),
+      CohortEvent(2L, 10 * H + 1250 * S),
+      CohortEvent(3L, 10 * H + 1210 * S))
+    val input = MemoryStream[CohortEvent]
+    val query = StreamingOps.cohortActivityStream(input.toDS(), period)
+      .writeStream.format("memory").queryName("rr_activity")
+      .outputMode("append").start()
+    try {
+      input.addData(evs: _*)
+      query.processAllAvailable()
+      input.addData(CohortEvent(99L, 11 * H)) // watermark flusher
+      query.processAllAvailable()
+      input.addData(CohortEvent(99L, 12 * H))
+      query.processAllAvailable()
+      val streamed = StreamingOps.retentionRateOf(
+          spark.table("rr_activity").filter(col("user_id") =!= 99L))
+        .collect().map(_.toSeq).toSet
+      val batch = graft.operators.RelationalOps.retentionRateFrom(
+          graft.operators.RelationalOps.cohortRetention(
+            evs.toDF("user_id", "ts_micros")
+              .withColumn("ts", timestamp_micros(col("ts_micros"))),
+            "user_id", "ts", period))
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      // sanity: cohort 120 has size 2 with offset-4 retention 1/2
+      assert(batch.exists(r => r == Seq(120L * period, 4L, 1L, 2L, 0.5)))
+    } finally query.stop()
+  }
+
   test("streaming cohort activity: exactly-once offsets, late-first-event cohort, batch matrix parity") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -54,6 +54,19 @@ def main(outdir: str, sf: str) -> int:
         bad = []
         for c in a.columns:
             av, bv = a[c], b[c]
+            # Dtype-kind gate BEFORE the tolerant float branch: DuckDB
+            # sum(BIGINT) returns HUGEINT, which pandas coerces to float64 —
+            # the old code then compared by value and masked exactly the
+            # int-vs-float mismatch that the driver's hash check fails on
+            # (round-6 q62). An integer column on one side and a float on
+            # the other is a typing bug in the oracle SQL (missing CAST),
+            # not a tolerance question.
+            kinds = {av.dtype.kind, bv.dtype.kind}
+            if "f" in kinds and kinds & {"i", "u"}:
+                bad.append(
+                    f"{c} (DTYPE KIND spark={av.dtype} duck={bv.dtype}; "
+                    "cast the oracle, e.g. CAST(sum(x) AS BIGINT))")
+                continue
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 av = av.astype(float); bv = bv.astype(float)
                 eq = (av.values == bv.values) | (av.isna().values & bv.isna().values)
