@@ -66,4 +66,23 @@ class RelationalOpsSpec extends SparkSpec {
       5L -> Some("2023-01-01 10:20:00"),
       6L -> None))
   }
+
+  test("materialize: checkpoints by default, identity under the plan-audit skip conf") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .groupBy("k").count()
+    // default: materialized — lineage truncated to an RDD scan (the
+    // shared-subtree reuse behavior every call site relies on)
+    val mat = RelationalOps.materialize(df)
+    assert(mat.queryExecution.analyzed.collectLeaves()
+      .forall(_.getClass.getSimpleName.contains("LogicalRDD")))
+    assert(mat.collect().toSet === df.collect().toSet)
+    // skip conf: the SAME plan comes back untouched — full lineage stays
+    // visible to hazard sweeps and no job runs during explain-only passes
+    spark.conf.set("spark.graft.materialize.skip", "true")
+    try {
+      val skipped = RelationalOps.materialize(df)
+      assert(skipped.queryExecution.analyzed eq df.queryExecution.analyzed)
+    } finally spark.conf.unset("spark.graft.materialize.skip")
+  }
 }
