@@ -536,32 +536,56 @@ object StreamingOps {
 
   case class FunnelEvent(user_id: Long, ts_micros: Long, event_type: String)
 
-  /** `minima(i)` is the committed earliest qualifying timestamp of step i
-    * (-1 = unreached); `buffer` holds the not-yet-committed out-of-order
-    * tail, (ts, type) pairs newer than the watermark.
-    */
-  case class FunnelState(minima: Seq[Long], buffer: List[(Long, String)])
-
   case class FunnelUpdate(
       user_id: Long,
       view_us: Option[Long],
       click_us: Option[Long],
       purchase_us: Option[Long])
 
-  /** Streaming twin of [[graft.operators.RelationalOps.funnelStages]] for
-    * the three-step funnel: per-user state, exact batch parity under the
-    * watermark contract. The batch cascade is order-sensitive — a view
-    * arriving late can re-qualify a click that was already seen — so the
-    * state cannot be just the three minima: events newer than the
-    * watermark stay in a per-user BUFFER and are only folded into the
-    * committed minima (in timestamp order, which makes the fold exactly
-    * the batch cascade) once the watermark passes them and no earlier
-    * event can still arrive. Each trigger emits the user's current funnel
-    * snapshot — committed minima plus a provisional fold of the buffer —
-    * so the sink sees Update-mode rows whose final value per user equals
-    * the batch result (parity-spec'd, including out-of-order arrival).
-    * Events later than the watermark itself are dropped (the watermark
-    * contract; `flatMapGroupsWithState` does not drop them for us).
+  /** Per-user state of the funnel streams: committed earliest qualifying
+    * timestamps (`minima`, the output; -1 = unreached) plus committed
+    * LATEST qualifying timestamps (`lasts`, what the next step's
+    * qualifying predicate chains off); `buffer` holds the
+    * not-yet-committed out-of-order tail, (ts, type) pairs newer than the
+    * watermark.
+    */
+  case class FunnelWinState(
+      minima: Seq[Long], lasts: Seq[Long], buffer: List[(Long, String)])
+
+  /** The ONE stateful machine behind [[funnelStream]] and
+    * [[funnelStreamWindowed]] (they differ only in `horizonUs`): per-user
+    * state, batch parity under the watermark contract. The batch cascades
+    * are order-sensitive — a view arriving late can re-qualify a click
+    * that was already seen — so the state cannot be just the per-step
+    * extremes: events newer than the watermark stay in a per-user BUFFER
+    * and are only folded into the committed state (in timestamp order,
+    * which makes the fold exactly the batch cascade) once the watermark
+    * passes them and no earlier event can still arrive. Each trigger
+    * emits the user's current funnel snapshot — committed minima plus a
+    * provisional fold of the buffer — so the sink sees Update-mode rows
+    * whose final value per user equals the batch result (parity-spec'd,
+    * including out-of-order arrival). Events later than the watermark
+    * itself are dropped (the watermark contract;
+    * `flatMapGroupsWithState` does not drop them for us).
+    *
+    * The fold chains step i off the LATEST qualifying step-(i−1)
+    * timestamp with a strict `>` plus the horizon bound. With
+    * `horizonUs = Long.MaxValue` this is provably the same emitted
+    * minima as [[graft.operators.RelationalOps.funnelStages]]'s
+    * min-cascade: both qualifying predicates reduce to "∃ a qualifying
+    * step-(i−1) event strictly earlier" (induction per step — the
+    * running min is < ts exactly when the running max is), so one
+    * machine serves both semantics.
+    *
+    * EQUAL timestamps fold in descending step order, making simultaneous
+    * events causally independent: a same-ts predecessor never enables a
+    * successor (consistent with the strict `>` rule), and the outcome is
+    * deterministic whatever order events arrive — `flatMapGroupsWithState`
+    * guarantees no within-group order. This matches the batch operators
+    * with a tieBreaker that orders equal-ts rows by descending step
+    * index; under other tieBreakers (e.g. q97's event_id) batch and
+    * stream can legitimately differ on exact-tie inputs.
+    *
     * An event-time timeout commits a quiet user's buffered tail once the
     * watermark passes it (without one the tail would stay provisional
     * forever and state would grow with user cardinality); `idleExpiry`
@@ -569,105 +593,12 @@ object StreamingOps {
     * buffered — bounding state for abandoned users at the cost of parity
     * for users who return after the expiry (their funnel restarts).
     */
-  def funnelStream(
+  private def funnelMachine(
       events: Dataset[FunnelEvent],
-      steps: (String, String, String) = ("view", "click", "purchase"),
-      idleExpiry: Option[java.time.Duration] = None): Dataset[FunnelUpdate] = {
+      stepSeq: Vector[String],
+      horizonUs: Long,
+      idleExpiry: Option[java.time.Duration]): Dataset[FunnelUpdate] = {
     import events.sparkSession.implicits._
-    val stepSeq = Vector(steps._1, steps._2, steps._3)
-
-    // one batch-cascade transition: minima are folded in ts order, so a
-    // step-0 minimum is final once set, and step i qualifies iff strictly
-    // after the (already-final) step i-1 minimum
-    def fold(m: Vector[Long], e: (Long, String)): Vector[Long] = {
-      val (ts, typ) = e
-      val i = stepSeq.indexOf(typ)
-      if (i < 0) m
-      else if (m(i) >= 0) m
-      else if (i == 0) m.updated(0, ts)
-      else if (m(i - 1) >= 0 && ts > m(i - 1)) m.updated(i, ts)
-      else m
-    }
-
-    def fn(
-        userId: Long,
-        rows: Iterator[FunnelEvent],
-        state: GroupState[FunnelState]): Iterator[FunnelUpdate] = {
-      val prev = state.getOption.getOrElse(
-        FunnelState(Vector.fill(3)(-1L), Nil))
-      val wmUs = state.getCurrentWatermarkMs() * 1000L
-      // idle-expiry firing with nothing buffered: drop the long-dead
-      // user's state. Parity caveat (documented on the knob): if the user
-      // re-appears, their funnel restarts from scratch.
-      if (state.hasTimedOut && prev.buffer.isEmpty && rows.isEmpty &&
-          idleExpiry.isDefined) {
-        state.remove()
-        return Iterator.empty
-      }
-      val fresh = rows.map(e => (e.ts_micros, e.event_type))
-        .filter(e => e._1 >= wmUs && stepSeq.contains(e._2)).toList
-      // sort ONCE over the merged tail: ties collapse to the same minima
-      // under the strict-> cascade, so (ts) order alone is parity-safe
-      val merged = (prev.buffer ++ fresh).sortBy(_._1)
-      val (commit, keep) = merged.partition(_._1 < wmUs)
-      val committed = commit.foldLeft(prev.minima.toVector)(fold)
-      state.update(FunnelState(committed, keep))
-      // a group only re-enters fn on new data OR a timeout — without one,
-      // a quiet user's buffered out-of-order tail would stay provisional
-      // forever (the advisor's round-6 finding). Fire when the watermark
-      // passes the oldest buffered event (clamped above the current
-      // watermark, the sessionize rule); with an empty buffer, arm the
-      // optional idle expiry instead so long-dead users' state is freed.
-      if (keep.nonEmpty)
-        state.setTimeoutTimestamp(math.max(
-          keep.head._1 / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
-      else idleExpiry.foreach(d => state.setTimeoutTimestamp(
-        state.getCurrentWatermarkMs() + math.max(d.toMillis, 1L)))
-      val provisional = keep.foldLeft(committed)(fold)
-      def opt(v: Long) = if (v >= 0) Some(v) else None
-      Iterator.single(FunnelUpdate(
-        userId, opt(provisional(0)), opt(provisional(1)), opt(provisional(2))))
-    }
-
-    events
-      .withColumn("event_time", timestamp_micros(col("ts_micros")))
-      .withWatermark("event_time", "10 minutes")
-      .as[FunnelEvent]
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(
-        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(fn)
-  }
-
-  /** Per-user state of [[funnelStreamWindowed]]: committed earliest
-    * qualifying timestamps (`minima`, the output) plus committed LATEST
-    * qualifying timestamps (`lasts`, what the next step's horizon chains
-    * off — the windowed cascade needs both); `buffer` as in
-    * [[FunnelState]].
-    */
-  case class FunnelWinState(
-      minima: Seq[Long], lasts: Seq[Long], buffer: List[(Long, String)])
-
-  /** Streaming twin of
-    * [[graft.operators.RelationalOps.funnelStagesWindowed]] (q97):
-    * conversion-window semantics — step i qualifies iff strictly after AND
-    * within `window` of the MOST RECENT qualifying step-(i−1) event. The
-    * ts-order fold keeps, per step, both the earliest qualifying timestamp
-    * (emitted) and the latest (chained off): qualifying timestamps are
-    * nondecreasing under the fold, so "most recent" is simply the last
-    * fold update — exactly the batch's running conditional maximum.
-    * Watermark/buffer/timeout machinery is identical to [[funnelStream]]
-    * (same parity and state-expiry contracts).
-    */
-  def funnelStreamWindowed(
-      events: Dataset[FunnelEvent],
-      window: java.time.Duration,
-      steps: (String, String, String) = ("view", "click", "purchase"),
-      idleExpiry: Option[java.time.Duration] = None): Dataset[FunnelUpdate] = {
-    import events.sparkSession.implicits._
-    val stepSeq = Vector(steps._1, steps._2, steps._3)
-    // toNanos/1000, not toMillis*1000 — sub-millisecond components must
-    // round-trip (same rule as the batch operator)
-    val horizonUs = window.toNanos / 1000L
 
     def fold(st: (Vector[Long], Vector[Long]),
         e: (Long, String)): (Vector[Long], Vector[Long]) = {
@@ -692,6 +623,9 @@ object StreamingOps {
       val prev = state.getOption.getOrElse(
         FunnelWinState(Vector.fill(3)(-1L), Vector.fill(3)(-1L), Nil))
       val wmUs = state.getCurrentWatermarkMs() * 1000L
+      // idle-expiry firing with nothing buffered: drop the long-dead
+      // user's state. Parity caveat (documented above): if the user
+      // re-appears, their funnel restarts from scratch.
       if (state.hasTimedOut && prev.buffer.isEmpty && rows.isEmpty &&
           idleExpiry.isDefined) {
         state.remove()
@@ -699,11 +633,20 @@ object StreamingOps {
       }
       val fresh = rows.map(e => (e.ts_micros, e.event_type))
         .filter(e => e._1 >= wmUs && stepSeq.contains(e._2)).toList
-      val merged = (prev.buffer ++ fresh).sortBy(_._1)
+      // sort ONCE over the merged tail: (ts, DESCENDING step) — the tie
+      // rule above. Arrival order must never matter.
+      val merged = (prev.buffer ++ fresh)
+        .sortBy(e => (e._1, -stepSeq.indexOf(e._2)))
       val (commit, keep) = merged.partition(_._1 < wmUs)
       val committed = commit.foldLeft(
         (prev.minima.toVector, prev.lasts.toVector))(fold)
       state.update(FunnelWinState(committed._1, committed._2, keep))
+      // a group only re-enters fn on new data OR a timeout — without one,
+      // a quiet user's buffered out-of-order tail would stay provisional
+      // forever (the advisor's round-6 finding). Fire when the watermark
+      // passes the oldest buffered event (clamped above the current
+      // watermark, the sessionize rule); with an empty buffer, arm the
+      // optional idle expiry instead so long-dead users' state is freed.
       if (keep.nonEmpty)
         state.setTimeoutTimestamp(math.max(
           keep.head._1 / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
@@ -723,6 +666,37 @@ object StreamingOps {
       .flatMapGroupsWithState(
         OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
+
+  /** Streaming twin of [[graft.operators.RelationalOps.funnelStages]] for
+    * the three-step funnel: [[funnelMachine]] with an unbounded horizon
+    * (see there for the min-cascade ≡ ∞-horizon max-cascade argument and
+    * the watermark/tie/expiry contracts).
+    */
+  def funnelStream(
+      events: Dataset[FunnelEvent],
+      steps: (String, String, String) = ("view", "click", "purchase"),
+      idleExpiry: Option[java.time.Duration] = None): Dataset[FunnelUpdate] =
+    funnelMachine(events, Vector(steps._1, steps._2, steps._3),
+      Long.MaxValue, idleExpiry)
+
+  /** Streaming twin of
+    * [[graft.operators.RelationalOps.funnelStagesWindowed]] (q97):
+    * conversion-window semantics — step i qualifies iff strictly after
+    * AND within `window` of the MOST RECENT qualifying step-(i−1) event.
+    * [[funnelMachine]] with the window as the horizon; qualifying
+    * timestamps are nondecreasing under the ts-order fold, so "most
+    * recent" is simply the last fold update — exactly the batch's
+    * running conditional maximum.
+    */
+  def funnelStreamWindowed(
+      events: Dataset[FunnelEvent],
+      window: java.time.Duration,
+      steps: (String, String, String) = ("view", "click", "purchase"),
+      idleExpiry: Option[java.time.Duration] = None): Dataset[FunnelUpdate] =
+    // toNanos/1000, not toMillis*1000 — sub-millisecond components must
+    // round-trip (same rule as the batch operator)
+    funnelMachine(events, Vector(steps._1, steps._2, steps._3),
+      window.toNanos / 1000L, idleExpiry)
 
   // ---- streaming cohort activity ----------------------------------------
 

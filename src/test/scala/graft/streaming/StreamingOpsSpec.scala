@@ -836,6 +836,47 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("funnel streams: equal-timestamp events fold deterministically (ties never enable, arrival order irrelevant)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import StreamingOps.{FunnelEvent, FunnelUpdate}
+    val H = 3600L * 1000000L
+    // view@10H, then click and a SECOND view at the identical timestamp.
+    // The tie rule (equal-ts events are causally independent, folded in
+    // descending step order) means the click chains off the 10H view —
+    // the tied view must NOT advance the chain target first and block it.
+    // Run the same rows in both arrival orders and demand the same result.
+    def run(evs: Seq[FunnelEvent], name: String): Set[FunnelUpdate] = {
+      val input = MemoryStream[FunnelEvent]
+      val query = StreamingOps.funnelStreamWindowed(
+          input.toDS(), java.time.Duration.ofHours(24))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        evs.foreach { e => input.addData(e); query.processAllAvailable() }
+        // flusher commits everything
+        input.addData(FunnelEvent(99L, 13 * H, "view"))
+        query.processAllAvailable()
+        input.addData(FunnelEvent(99L, 15 * H, "view"))
+        query.processAllAvailable()
+        spark.table(name).as[FunnelUpdate].collect().toSet
+          .filter(_.user_id == 1L)
+      } finally query.stop()
+    }
+    val evs = Seq(
+      FunnelEvent(1L, 10 * H, "view"),
+      FunnelEvent(1L, 11 * H, "click"),
+      FunnelEvent(1L, 11 * H, "view")) // tied with the click
+    val a = run(evs, "funnel_tie_a")
+    val b = run(Seq(evs(0), evs(2), evs(1)), "funnel_tie_b")
+    // a tie-order-sensitive fold converges to (10H, None, None) when the
+    // tied view folds first; the correct machine emits the qualified
+    // click in BOTH arrival orders
+    val converged = FunnelUpdate(1L, Some(10 * H), Some(11 * H), None)
+    assert(a.contains(converged))
+    assert(b.contains(converged))
+  }
+
   test("funnel stream: idle expiry restarts a returning user; without it state survives") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
