@@ -49,16 +49,23 @@ object Bench {
     // generation + cold page cache + codegen) and min-of-3: round 6's
     // official artifact recorded 4.7 s for a query that re-measures at
     // 0.9 s precisely because of that missing warmup.
+    // The 8M point (10,000× the reference file) is the headline
+    // design-for-scale number — pandas takes ~24 s there vs ~4 s here — so
+    // it belongs in the official artifact, not just BASELINE.md's
+    // self-reported table. min-of-2 (not 3) bounds its bench cost; the CSV
+    // generation is a first-round-only cost (ensure() is idempotent and
+    // bench_data/ persists across rounds).
     val scaled = Seq(
-      ("q44_trades_etl_80k", "/root/repo/bench_data/trades_80k.csv", 80000),
-      ("q44_trades_etl_800k", "/root/repo/bench_data/trades_800k.csv", 800000))
-      .map { case (name, path, n) =>
+      ("q44_trades_etl_80k", "/root/repo/bench_data/trades_80k.csv", 80000, 3),
+      ("q44_trades_etl_800k", "/root/repo/bench_data/trades_800k.csv", 800000, 3),
+      ("q44_trades_etl_8m", "/root/repo/bench_data/trades_8m.csv", 8000000, 2))
+      .map { case (name, path, n, reps) =>
         graft.etl.TradesGen.ensure(path, n)
         val run = (s: SparkSession, _: String) => graft.etl.Transform(
           graft.etl.TradesEtl.clean(graft.etl.TradesEtl.extract(s, path)),
           computePnl = true)
         timeOnce(run) // dedicated warmup, untimed
-        name -> minOfN(3)(run)
+        name -> minOfN(reps)(run)
       }
     val all = results ++ scaled
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
