@@ -15,7 +15,16 @@ object BenchScaled {
     val runs = if (args.length > 1) args(1).toInt else 3
     val spark = graft.GraftSession.create("graft-bench-scaled")
     spark.sparkContext.setLogLevel("ERROR")
+    // untimed page-cache warm before every run: the host's memory reclaim
+    // can evict the file between runs, and its virtual disk reads ~32 MB/s
+    // cold — same discipline as graft.Bench's scaled twins
+    def preRead(): Unit = {
+      val in = new java.io.FileInputStream(path)
+      val buf = new Array[Byte](1 << 20)
+      try { while (in.read(buf) != -1) () } finally in.close()
+    }
     def once(): Double = {
+      preRead()
       val t0 = System.nanoTime()
       Transform(TradesEtl.clean(TradesEtl.extract(spark, path)), computePnl = true)
         .write.format("noop").mode("overwrite").save()

@@ -27,7 +27,19 @@ DEFAULT = [
 ]
 
 
+def pre_read(path):
+    # Untimed warm of the page cache: this host's virtual disk reads
+    # ~32 MB/s cold and its memory reclaim can evict cache between runs,
+    # which would randomly fold a multi-second cold read into the pipeline
+    # timing. The Spark side (graft.Bench) pre-reads identically, so both
+    # engines are measured under the same warm-cache condition.
+    with open(path, "rb") as f:
+        while f.read(1 << 20):
+            pass
+
+
 def run_once(path):
+    pre_read(path)
     t0 = time.perf_counter()
     with contextlib.redirect_stdout(io.StringIO()):
         df = ref.extract(path)
