@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions.col
   *   - `jdbcUrl` — the reference's primary sink IS a database
   *     (`etl_weekly_trades.py:147`, `to_sql(if_exists="append")`): when set,
   *     the aggregate is appended to `tableName` over JDBC instead of
-  *     parquet. No JDBC driver jar ships in this offline container, so the
-  *     branch is unit-tested for plumbing only (PipelineSpec asserts it
-  *     routes to JDBC and fails without a driver).
+  *     parquet. Proven end-to-end against embedded Apache Derby (the one
+  *     embedded database whose driver ships in `/opt/spark/jars`, with
+  *     Spark's built-in DerbyDialect): table auto-created on first append,
+  *     re-run doubles rows, golden contents — `DerbyJdbcSinkSpec`. SQLite
+  *     specifically still needs a sqlite-jdbc jar (absent offline);
+  *     PipelineSpec pins that a driverless URL fails without falling back
+  *     to parquet.
   *   - `addTimestamp` — the reference's `run_etl(add_timestamp=True)`
   *     prefixes the report file with `%Y%m%d_%H%M%S`
   *     (`etl_weekly_trades.py:210-212`).
