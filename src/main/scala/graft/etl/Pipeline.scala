@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions.col
 
 /** End-to-end pipeline (reference `run_etl`, `etl_weekly_trades.py:270-281`).
   *
-  * Sink substitutions (offline container, SURVEY.md §7.3.8): the SQLite
-  * `append` sink (S2) becomes parquet `append` by default; the Excel report
-  * sink (S3) becomes CSV — identical rows/columns in both cases. Full
-  * reference API parity:
+  * Sinks (offline container, SURVEY.md §7.3.8): the SQLite `append` sink
+  * (S2) becomes parquet `append` by default (real JDBC append behind
+  * `jdbcUrl`, see below); the Excel report sink (S3) writes CSV by default
+  * or a real `.xlsx` with `reportFormat = "xlsx"` ([[Xlsx]] — no
+  * spreadsheet jar needed). Full reference API parity:
   *   - `tableName` — the reference's `load(df, path, table_name)`
   *     (`etl_weekly_trades.py:134`): names the aggregate table (the parquet
   *     subdirectory, or the JDBC table when `jdbcUrl` is set).
@@ -40,7 +41,10 @@ object Pipeline {
       partitionByWeek: Boolean = false,
       tableName: String = "agg_trades_weekly",
       jdbcUrl: Option[String] = None,
-      addTimestamp: Boolean = false): EtlResult = {
+      addTimestamp: Boolean = false,
+      reportFormat: String = "csv"): EtlResult = {
+    require(reportFormat == "csv" || reportFormat == "xlsx",
+      s"reportFormat must be csv or xlsx, got $reportFormat")
 
     val raw   = TradesEtl.extract(spark, inputCsv)
     val clean = TradesEtl.clean(raw)
@@ -77,10 +81,13 @@ object Pipeline {
         java.time.LocalDateTime.now()
           .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")) + "_"
       else ""
-    report
-      .write.mode(SaveMode.Overwrite)
-      .option("header", "true")
-      .csv(s"$outDir/${prefix}top_clients")
+    if (reportFormat == "xlsx")
+      Xlsx.write(report, s"$outDir/${prefix}top_clients.xlsx")
+    else
+      report
+        .write.mode(SaveMode.Overwrite)
+        .option("header", "true")
+        .csv(s"$outDir/${prefix}top_clients")
 
     EtlResult(agg, report)
   }

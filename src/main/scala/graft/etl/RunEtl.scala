@@ -7,12 +7,13 @@ package graft.etl
   *
   * Usage: runMain graft.etl.RunEtl <input.csv> <outDir>
   *          [--no-pnl] [--add-timestamp] [--table-name=NAME] [--jdbc-url=URL]
+  *          [--xlsx]
   */
 object RunEtl {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: RunEtl <input.csv> <outDir> [--no-pnl] [--add-timestamp] " +
-        "[--table-name=NAME] [--jdbc-url=URL]")
+        "[--table-name=NAME] [--jdbc-url=URL] [--xlsx]")
     val Array(inputCsv, outDir) = args.take(2)
     val flags = args.drop(2)
     def opt(name: String): Option[String] =
@@ -25,7 +26,8 @@ object RunEtl {
       computePnl = !flags.contains("--no-pnl"),
       tableName = opt("table-name").getOrElse("agg_trades_weekly"),
       jdbcUrl = opt("jdbc-url"),
-      addTimestamp = flags.contains("--add-timestamp"))
+      addTimestamp = flags.contains("--add-timestamp"),
+      reportFormat = if (flags.contains("--xlsx")) "xlsx" else "csv")
     println(s"agg rows: ${result.agg.count()}")
     result.agg.orderBy(Transform.groupKeys.map(org.apache.spark.sql.functions.col): _*).show(5)
     println(s"report rows: ${result.report.count()}")

@@ -1,0 +1,132 @@
+package graft.etl
+
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** Minimal OOXML `.xlsx` writer — the reference's Excel report sink
+  * (`etl_weekly_trades.py:216`, `to_excel(index=False)`) without any
+  * spreadsheet library: a `.xlsx` file is a ZIP of ECMA-376 XML parts, and
+  * the five-part minimum below (content types, package rels, workbook,
+  * workbook rels, one worksheet) is plain public file-format knowledge.
+  * Strings are written as inline strings (no sharedStrings part), numbers
+  * as native numeric cells, so openpyxl/Excel/LibreOffice read the same
+  * rows and columns the reference emits.
+  *
+  * DRIVER-SIDE BY DESIGN: this is a REPORT sink, like the reference's —
+  * the frame is a top-N summary (6 rows in the reference), not a corpus.
+  * `maxRows` makes the contract loud instead of letting someone funnel a
+  * 100 TB table through a single driver collect; corpus-scale artifacts go
+  * through the distributed parquet/CSV/JSONL sinks.
+  */
+object Xlsx {
+
+  /** Hard cap on collected rows — report-scale only (see scaladoc). */
+  val maxRows = 100000
+
+  def write(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"Xlsx.write is a report-scale sink (driver-side collect): $n rows > " +
+        s"$maxRows. Use the distributed parquet/CSV/JSONL sinks for large tables.")
+    val schema = df.schema
+    val rows = df.collect()
+
+    def esc(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&apos;")
+
+    // 0-based column index -> A1-style column letters (A..Z, AA..)
+    def colLetters(i: Int): String = {
+      var nn = i; var s = ""
+      while (nn >= 0) { s = ('A' + nn % 26).toChar.toString + s; nn = nn / 26 - 1 }
+      s
+    }
+
+    def numericCell(ref: String, v: String) = s"""<c r="$ref"><v>$v</v></c>"""
+    def strCell(ref: String, v: String) =
+      s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${esc(v)}</t></is></c>"""
+
+    def cell(ref: String, dt: DataType, v: Any): String = (dt, v) match {
+      case (_, null) => "" // blank cell: omit entirely
+      case (_: ByteType | _: ShortType | _: IntegerType | _: LongType, x) =>
+        numericCell(ref, x.toString)
+      case (_: FloatType | _: DoubleType, x) =>
+        val d = x.toString.toDouble
+        // NaN/Inf are not valid OOXML numeric values — surface as text
+        if (d.isNaN || d.isInfinite) strCell(ref, d.toString)
+        else numericCell(ref, x.toString)
+      case (_: DecimalType, x) => numericCell(ref, x.toString)
+      case (_: BooleanType, x) =>
+        s"""<c r="$ref" t="b"><v>${if (x == true) 1 else 0}</v></c>"""
+      // dates/timestamps and anything else: readable text (the reference's
+      // report frame is numeric+string only; text keeps this total)
+      case (_, x) => strCell(ref, x.toString)
+    }
+
+    val sb = new StringBuilder
+    sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    sb.append("<row r=\"1\">")
+    schema.fields.zipWithIndex.foreach { case (f, c) =>
+      sb.append(strCell(s"${colLetters(c)}1", f.name))
+    }
+    sb.append("</row>")
+    rows.zipWithIndex.foreach { case (row, r) =>
+      sb.append(s"""<row r="${r + 2}">""")
+      schema.fields.zipWithIndex.foreach { case (f, c) =>
+        sb.append(cell(s"${colLetters(c)}${r + 2}", f.dataType, row.get(c)))
+      }
+      sb.append("</row>")
+    }
+    sb.append("</sheetData></worksheet>")
+    val sheetXml = sb.toString
+
+    val contentTypes =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+        """</Types>"""
+    val pkgRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+        """</Relationships>"""
+    val workbook =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        s"""<sheets><sheet name="${esc(sheetName)}" sheetId="1" r:id="rId1"/></sheets>""" +
+        """</workbook>"""
+    val wbRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+        """</Relationships>"""
+
+    val f = new java.io.File(path)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    // temp + atomic rename: an interrupted write never leaves a truncated
+    // zip at the published path (same discipline as TradesGen/TableSwap)
+    val tmp = new java.io.File(path + ".tmp")
+    val zos = new ZipOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(tmp)))
+    try {
+      def part(name: String, content: String): Unit = {
+        zos.putNextEntry(new ZipEntry(name))
+        zos.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        zos.closeEntry()
+      }
+      part("[Content_Types].xml", contentTypes)
+      part("_rels/.rels", pkgRels)
+      part("xl/workbook.xml", workbook)
+      part("xl/_rels/workbook.xml.rels", wbRels)
+      part("xl/worksheets/sheet1.xml", sheetXml)
+    } finally zos.close()
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+}
