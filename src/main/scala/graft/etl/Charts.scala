@@ -1,0 +1,242 @@
+package graft.etl
+
+import java.awt.{BasicStroke, Color, Font, Graphics2D, RenderingHints}
+import java.awt.image.BufferedImage
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** S4 — the reference's two PNG report charts (`etl_weekly_trades.py:
+  * 224-225`, `plot_weekly_aggregates` :229-268) rendered with the JDK's
+  * headless Graphics2D (no matplotlib, no chart jar):
+  *
+  *   - `Weekly_Trade_Volume.png` — line chart of per-week total volume.
+  *   - `Weekly_Trade_Count_by_Client_Type.png` — stacked bars of per-week
+  *     trade counts by client type, the reference's own color map
+  *     (bronze #CD7F32, silver #C0C0C0, gold #FFD700) with stacking in
+  *     pandas-`unstack` column order (alphabetical).
+  *
+  * The chart DATA is a per-week Spark aggregate (weeks are bounded by the
+  * time span, not the corpus — the same frames as the oracled q02/A6/A7
+  * family); only that small aggregate is collected, capped loudly at
+  * `maxPoints` like [[Xlsx]]'s report cap.
+  *
+  * Accessibility notes (the reference palette, validated, is weak: silver
+  * reads gray and silver/gold sit outside the light-surface lightness
+  * band): segments carry a dark outline and a surface-colored gap so
+  * boundaries don't rely on hue, stacking order is FIXED so position is a
+  * secondary identity encoding, the legend names every series, and — like
+  * the reference's `color_map` parameter — callers can pass their own
+  * palette.
+  */
+object Charts {
+
+  /** The reference's client-type palette (`etl_weekly_trades.py:237`). */
+  val referenceColors: Map[String, String] =
+    Map("bronze" -> "#CD7F32", "silver" -> "#C0C0C0", "gold" -> "#FFD700")
+  private val fallbackColor = "#333333" // reference's .get(c, "#333333")
+  private val lineColor = "#1f77b4"     // matplotlib default first-series blue
+
+  /** Chart-scale cap on collected points (weeks × types). */
+  val maxPoints = 10000
+
+  // figsize=(10,5) at dpi=150, the reference's savefig parameters
+  private val W = 1500; private val H = 750
+  private val left = 150; private val right = 40; private val top = 60
+  private val bottom = 130
+
+  /** Per-week total volume — the ax1 frame (A6 family). */
+  def weeklyVolumeFrame(agg: DataFrame): DataFrame =
+    agg.groupBy("week_start_date")
+      .agg(sum("total_volume").as("total_volume"))
+      .orderBy("week_start_date")
+
+  /** Per-(week, client_type) trade counts — the ax2 frame (A7 family). */
+  def weeklyCountByTypeFrame(agg: DataFrame): DataFrame =
+    agg.groupBy("week_start_date", "client_type")
+      .agg(sum("trade_count").as("trade_count"))
+      .orderBy("week_start_date", "client_type")
+
+  def writeWeeklyTradeVolume(agg: DataFrame, path: String): Unit = {
+    val rows = weeklyVolumeFrame(agg).collect()
+    require(rows.length <= maxPoints,
+      s"chart-scale sink: ${rows.length} weekly points > $maxPoints")
+    val labels = rows.map(_.get(0).toString)
+    val values = rows.map(_.getDouble(1))
+    renderPng(path) { g =>
+      frame(g, "Weekly Trade Volume", "week_start_date", "total_volume")
+      val yMax = niceMax(values.maxOption.getOrElse(0.0))
+      yAxis(g, yMax); xAxis(g, labels)
+      val n = values.length
+      g.setColor(hex(lineColor))
+      g.setStroke(new BasicStroke(3f, BasicStroke.CAP_ROUND, BasicStroke.JOIN_ROUND))
+      val pts = values.zipWithIndex.map { case (v, i) => (xAt(i, n), yAt(v, yMax)) }
+      pts.sliding(2).foreach {
+        case Array((x1, y1), (x2, y2)) => g.drawLine(x1, y1, x2, y2)
+        case _ => ()
+      }
+      pts.foreach { case (x, y) => g.fillOval(x - 4, y - 4, 8, 8) }
+      legend(g, Seq("total_volume" -> hex(lineColor)), "Trade_volume")
+    }
+  }
+
+  def writeWeeklyTradeCountByClientType(
+      agg: DataFrame, path: String,
+      colorMap: Map[String, String] = referenceColors): Unit = {
+    val rows = weeklyCountByTypeFrame(agg).collect()
+    require(rows.length <= maxPoints,
+      s"chart-scale sink: ${rows.length} (week, type) points > $maxPoints")
+    val weeks = rows.map(_.get(0).toString).distinct.sorted
+    val types = rows.map(_.getString(1)).distinct.sorted // pandas unstack order
+    val count = rows.map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    renderPng(path) { g =>
+      frame(g, "Weekly Trade Count by Client Type", "week_start_date", "trade_count")
+      val totals = weeks.map(w => types.map(t => count.getOrElse((w, t), 0L)).sum.toDouble)
+      val yMax = niceMax(totals.maxOption.getOrElse(0.0))
+      yAxis(g, yMax); xAxis(g, weeks)
+      val n = weeks.length
+      val barW = math.max(2, (plotW.toDouble / n * 0.8).toInt)
+      weeks.zipWithIndex.foreach { case (w, i) =>
+        var acc = 0.0
+        val xc = xAt(i, n)
+        types.foreach { t =>
+          val v = count.getOrElse((w, t), 0L).toDouble
+          if (v > 0) {
+            val y0 = yAt(acc, yMax); val y1 = yAt(acc + v, yMax)
+            g.setColor(hex(colorMap.getOrElse(t, fallbackColor)))
+            // 1px surface gap above each segment (the -1) keeps boundaries
+            // visible without relying on hue
+            g.fillRect(xc - barW / 2, y1, barW, math.max(1, y0 - y1 - 1))
+            g.setColor(new Color(0, 0, 0, 90)) // dark relief outline
+            g.drawRect(xc - barW / 2, y1, barW, math.max(1, y0 - y1 - 1))
+            acc += v
+          }
+        }
+      }
+      legend(g, types.map(t => t -> hex(colorMap.getOrElse(t, fallbackColor))),
+        "client_type")
+    }
+  }
+
+  /** Both reference charts, reference filenames, into `dir`. */
+  def writeAll(agg: DataFrame, dir: String): Seq[String] = {
+    val a = s"$dir/Weekly_Trade_Volume.png"
+    val b = s"$dir/Weekly_Trade_Count_by_Client_Type.png"
+    writeWeeklyTradeVolume(agg, a)
+    writeWeeklyTradeCountByClientType(agg, b)
+    Seq(a, b)
+  }
+
+  // ---- tiny chart kit (shared by both charts) ----
+
+  private def plotW = W - left - right
+  private def plotH = H - top - bottom
+  private def xAt(i: Int, n: Int): Int =
+    left + ((i + 0.5) * plotW / math.max(1, n)).toInt
+  private def yAt(v: Double, yMax: Double): Int =
+    top + plotH - (v / yMax * plotH).toInt
+
+  private def hex(s: String) = Color.decode(s)
+  private val ink = new Color(0x22, 0x22, 0x22)
+  private val mutedInk = new Color(0x66, 0x66, 0x66)
+  private val grid = new Color(0xe6, 0xe6, 0xe6)
+  private val base = new Font("SansSerif", Font.PLAIN, 20)
+  private val titleFont = new Font("SansSerif", Font.BOLD, 28)
+
+  /** Top tick ≥ max on a 1/2/5 decade pattern. */
+  private[etl] def niceMax(max: Double): Double = {
+    if (max <= 0) return 1.0
+    val mag = math.pow(10, math.floor(math.log10(max)))
+    Seq(1, 2, 5, 10).map(_ * mag).find(_ >= max).get
+  }
+
+  private def renderPng(path: String)(draw: Graphics2D => Unit): Unit = {
+    val img = new BufferedImage(W, H, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_ANTIALIASING,
+        RenderingHints.VALUE_ANTIALIAS_ON)
+      g.setRenderingHint(RenderingHints.KEY_TEXT_ANTIALIASING,
+        RenderingHints.VALUE_TEXT_ANTIALIAS_ON)
+      g.setColor(Color.WHITE); g.fillRect(0, 0, W, H)
+      draw(g)
+    } finally g.dispose()
+    val f = new java.io.File(path)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    val tmp = new java.io.File(path + ".tmp")
+    javax.imageio.ImageIO.write(img, "png", tmp)
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def frame(g: Graphics2D, title: String, xl: String, yl: String): Unit = {
+    g.setFont(titleFont); g.setColor(ink)
+    g.drawString(title, left, 40)
+    g.setFont(base)
+    g.setColor(mutedInk)
+    g.drawString(xl, left + plotW / 2 - g.getFontMetrics.stringWidth(xl) / 2, H - 15)
+    val tr = g.getTransform
+    g.rotate(-math.Pi / 2); // y label reads bottom-up along the left edge,
+    // baseline well clear of the widest tick label (left margin sizes this)
+    g.drawString(yl, -(top + plotH / 2 + g.getFontMetrics.stringWidth(yl) / 2), 35)
+    g.setTransform(tr)
+    g.setColor(ink)
+    g.drawLine(left, top + plotH, left + plotW, top + plotH) // x axis
+    g.drawLine(left, top, left, top + plotH)                 // y axis
+  }
+
+  private def yAxis(g: Graphics2D, yMax: Double): Unit = {
+    g.setFont(base)
+    (0 to 5).foreach { i =>
+      val v = yMax * i / 5
+      val y = yAt(v, yMax)
+      if (i > 0) { g.setColor(grid); g.drawLine(left + 1, y, left + plotW, y) }
+      g.setColor(mutedInk)
+      // plain numbers like pandas' default axis formatter (no separators)
+      val s = if (yMax >= 10)
+        "%.0f".formatLocal(java.util.Locale.ROOT, v)
+      else "%.1f".formatLocal(java.util.Locale.ROOT, v)
+      g.drawString(s, left - 12 - g.getFontMetrics.stringWidth(s), y + 7)
+    }
+  }
+
+  /** Rotated-45° category labels, thinned to ≤ 16 so they never collide. */
+  private def xAxis(g: Graphics2D, labels: Array[String]): Unit = {
+    g.setFont(base); g.setColor(mutedInk)
+    val n = labels.length
+    val step = math.max(1, math.ceil(n / 16.0).toInt)
+    labels.zipWithIndex.foreach { case (l, i) =>
+      if (i % step == 0) {
+        val x = xAt(i, n); val y = top + plotH
+        val tr = g.getTransform
+        g.rotate(-math.Pi / 4, x.toDouble, (y + 12).toDouble)
+        g.drawString(l, x - g.getFontMetrics.stringWidth(l), y + 24)
+        g.setTransform(tr)
+        g.setColor(new Color(0x99, 0x99, 0x99))
+        g.drawLine(x, y, x, y + 6)
+        g.setColor(mutedInk)
+      }
+    }
+  }
+
+  private def legend(
+      g: Graphics2D, entries: Seq[(String, Color)], legendTitle: String): Unit = {
+    g.setFont(base)
+    val fm = g.getFontMetrics
+    val wMax = (legendTitle +: entries.map(_._1))
+      .map(fm.stringWidth).max
+    val boxW = wMax + 50; val rowH = 28
+    val x = left + plotW - boxW - 10; var y = top + 10
+    val boxH = rowH * (entries.length + 1) + 10
+    g.setColor(new Color(255, 255, 255, 230)); g.fillRect(x, y, boxW, boxH)
+    g.setColor(grid); g.drawRect(x, y, boxW, boxH)
+    g.setColor(ink)
+    g.drawString(legendTitle, x + 10, y + 22); y += rowH
+    entries.foreach { case (name, c) =>
+      g.setColor(c); g.fillRect(x + 10, y + 6, 18, 18)
+      g.setColor(new Color(0, 0, 0, 90)); g.drawRect(x + 10, y + 6, 18, 18)
+      g.setColor(ink); g.drawString(name, x + 38, y + 22)
+      y += rowH
+    }
+  }
+}

@@ -42,7 +42,8 @@ object Pipeline {
       tableName: String = "agg_trades_weekly",
       jdbcUrl: Option[String] = None,
       addTimestamp: Boolean = false,
-      reportFormat: String = "csv"): EtlResult = {
+      reportFormat: String = "csv",
+      charts: Boolean = false): EtlResult = {
     require(reportFormat == "csv" || reportFormat == "xlsx",
       s"reportFormat must be csv or xlsx, got $reportFormat")
 
@@ -88,6 +89,10 @@ object Pipeline {
         .write.mode(SaveMode.Overwrite)
         .option("header", "true")
         .csv(s"$outDir/${prefix}top_clients")
+
+    // S4: the reference's two report charts (reference filenames), off by
+    // default like the CSV/xlsx choice — presentation artifacts are opt-in
+    if (charts) Charts.writeAll(agg, outDir)
 
     EtlResult(agg, report)
   }

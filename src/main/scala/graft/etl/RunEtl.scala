@@ -7,7 +7,7 @@ package graft.etl
   *
   * Usage: runMain graft.etl.RunEtl <input.csv> <outDir>
   *          [--no-pnl] [--add-timestamp] [--table-name=NAME] [--jdbc-url=URL]
-  *          [--xlsx]
+  *          [--xlsx] [--charts]
   */
 object RunEtl {
   def main(args: Array[String]): Unit = {
@@ -27,7 +27,8 @@ object RunEtl {
       tableName = opt("table-name").getOrElse("agg_trades_weekly"),
       jdbcUrl = opt("jdbc-url"),
       addTimestamp = flags.contains("--add-timestamp"),
-      reportFormat = if (flags.contains("--xlsx")) "xlsx" else "csv")
+      reportFormat = if (flags.contains("--xlsx")) "xlsx" else "csv",
+      charts = flags.contains("--charts"))
     println(s"agg rows: ${result.agg.count()}")
     result.agg.orderBy(Transform.groupKeys.map(org.apache.spark.sql.functions.col): _*).show(5)
     println(s"report rows: ${result.report.count()}")
