@@ -57,9 +57,11 @@ object Charts {
       .orderBy("week_start_date", "client_type")
 
   def writeWeeklyTradeVolume(agg: DataFrame, path: String): Unit = {
-    val rows = weeklyVolumeFrame(agg).collect()
+    // take(cap+1), not collect(): the driver never materializes more than
+    // cap+1 rows even when handed an un-aggregated corpus by mistake
+    val rows = weeklyVolumeFrame(agg).take(maxPoints + 1)
     require(rows.length <= maxPoints,
-      s"chart-scale sink: ${rows.length} weekly points > $maxPoints")
+      s"chart-scale sink: > $maxPoints weekly points")
     val labels = rows.map(_.get(0).toString)
     val values = rows.map(_.getDouble(1))
     renderPng(path) { g =>
@@ -82,9 +84,9 @@ object Charts {
   def writeWeeklyTradeCountByClientType(
       agg: DataFrame, path: String,
       colorMap: Map[String, String] = referenceColors): Unit = {
-    val rows = weeklyCountByTypeFrame(agg).collect()
+    val rows = weeklyCountByTypeFrame(agg).take(maxPoints + 1)
     require(rows.length <= maxPoints,
-      s"chart-scale sink: ${rows.length} (week, type) points > $maxPoints")
+      s"chart-scale sink: > $maxPoints (week, type) points")
     val weeks = rows.map(_.get(0).toString).distinct.sorted
     val types = rows.map(_.getString(1)).distinct.sorted // pandas unstack order
     val count = rows.map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap

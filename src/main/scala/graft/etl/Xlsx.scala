@@ -25,12 +25,13 @@ object Xlsx {
   val maxRows = 100000
 
   def write(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit = {
-    val n = df.count()
-    require(n <= maxRows,
-      s"Xlsx.write is a report-scale sink (driver-side collect): $n rows > " +
-        s"$maxRows. Use the distributed parquet/CSV/JSONL sinks for large tables.")
+    // take(cap+1), not count()+collect(): one job, and the driver never
+    // materializes more than cap+1 rows even for an over-cap input
+    val rows = df.take(maxRows + 1)
+    require(rows.length <= maxRows,
+      s"Xlsx.write is a report-scale sink (driver-side collect): > " +
+        s"$maxRows rows. Use the distributed parquet/CSV/JSONL sinks for large tables.")
     val schema = df.schema
-    val rows = df.collect()
 
     def esc(s: String): String = s
       .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
