@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // embedded Derby (DerbyJdbcSinkSpec) reads this once at engine boot;
+  // without it derby.log lands in the repo working directory
+  "-Dderby.system.home=target",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -1,0 +1,26 @@
+package graft.etl
+
+import java.io.File
+
+/** The one copy of the crash-safe local-file publish discipline shared by
+  * every driver-side sink ([[Xlsx]], [[Charts]], [[TradesGen]]): create the
+  * parent directories, write the payload to `<path>.tmp`, then atomically
+  * rename over the published path — an interrupted write never leaves a
+  * truncated artifact where a reader could pick it up.
+  */
+object AtomicFiles {
+
+  /** Run `body` against the temp file, then publish it at `path`. The temp
+    * file is removed on failure so a crashed write leaves nothing behind.
+    */
+  def write(path: String)(body: File => Unit): Unit = {
+    val f = new File(path)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    val tmp = new File(path + ".tmp")
+    try body(tmp)
+    catch { case e: Throwable => tmp.delete(); throw e }
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+}

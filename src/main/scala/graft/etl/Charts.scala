@@ -62,8 +62,8 @@ object Charts {
     val rows = weeklyVolumeFrame(agg).take(maxPoints + 1)
     require(rows.length <= maxPoints,
       s"chart-scale sink: > $maxPoints weekly points")
-    val labels = rows.map(_.get(0).toString)
-    val values = rows.map(_.getDouble(1))
+    val labels = rows.map(r => if (r.get(0) == null) "null" else r.get(0).toString)
+    val values = rows.map(r => if (r.isNullAt(1)) 0.0 else r.getDouble(1))
     renderPng(path) { g =>
       frame(g, "Weekly Trade Volume", "week_start_date", "total_volume")
       val yMax = niceMax(values.maxOption.getOrElse(0.0))
@@ -87,9 +87,14 @@ object Charts {
     val rows = weeklyCountByTypeFrame(agg).take(maxPoints + 1)
     require(rows.length <= maxPoints,
       s"chart-scale sink: > $maxPoints (week, type) points")
-    val weeks = rows.map(_.get(0).toString).distinct.sorted
-    val types = rows.map(_.getString(1)).distinct.sorted // pandas unstack order
-    val count = rows.map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    // null-safe labels: a null week/type from an un-cleaned aggregate
+    // renders as a labeled series in the fallback color (the reference's
+    // color_map.get(c, "#333333") behavior), never an NPE
+    def lbl(v: Any): String = if (v == null) "null" else v.toString
+    val weeks = rows.map(r => lbl(r.get(0))).distinct.sorted
+    val types = rows.map(r => lbl(r.get(1))).distinct.sorted // pandas unstack order
+    val count = rows.map(r =>
+      (lbl(r.get(0)), lbl(r.get(1))) -> (if (r.isNullAt(2)) 0L else r.getLong(2))).toMap
     renderPng(path) { g =>
       frame(g, "Weekly Trade Count by Client Type", "week_start_date", "trade_count")
       val totals = weeks.map(w => types.map(t => count.getOrElse((w, t), 0L)).sum.toDouble)
@@ -162,13 +167,7 @@ object Charts {
       g.setColor(Color.WHITE); g.fillRect(0, 0, W, H)
       draw(g)
     } finally g.dispose()
-    val f = new java.io.File(path)
-    Option(f.getParentFile).foreach(_.mkdirs())
-    val tmp = new java.io.File(path + ".tmp")
-    javax.imageio.ImageIO.write(img, "png", tmp)
-    java.nio.file.Files.move(tmp.toPath, f.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    AtomicFiles.write(path)(tmp => javax.imageio.ImageIO.write(img, "png", tmp))
   }
 
   private def frame(g: Graphics2D, title: String, xl: String, yl: String): Unit = {

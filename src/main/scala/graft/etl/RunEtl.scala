@@ -13,7 +13,7 @@ object RunEtl {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: RunEtl <input.csv> <outDir> [--no-pnl] [--add-timestamp] " +
-        "[--table-name=NAME] [--jdbc-url=URL] [--xlsx]")
+        "[--table-name=NAME] [--jdbc-url=URL] [--xlsx] [--charts]")
     val Array(inputCsv, outDir) = args.take(2)
     val flags = args.drop(2)
     def opt(name: String): Option[String] =

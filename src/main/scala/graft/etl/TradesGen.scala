@@ -40,10 +40,8 @@ object TradesGen {
     * leaves a truncated file at the final path (which [[ensure]] would
     * then trust forever).
     */
-  def generate(path: String, rows: Int, seed: Long = 42L): Unit = {
-    val f = new File(path)
-    Option(f.getParentFile).foreach(_.mkdirs())
-    val tmp = new File(path + ".tmp")
+  def generate(path: String, rows: Int, seed: Long = 42L): Unit =
+    AtomicFiles.write(path) { tmp =>
     val rnd = new java.util.Random(seed)
     val out = new BufferedWriter(new FileWriter(tmp), 1 << 20)
     try {
@@ -70,9 +68,6 @@ object TradesGen {
         i += 1
       }
     } finally out.close()
-    java.nio.file.Files.move(tmp.toPath, f.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Generate only if absent (the file is derived, gitignored state). */

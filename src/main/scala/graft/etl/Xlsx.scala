@@ -33,9 +33,46 @@ object Xlsx {
         s"$maxRows rows. Use the distributed parquet/CSV/JSONL sinks for large tables.")
     val schema = df.schema
 
-    def esc(s: String): String = s
-      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-      .replace("\"", "&quot;").replace("'", "&apos;")
+    // Entity-escape, then encode characters XML 1.0 forbids OUTRIGHT
+    // (#x00-#x08, #x0B, #x0C, #x0E-#x1F, lone surrogates, #xFFFE/#xFFFF —
+    // illegal even as &#N; references) with the OOXML `_xHHHH_` cell
+    // convention; a literal `_xHHHH_` in the data gets its underscore
+    // escaped as `_x005F_` first so round-tripping is unambiguous. Without
+    // this, one stray control byte in a string cell makes the whole
+    // workbook unreadable in Excel/openpyxl/LibreOffice.
+    val xEscLookalike = "_x[0-9A-Fa-f]{4}_".r
+    // a surrogate is legal only inside a well-formed high+low pair (it
+    // encodes a supplementary character); lone halves are illegal
+    def encodeIllegal(s: String): String = {
+      def bad(c: Char) =
+        (c < 0x20 && c != '\t' && c != '\n' && c != '\r') ||
+          c == 0xFFFE.toChar || c == 0xFFFF.toChar
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+            Character.isLowSurrogate(s.charAt(i + 1))) {
+          sb.append(c).append(s.charAt(i + 1)); i += 2
+        } else if (bad(c) || Character.isSurrogate(c)) {
+          sb.append(f"_x${c.toInt}%04X_"); i += 1
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    def esc(s: String): String = {
+      val entified = s
+        .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace("\"", "&quot;").replace("'", "&apos;")
+        // CR as a character REFERENCE: a literal CR is legal XML but
+        // parsers line-end-normalize it to LF, so it would not round-trip
+        .replace("\r", "&#xD;")
+      val guarded =
+        if (entified.contains("_x"))
+          xEscLookalike.replaceAllIn(entified, m => "_x005F" + m.matched)
+        else entified
+      encodeIllegal(guarded)
+    }
 
     // 0-based column index -> A1-style column letters (A..Z, AA..)
     def colLetters(i: Int): String = {
@@ -107,27 +144,21 @@ object Xlsx {
         """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
         """</Relationships>"""
 
-    val f = new java.io.File(path)
-    Option(f.getParentFile).foreach(_.mkdirs())
-    // temp + atomic rename: an interrupted write never leaves a truncated
-    // zip at the published path (same discipline as TradesGen/TableSwap)
-    val tmp = new java.io.File(path + ".tmp")
-    val zos = new ZipOutputStream(new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(tmp)))
-    try {
-      def part(name: String, content: String): Unit = {
-        zos.putNextEntry(new ZipEntry(name))
-        zos.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        zos.closeEntry()
-      }
-      part("[Content_Types].xml", contentTypes)
-      part("_rels/.rels", pkgRels)
-      part("xl/workbook.xml", workbook)
-      part("xl/_rels/workbook.xml.rels", wbRels)
-      part("xl/worksheets/sheet1.xml", sheetXml)
-    } finally zos.close()
-    java.nio.file.Files.move(tmp.toPath, f.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    AtomicFiles.write(path) { tmp =>
+      val zos = new ZipOutputStream(new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(tmp)))
+      try {
+        def part(name: String, content: String): Unit = {
+          zos.putNextEntry(new ZipEntry(name))
+          zos.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          zos.closeEntry()
+        }
+        part("[Content_Types].xml", contentTypes)
+        part("_rels/.rels", pkgRels)
+        part("xl/workbook.xml", workbook)
+        part("xl/_rels/workbook.xml.rels", wbRels)
+        part("xl/worksheets/sheet1.xml", sheetXml)
+      } finally zos.close()
+    }
   }
 }

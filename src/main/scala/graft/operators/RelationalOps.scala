@@ -249,16 +249,27 @@ object RelationalOps {
     * the window partitioning. Emits the earliest QUALIFYING timestamp per
     * step (NULL from the first unreached step onward).
     */
+  /** Duration → whole microseconds. Micros, not `toMillis*1000`, so
+    * sub-millisecond components survive (they must agree with the
+    * micros-precision qualifying predicates and their oracle replays);
+    * SATURATING at `Long.MaxValue` rather than `toNanos`'s
+    * ArithmeticException, so an effectively-unbounded window (≥ ~292 years,
+    * where nanos overflow Long) degrades to "no horizon" instead of
+    * killing the query.
+    */
+  private[graft] def durationUsSaturating(d: java.time.Duration): Long =
+    try Math.addExact(Math.multiplyExact(d.getSeconds, 1000000L),
+      d.getNano / 1000L)
+    catch { case _: ArithmeticException =>
+      if (d.isNegative) Long.MinValue else Long.MaxValue }
+
   def funnelStagesWindowed(events: DataFrame, keyCol: String, ts: Column,
       tieBreaker: Column, typeCol: String, steps: Seq[String],
       window: java.time.Duration): DataFrame = {
     require(steps.nonEmpty, "funnelStagesWindowed: steps must be non-empty")
     require(steps.distinct.size == steps.size,
       s"funnelStagesWindowed: duplicate step names in $steps")
-    // toNanos/1000, NOT toMillis*1000: the latter silently truncates
-    // sub-millisecond Duration components, which would disagree with the
-    // micros-precision qualifying predicate (and its oracle replay)
-    val horizonUs = window.toNanos / 1000L
+    val horizonUs = durationUsSaturating(window)
     val w = Window.partitionBy(keyCol).orderBy(ts, tieBreaker)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val base = events.filter(col(typeCol).isin(steps.map(s => s: Any): _*))

@@ -693,10 +693,9 @@ object StreamingOps {
       window: java.time.Duration,
       steps: (String, String, String) = ("view", "click", "purchase"),
       idleExpiry: Option[java.time.Duration] = None): Dataset[FunnelUpdate] =
-    // toNanos/1000, not toMillis*1000 — sub-millisecond components must
-    // round-trip (same rule as the batch operator)
+    // same micros + saturation rule as the batch operator
     funnelMachine(events, Vector(steps._1, steps._2, steps._3),
-      window.toNanos / 1000L, idleExpiry)
+      graft.operators.RelationalOps.durationUsSaturating(window), idleExpiry)
 
   // ---- streaming cohort activity ----------------------------------------
 

@@ -70,20 +70,27 @@ class QueriesSmokeSpec extends SparkSpec {
       "q96_funnel_summary" -> Set("Exchange SinglePartition"))
     val hazards = Seq("Exchange SinglePartition", "CartesianProduct",
       "BroadcastNestedLoopJoin")
-    // skip plan-reuse localCheckpoints for the sweep: they truncate the
-    // plan, which would hide every pre-checkpoint hazard from this audit
-    // (advisor round-6 finding) and eagerly execute jobs during an
-    // explain-only pass
-    spark.conf.set("spark.graft.materialize.skip", "true")
-    val violations =
+    // BOTH modes are swept. skip=true replaces plan-reuse localCheckpoints
+    // with identity, so the FULL lineage is visible (advisor round-6
+    // finding: the checkpoint truncates the plan and would hide every
+    // pre-checkpoint hazard). But production runs the NON-skip plan, and a
+    // checkpointed LogicalRDD carries default (huge) size stats, so
+    // Catalyst can pick a different physical join downstream of the
+    // checkpoint than it picks for the full-lineage plan — the production
+    // sweep audits what actually executes there (at the price of the
+    // checkpoints' eager jobs, trivial at sf0.001).
+    def sweep(skipMaterialize: Boolean): Seq[String] = {
+      if (skipMaterialize) spark.conf.set("spark.graft.materialize.skip", "true")
       try SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, fn) =>
           val p = fn(spark, sf).queryExecution
             .explainString(ExplainMode.fromString("simple"))
           hazards.filter(p.contains)
             .filterNot(allowed.getOrElse(name, Set.empty))
-            .map(h => s"$name: $h")
-      } finally spark.conf.unset("spark.graft.materialize.skip")
+            .map(h => s"$name [skip=$skipMaterialize]: $h")
+      } finally if (skipMaterialize) spark.conf.unset("spark.graft.materialize.skip")
+    }
+    val violations = sweep(skipMaterialize = true) ++ sweep(skipMaterialize = false)
     assert(violations.isEmpty, s"unaudited plan hazards:\n${violations.mkString("\n")}")
   }
 }

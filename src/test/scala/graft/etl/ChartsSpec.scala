@@ -66,6 +66,26 @@ class ChartsSpec extends SparkSpec {
     }
   }
 
+  test("null week/type rows render as a fallback-color series, not an NPE") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("week_start_date", StringType),
+      StructField("client_type", StringType),
+      StructField("total_volume", DoubleType),
+      StructField("trade_count", LongType)))
+    val dirty = spark.createDataFrame(
+      java.util.List.of(
+        Row("2023-01-02", "bronze", 10.0, 3L),
+        Row("2023-01-02", null, 5.0, 2L), // un-cleaned aggregate row
+        Row(null, "gold", 2.0, 1L)),
+      schema)
+    val dir = Files.createTempDirectory("graft-charts-null").toString
+    // the reference's color_map.get(c, "#333333") behavior: render, don't crash
+    val paths = Charts.writeAll(dirty, dir)
+    paths.foreach(p => assert(ImageIO.read(new java.io.File(p)).getWidth === 1500))
+  }
+
   test("rendering is deterministic (same bytes twice)") {
     val dir = Files.createTempDirectory("graft-charts-det").toString
     Charts.writeWeeklyTradeVolume(agg, s"$dir/a.png")

@@ -18,8 +18,10 @@ class DerbyJdbcSinkSpec extends SparkSpec {
 
   test("jdbcUrl appends the aggregate to an embedded Derby database") {
     val out = Files.createTempDirectory("graft-derby").toString
-    // keep derby.log out of the repo working directory
-    System.setProperty("derby.system.home", out)
+    // derby.system.home (keeps derby.log out of the repo working dir) is
+    // set in build.sbt's test javaOptions: it is read ONCE at Derby engine
+    // boot, so setting it here would be a no-op if anything else in this
+    // JVM booted Derby first, and a global-state leak otherwise
     val db  = s"$out/aggdb"
     val url = s"jdbc:derby:$db;create=true"
 

@@ -98,6 +98,28 @@ class XlsxSpec extends SparkSpec {
     assert(rows(1) === Seq(None, Some("NaN"), None, Some("0")))
   }
 
+  test("XML-illegal control characters are _xHHHH_-encoded, not emitted raw") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("s", StringType)))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row("a\u0001b\u0008c"), // forbidden even as &#N; in XML 1.0
+        Row("keep\ttabs\nand\rCRs"),    // the three LEGAL control chars pass
+        Row("_x0041_literal"),          // lookalike: underscore escaped
+        Row("emoji 😀 ok")),  // valid surrogate PAIR is legal XML
+      schema)
+    val path = Files.createTempDirectory("graft-xlsx-ctl").toString + "/c.xlsx"
+    Xlsx.write(df, path)
+    // the DOM parser accepting the sheet at all is the point of the fix —
+    // a raw \u0001 byte makes the whole workbook unparseable
+    val (_, rows) = readSheet(path)
+    assert(rows(0) === Seq(Some("a_x0001_b_x0008_c")))
+    assert(rows(1) === Seq(Some("keep\ttabs\nand\rCRs")))
+    assert(rows(2) === Seq(Some("_x005F_x0041_literal")))
+    assert(rows(3) === Seq(Some("emoji 😀 ok")))
+  }
+
   test("cell values match the reference's checked-in top_clients.xlsx") {
     // The reference repo ships its openpyxl-written report artifact, which
     // uses the SAME inlineStr/<v> cell forms this writer emits — so one

@@ -163,6 +163,19 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got("s") === ((4L, 1L, 2L, None, None))) // string: no numeric range
   }
 
+  test("durationUsSaturating: exact micros, saturates instead of overflowing") {
+    import java.time.Duration
+    assert(RelationalOps.durationUsSaturating(Duration.ofMillis(1)) === 1000L)
+    // sub-millisecond components survive (the toMillis*1000 trap)
+    assert(RelationalOps.durationUsSaturating(Duration.ofNanos(1500)) === 1L)
+    // ~292+ years: toNanos would throw ArithmeticException; horizon
+    // saturates to "unbounded" instead
+    assert(RelationalOps.durationUsSaturating(Duration.ofDays(200000)) ===
+      Duration.ofDays(200000).getSeconds * 1000000L)
+    assert(RelationalOps.durationUsSaturating(Duration.ofSeconds(Long.MaxValue / 100)) ===
+      Long.MaxValue)
+  }
+
   test("cohortRetention: matrix of first-event cohorts by week offset") {
     import spark.implicits._
     val wk = 604800L
