@@ -30,6 +30,14 @@ object TextQueries {
   private def ccCheckpointDir(s: SparkSession): Option[String] =
     s.conf.getOption("spark.graft.checkpoint.dir")
 
+  /** THE simhash-of-document definition (64-bit simhash over normalized
+    * whitespace tokens of `text`) — single-sourced like [[sigCols]]/
+    * [[bandsExploded]] so the batch q24/q64 family and the streaming
+    * twins can never diverge on the fingerprint family.
+    */
+  private[graft] def simhashCol: org.apache.spark.sql.Column =
+    TextFingerprints.simhash64(TextOps.tokens(TextOps.normalized(col("text"))))
+
   /** Non-canonical members of every near-dup cluster — THE loser set the
     * dedup apply removes, shared by q58, the q61 export, and
     * [[graft.pipeline.TrainingPipeline]] so their semantics (clustering,
@@ -100,9 +108,7 @@ object TextQueries {
     graft.operators.DedupClustering
       .connectedComponents(
         simhashPairsFrom(docs.select(
-          col("doc_id"),
-          TextFingerprints.simhash64(
-            TextOps.tokens(TextOps.normalized(col("text")))).as("simhash")),
+          col("doc_id"), simhashCol.as("simhash")),
           maxHamming).select("doc_a", "doc_b"),
         maxIters = maxIters, checkpointDir = checkpointDir)
       .filter(col("doc_id") =!= col("cluster_id"))
@@ -1362,9 +1368,7 @@ object TextQueries {
     // hex-digit bit votes — see oracleSql below).
     "q24_simhash" -> ((s, d) => {
       Tables.documents(s, d).select(
-        col("doc_id"),
-        TextFingerprints.simhash64(TextOps.tokens(TextOps.normalized(col("text"))))
-          .as("simhash"))
+        col("doc_id"), simhashCol.as("simhash"))
     }),
 
     // Winnowing fingerprint (SIGMOD'03) via custom expression, oracle-
@@ -1388,9 +1392,7 @@ object TextQueries {
     // bit_count on the signed 64-bit fingerprint exactly.
     "q64_simhash_pairs" -> ((s, d) => {
       simhashPairsFrom(Tables.documents(s, d).select(
-        col("doc_id"),
-        TextFingerprints.simhash64(TextOps.tokens(TextOps.normalized(col("text"))))
-          .as("simhash")))
+        col("doc_id"), simhashCol.as("simhash")))
     }),
 
     // Winnowing fingerprints as a dedup method: MOSS-style shared-

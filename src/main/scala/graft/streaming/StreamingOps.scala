@@ -51,10 +51,14 @@ object StreamingOps {
       fingerprint: Column,
       eventTime: String,
       delay: String = "1 hour"): DataFrame =
+    // reserved "__fp" name + drop: a caller column named "fingerprint" (a
+    // plausible name in content pipelines) must be neither clobbered nor
+    // shadowed, and the synthetic dedup key must not leak into the output
     docs
-      .withColumn("fingerprint", fingerprint)
+      .withColumn("__fp", fingerprint)
       .withWatermark(eventTime, delay)
-      .dropDuplicatesWithinWatermark("fingerprint")
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
 
   /** Stream-stream interval join (click attribution): purchases join the
     * clicks of the same user within the preceding `window`. Watermarks on
@@ -146,17 +150,22 @@ object StreamingOps {
     * (parity spec-asserted), including within-batch duplicates being
     * admitted: admission compares against the BASE, not the stream.
     *
-    * The static tables are built once per stream start; in production they
-    * are the incrementally-maintained fingerprint/bucket tables, refreshed
-    * by restarting the query (or a `foreachBatch` re-read) on the
-    * admission cadence.
+    * The static tables are PERSISTED at stream start: a stream-static
+    * join re-evaluates the static subplan on EVERY micro-batch, so
+    * without the persist each trigger would pay a full base-corpus scan
+    * plus the signature/banding shuffle. The cache lives as long as the
+    * session (these are the per-stream index tables); in production they
+    * are the incrementally-maintained fingerprint/bucket tables,
+    * refreshed by restarting the query (or a `foreachBatch` re-read) on
+    * the admission cadence.
     */
   def admissionDedupStream(docs: DataFrame, base: DataFrame): DataFrame = {
     import graft.queries.TextQueries
     val baseFps = base
       .select(graft.functions.TextOps.fingerprintMd5(col("text")).as("__fp"))
       .distinct().withColumn("__fphit", lit(1))
-    val kept = TextQueries.keptBaseBuckets(base)
+      .persist()
+    val kept = TextQueries.keptBaseBuckets(base).persist()
     val b0 = kept.filter(col("band") === 0)
       .select(col("key").as("__k0"), lit(1).as("__hit0"))
     val b1 = kept.filter(col("band") === 1)
@@ -221,7 +230,9 @@ object StreamingOps {
       else graft.queries.TextQueries.mixtureSample(
         kept, sampleRates, langCol = "lang_pred").drop("sample_key")
     val joined = sampled.join(
-      graft.queries.VectorQueries.codesCsvByDocId(staticEmb),
+      // persisted: quantization is narrow but corpus-sized — a per-trigger
+      // recompute of the whole static embedding table is pure waste
+      graft.queries.VectorQueries.codesCsvByDocId(staticEmb).persist(),
       Seq("doc_id")) // stream-static equi-join, no state
     if (!shardAssign) joined
     else joined
@@ -293,9 +304,7 @@ object StreamingOps {
       eventTime: String = "event_time",
       delay: String = "1 hour",
       maxBucket: Int = 1000): Dataset[NeardupCandidate] = {
-    val sh = graft.functions.TextFingerprints.simhash64(
-      graft.functions.TextOps.tokens(
-        graft.functions.TextOps.normalized(col("text"))))
+    val sh = graft.queries.TextQueries.simhashCol
     candidatesFromBanded(
       docs
         .withColumn("__sh", sh)
@@ -316,12 +325,7 @@ object StreamingOps {
       docs: DataFrame,
       eventTime: String = "event_time",
       delay: String = "1 hour"): DataFrame =
-    dedupStream(
-      docs,
-      graft.functions.TextFingerprints.simhash64(
-        graft.functions.TextOps.tokens(
-          graft.functions.TextOps.normalized(col("text")))),
-      eventTime, delay)
+    dedupStream(docs, graft.queries.TextQueries.simhashCol, eventTime, delay)
 
   /** Streaming twin of the q72 duplicated-passage detector: each arriving
     * document's DISTINCT word 10-gram hashes probe bucket state keyed by
@@ -381,8 +385,12 @@ object StreamingOps {
       eventTime: String = "event_time", delay: String = "1 hour"): DataFrame = {
     import graft.functions.TextOps
     val n = graft.queries.TextQueries.decontamGramN
+    // persisted: the stream-static join re-evaluates (and re-broadcasts)
+    // the static side per micro-batch — the gram explode over the eval
+    // set must not be recomputed on every trigger
     val evalGrams = graft.queries.TextQueries.docGrams(evalDocs, n)
       .select(col("doc_id").as("eval_id"), col("gram"))
+      .persist()
     docs
       .withColumn("__toks", TextOps.tokens(TextOps.normalized(col("text"))))
       .withColumn("gram",
@@ -417,10 +425,9 @@ object StreamingOps {
       var docsInBucket = state.getOption.map(_.docs).getOrElse(Nil)
       val out = Seq.newBuilder[NeardupCandidate]
 
-      def prune(): Unit = {
-        val cutoffUs = (state.getCurrentWatermarkMs() - horizonMs) * 1000L
+      val cutoffUs = (state.getCurrentWatermarkMs() - horizonMs) * 1000L
+      def prune(): Unit =
         docsInBucket = docsInBucket.filter(_._2 >= cutoffUs)
-      }
 
       if (sorted.isEmpty) prune() // event-time timeout fired
       else {
@@ -428,8 +435,13 @@ object StreamingOps {
         sorted.foreach { d =>
           // at-least-once sources re-deliver: a doc_id already in state is
           // skipped entirely — re-inserting would re-emit its pairs AND
-          // burn a hot-bucket cap slot a distinct document needs
-          if (docsInBucket.size < maxBucket &&
+          // burn a hot-bucket cap slot a distinct document needs. The
+          // cutoff guard applies the same rule to a doc re-delivered
+          // AFTER its horizon expired (prune already dropped it, so the
+          // in-state check alone can't catch it): inserting it would
+          // re-emit beyond-horizon pairs and burn a cap slot until the
+          // next prune.
+          if (d.event_us >= cutoffUs && docsInBucket.size < maxBucket &&
               !docsInBucket.exists(_._1 == d.doc_id)) {
             docsInBucket.foreach { case (otherId, _) =>
               out += NeardupCandidate(
@@ -467,7 +479,12 @@ object StreamingOps {
 
   case class SessionEvent(user_id: Long, ts_micros: Long)
 
-  case class SessionState(start: Long, last: Long, events: Int)
+  /** Per-user sessionize state: the open session (`start = -1` ⇒ none)
+    * plus the not-yet-committed buffer of event timestamps at/above the
+    * watermark (the funnelMachine discipline).
+    */
+  case class SessionState(
+      start: Long, last: Long, events: Int, buffer: List[Long])
 
   case class SessionOut(
       user_id: Long,
@@ -476,56 +493,77 @@ object StreamingOps {
       n_events: Int)
 
   /** Gap-based sessionization over an unbounded stream: per-user state
-    * carries the open session; an event past the gap (or an event-time
-    * timeout once the watermark passes start+gap) closes it. Emits one row
-    * per CLOSED session — the streaming counterpart of
+    * carries the open session; an event past the gap (or the watermark
+    * passing last+gap) closes it. Emits one row per CLOSED session — the
+    * streaming counterpart of
     * [[graft.operators.RelationalOps.sessionize]].
+    *
+    * Same watermark/buffer contract as [[funnelMachine]]: the gap fold is
+    * order-sensitive, so events at/above the watermark wait in a per-user
+    * BUFFER and only fold into the open session (in timestamp order —
+    * exactly the batch fold) once the watermark passes them and nothing
+    * earlier can still arrive; rows behind the watermark are dropped (a
+    * late straggler must not re-open a closed session —
+    * `flatMapGroupsWithState` does not drop them for us). The closed-
+    * session set therefore equals batch [[graft.operators.RelationalOps
+    * .sessionize]] over the in-watermark events, for ANY arrival order.
+    * A session closes as soon as the watermark passes last+gap: every
+    * event that could still arrive (and everything buffered) is ≥ the
+    * watermark > last+gap, i.e. past the gap by construction.
     */
   def sessionize(
       events: Dataset[SessionEvent],
-      gapMicros: Long): Dataset[SessionOut] = {
+      gapMicros: Long,
+      delay: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
 
     def fn(
         userId: Long,
         rows: Iterator[SessionEvent],
         state: GroupState[SessionState]): Iterator[SessionOut] = {
-      val sorted = rows.toSeq.sortBy(_.ts_micros)
-      var cur    = state.getOption
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val prev = state.getOption.getOrElse(SessionState(-1L, -1L, 0, Nil))
       val closed = Seq.newBuilder[SessionOut]
 
-      if (sorted.isEmpty) {
-        // event-time timeout: watermark passed last+gap → close the session
-        cur.foreach(st => closed += SessionOut(userId, st.start, st.last, st.events))
-        state.remove()
-      } else {
-        sorted.foreach { e =>
-          cur match {
-            case Some(st) if e.ts_micros - st.last <= gapMicros =>
-              cur = Some(st.copy(last = e.ts_micros, events = st.events + 1))
-            case Some(st) =>
-              closed += SessionOut(userId, st.start, st.last, st.events)
-              cur = Some(SessionState(e.ts_micros, e.ts_micros, 1))
-            case None =>
-              cur = Some(SessionState(e.ts_micros, e.ts_micros, 1))
-          }
+      // merge buffer + fresh in-watermark rows; commit what the watermark
+      // has passed, in ts order — the batch fold over a monotone sequence
+      val fresh = rows.map(_.ts_micros).filter(_ >= wmUs).toList
+      val merged = (prev.buffer ++ fresh).sorted
+      val (commit, keep) = merged.partition(_ < wmUs)
+      var (start, last, n) = (prev.start, prev.last, prev.events)
+      commit.foreach { ts =>
+        if (start < 0) { start = ts; last = ts; n = 1 }
+        else if (ts - last <= gapMicros) { last = ts; n += 1 }
+        else {
+          closed += SessionOut(userId, start, last, n)
+          start = ts; last = ts; n = 1
         }
-        cur.foreach { st =>
-          state.update(st)
-          // clamp: late rows (flatMapGroupsWithState does NOT drop them)
-          // could compute a timeout behind the watermark, which Spark
-          // rejects with IllegalArgumentException and kills the query
-          state.setTimeoutTimestamp(math.max(
-            (st.last + gapMicros) / 1000L + 1L,
-            state.getCurrentWatermarkMs() + 1L))
-        }
+      }
+      // the watermark passing last+gap proves no in-gap event can arrive:
+      // buffered and future events are ≥ wm > last+gap
+      if (start >= 0 && wmUs > last + gapMicros) {
+        closed += SessionOut(userId, start, last, n)
+        start = -1L; last = -1L; n = 0
+      }
+
+      if (start < 0 && keep.isEmpty) state.remove()
+      else {
+        state.update(SessionState(start, last, n, keep))
+        // wake when the watermark passes the oldest buffered event or the
+        // open session's gap horizon, whichever first; clamp above the
+        // current watermark (a timeout at/behind it kills the query)
+        val wakeMs = math.min(
+          keep.headOption.map(_ / 1000L + 1L).getOrElse(Long.MaxValue),
+          if (start >= 0) (last + gapMicros) / 1000L + 1L else Long.MaxValue)
+        state.setTimeoutTimestamp(math.max(
+          wakeMs, state.getCurrentWatermarkMs() + 1L))
       }
       closed.result().iterator
     }
 
     events
       .withColumn("event_time", timestamp_micros(col("ts_micros")))
-      .withWatermark("event_time", "10 minutes")
+      .withWatermark("event_time", delay)
       .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
@@ -597,7 +635,8 @@ object StreamingOps {
       events: Dataset[FunnelEvent],
       stepSeq: Vector[String],
       horizonUs: Long,
-      idleExpiry: Option[java.time.Duration]): Dataset[FunnelUpdate] = {
+      idleExpiry: Option[java.time.Duration],
+      delay: String): Dataset[FunnelUpdate] = {
     import events.sparkSession.implicits._
 
     def fold(st: (Vector[Long], Vector[Long]),
@@ -660,7 +699,7 @@ object StreamingOps {
 
     events
       .withColumn("event_time", timestamp_micros(col("ts_micros")))
-      .withWatermark("event_time", "10 minutes")
+      .withWatermark("event_time", delay)
       .as[FunnelEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
@@ -675,9 +714,10 @@ object StreamingOps {
   def funnelStream(
       events: Dataset[FunnelEvent],
       steps: (String, String, String) = ("view", "click", "purchase"),
-      idleExpiry: Option[java.time.Duration] = None): Dataset[FunnelUpdate] =
+      idleExpiry: Option[java.time.Duration] = None,
+      delay: String = "10 minutes"): Dataset[FunnelUpdate] =
     funnelMachine(events, Vector(steps._1, steps._2, steps._3),
-      Long.MaxValue, idleExpiry)
+      Long.MaxValue, idleExpiry, delay)
 
   /** Streaming twin of
     * [[graft.operators.RelationalOps.funnelStagesWindowed]] (q97):
@@ -692,10 +732,12 @@ object StreamingOps {
       events: Dataset[FunnelEvent],
       window: java.time.Duration,
       steps: (String, String, String) = ("view", "click", "purchase"),
-      idleExpiry: Option[java.time.Duration] = None): Dataset[FunnelUpdate] =
+      idleExpiry: Option[java.time.Duration] = None,
+      delay: String = "10 minutes"): Dataset[FunnelUpdate] =
     // same micros + saturation rule as the batch operator
     funnelMachine(events, Vector(steps._1, steps._2, steps._3),
-      graft.operators.RelationalOps.durationUsSaturating(window), idleExpiry)
+      graft.operators.RelationalOps.durationUsSaturating(window), idleExpiry,
+      delay)
 
   // ---- streaming cohort activity ----------------------------------------
 
@@ -724,7 +766,8 @@ object StreamingOps {
     */
   def cohortActivityStream(
       events: Dataset[CohortEvent],
-      periodSeconds: Long): Dataset[CohortActivity] = {
+      periodSeconds: Long,
+      delay: String = "10 minutes"): Dataset[CohortActivity] = {
     import events.sparkSession.implicits._
     val periodUs = periodSeconds * 1000000L
 
@@ -760,7 +803,7 @@ object StreamingOps {
 
     events
       .withColumn("event_time", timestamp_micros(col("ts_micros")))
-      .withWatermark("event_time", "10 minutes")
+      .withWatermark("event_time", delay)
       .as[CohortEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
@@ -814,7 +857,8 @@ object StreamingOps {
   def gapFillStream(
       events: Dataset[GapEvent],
       periodSeconds: Long,
-      maxSilentPeriods: Int = 8): Dataset[GapFillRow] = {
+      maxSilentPeriods: Int = 8,
+      delay: String = "10 minutes"): Dataset[GapFillRow] = {
     import events.sparkSession.implicits._
     val periodUs = periodSeconds * 1000000L
 
@@ -883,7 +927,7 @@ object StreamingOps {
 
     events
       .withColumn("event_time", timestamp_micros(col("ts_micros")))
-      .withWatermark("event_time", "10 minutes")
+      .withWatermark("event_time", delay)
       .as[GapEvent]
       .groupByKey(_.key)
       .flatMapGroupsWithState(

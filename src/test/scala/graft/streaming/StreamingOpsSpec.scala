@@ -678,6 +678,49 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionize: cross-batch out-of-order events fold in ts order; late stragglers drop") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val S = 1000000L // one second in micros
+    val gap = 100L * S
+    val input = MemoryStream[StreamingOps.SessionEvent]
+    val query = StreamingOps.sessionize(input.toDS(), gapMicros = gap)
+      .writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode("append").start()
+    try {
+      // batch 1: t=1000s, t=1090s; batch 2 delivers t=1030s OUT OF ORDER
+      // (well inside the 10-min watermark); batch 3 t=1140s. The pre-fix
+      // fold applied 1030 AFTER 1090, dragging `last` backwards and then
+      // splitting at 1140 (110s from the dragged-back last) — batch
+      // sessionize over {1000,1030,1090,1140} is ONE session (every
+      // ts-order step ≤ 100s).
+      input.addData(StreamingOps.SessionEvent(1L, 1000 * S),
+        StreamingOps.SessionEvent(1L, 1090 * S))
+      query.processAllAvailable()
+      input.addData(StreamingOps.SessionEvent(1L, 1030 * S))
+      query.processAllAvailable()
+      input.addData(StreamingOps.SessionEvent(1L, 1140 * S))
+      query.processAllAvailable()
+      // advance the watermark far past user 1's gap horizon
+      input.addData(StreamingOps.SessionEvent(2L, 3000 * S))
+      query.processAllAvailable()
+      val u1 = spark.table("sessions_ooo").as[StreamingOps.SessionOut]
+        .collect().filter(_.user_id == 1L).toSeq
+      assert(u1 === Seq(StreamingOps.SessionOut(1L, 1000 * S, 1140 * S, 4)))
+
+      // late straggler: watermark is now ~2400s; an event at t=100s is
+      // BEHIND it and must be dropped (not resurrect a session), per the
+      // watermark contract
+      input.addData(StreamingOps.SessionEvent(1L, 100 * S))
+      query.processAllAvailable()
+      input.addData(StreamingOps.SessionEvent(2L, 9000 * S)) // advance wm
+      query.processAllAvailable()
+      val u1After = spark.table("sessions_ooo").as[StreamingOps.SessionOut]
+        .collect().filter(_.user_id == 1L).toSeq
+      assert(u1After === u1) // no session containing the dropped t=100s
+    } finally query.stop()
+  }
+
   test("streaming contamination alerts flag the same docs as batch q68") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
