@@ -105,17 +105,19 @@ object TrainingPipeline {
       case EmbedDedup =>
         val e = emb.getOrElse(throw new IllegalArgumentException(
           "EmbedDedup requires the corpus `embeddings` table"))
+        // cluster only the SURVIVING corpus (`docs` here is the frame
+        // after PII/decontamination/filters): clustering the raw table
+        // could elect an already-removed doc (or one absent from this
+        // corpus slice) as canonical, and the anti-join would then drop
+        // the ENTIRE cluster instead of keeping the clean survivor — the
+        // invariant every text mode gets by operating on the filtered
+        // docs. vec_id = doc_id by the embeddings-table contract.
+        val live = e.join(
+          docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
         Some(VectorQueries.embedLosersOf(
-          e, maxIters = cfg.maxIters, checkpointDir = ccDir(docs, cfg)))
+          live, maxIters = cfg.maxIters, checkpointDir = ccDir(docs, cfg)))
       case NoDedup => None
-      case ExactDedup => Some(
-        docs
-          .select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("__fp"))
-          .withColumn("__canonical",
-            min(col("doc_id")).over(
-              org.apache.spark.sql.expressions.Window.partitionBy("__fp")))
-          .filter(col("doc_id") =!= col("__canonical"))
-          .select("doc_id"))
+      case ExactDedup => Some(TextQueries.exactLosersOf(docs))
       case NeardupDedup if cfg.sourcePriorities.nonEmpty =>
         Some(TextQueries.priorityLosersOf(docs, cfg.sourcePriorities,
           maxIters = cfg.maxIters, checkpointDir = ccDir(docs, cfg)))
@@ -272,14 +274,22 @@ object TrainingPipeline {
       cfg: Config = Config(),
       partitionByLang: Boolean = false,
       shuffledShardFiles: Option[Int] = None,
-      exportFormat: String = "parquet"): DataFrame = {
+      exportFormat: String = "parquet",
+      evalDocs: Option[DataFrame] = None,
+      evalEmbeddings: Option[DataFrame] = None): DataFrame = {
     require(!(partitionByLang && shuffledShardFiles.nonEmpty),
       "partitionByLang and shuffledShardFiles are alternative layouts")
     require(Set("parquet", "jsonl")(exportFormat),
       s"exportFormat must be parquet or jsonl, got $exportFormat")
     require(!(shuffledShardFiles.nonEmpty && exportFormat == "jsonl"),
       "the shuffled-shard layout is parquet-only")
-    val exported = export(docs, embeddings, cfg).cache() // fans out to 2 sinks
+    // same staged pipeline as export — the decontamination stages must be
+    // reachable from the artifact-writing entry point too, or a caller
+    // wanting a decontaminated on-disk corpus has to rebuild the
+    // cache/dual-sink fan-out by hand
+    val exported =
+      export(docs, embeddings, cfg, evalDocs, evalEmbeddings)
+        .cache() // fans out to 2 sinks
     try {
       shuffledShardFiles match {
         // the q86 layout: deterministic shuffle order + shard dirs — what a

@@ -38,6 +38,24 @@ object TextQueries {
   private[graft] def simhashCol: org.apache.spark.sql.Column =
     TextFingerprints.simhash64(TextOps.tokens(TextOps.normalized(col("text"))))
 
+  /** Exact-dedup losers: every doc whose md5-of-normalized-text
+    * fingerprint has a smaller doc_id — the same canonical election the
+    * q20 registry entry aggregates (groupBy fingerprint → min doc_id;
+    * the oracle replays that form), factored like the *LosersOf siblings
+    * so [[graft.pipeline.TrainingPipeline]]'s ExactDedup mode and q20
+    * cannot diverge. One shuffle on the fingerprint; no window.
+    */
+  private[graft] def exactLosersOf(docs: DataFrame): DataFrame = {
+    val keyed = docs
+      .select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("__fp"))
+    keyed
+      .join(
+        keyed.groupBy("__fp").agg(min(col("doc_id")).as("__canonical")),
+        Seq("__fp"))
+      .filter(col("doc_id") =!= col("__canonical"))
+      .select("doc_id")
+  }
+
   /** Non-canonical members of every near-dup cluster — THE loser set the
     * dedup apply removes, shared by q58, the q61 export, and
     * [[graft.pipeline.TrainingPipeline]] so their semantics (clustering,
@@ -247,7 +265,14 @@ object TextQueries {
     * keeps exactly the fraction r of the uniform md5 space.
     */
   private[graft] def sampleThresholdHex(rate: Double): String =
-    f"${math.floor(rate * 4294967296.0).toLong}%08x"
+    // rate ≥ 1 must compare GREATER than every 8-hex key, but
+    // floor(1.0·2^32) formats as the 9-char "100000000" and lexicographic
+    // compare against 8-char keys is char-by-char ('f' > '1'), which sends
+    // 15/16 of the key space the WRONG way. "g" sorts after every hex
+    // string, i.e. "keep everything" — the boundary splitAssignOf hits
+    // when trainFrac (or trainFrac+valFrac) reaches 1.0.
+    if (rate >= 1.0) "g"
+    else f"${math.floor(math.max(rate, 0.0) * 4294967296.0).toLong}%08x"
 
   /** Deterministic per-language Bernoulli sampler: keep a doc iff its
     * salted md5 key falls under its language's threshold. Pure narrow

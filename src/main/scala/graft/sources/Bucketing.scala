@@ -15,7 +15,14 @@ object Bucketing {
   def writeBucketed(
       df: DataFrame, table: String, key: String,
       buckets: Int, sortBy: Option[String] = None): Unit = {
-    val w = df.write
+    // repartition on the bucket key FIRST — this is the "one shuffle at
+    // ingest". Without it Spark's bucketed writer splits EVERY input task
+    // by bucket id: T scan tasks × B buckets files (most tiny), each
+    // bucket's rows scattered across T files — small-file pressure at
+    // write AND a T-files-per-bucket open cost on every exchange-free
+    // read. After the repartition each bucket is one task → one file.
+    import org.apache.spark.sql.functions.col
+    val w = df.repartition(buckets, col(key)).write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, key)

@@ -52,8 +52,12 @@ object JsonlIO {
   }
 
   /** (clean rows without the corrupt column, quarantined raw lines as
-    * `line`). Two filters over one text scan; the clean branch prunes the
-    * corrupt column after its filter.
+    * `line`). The two frames share ONE parsed plan, but each ACTION on
+    * them is its own job — consuming both re-scans and re-parses the
+    * input unless the caller persists: for the write-clean-then-inspect-
+    * quarantine pattern, `val raw = read(...).persist()` (or aggregate
+    * the corrupt count in the same pass as the clean write) avoids paying
+    * the Jackson parse twice at corpus scale.
     */
   def readSplit(spark: SparkSession, path: String,
       schema: StructType): (DataFrame, DataFrame) = {

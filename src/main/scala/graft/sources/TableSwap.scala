@@ -5,12 +5,24 @@ import org.apache.spark.sql.SparkSession
 
 /** Crash-safe replace of a parquet table directory: write the new contents
   * to `path__staging`, retire the current table to `path__old` (rename, NOT
-  * delete — every crash window leaves a complete copy under either the
-  * table path or __old), move staging into place, drop __old. Every
-  * rename/delete result is checked (Hadoop FileSystem reports failure by
-  * returning false, not throwing); an ignored false would silently corrupt
-  * the table. A real deployment would use a MERGE-capable table format
+  * delete), move staging into place, drop __old. Every rename/delete
+  * result is checked (Hadoop FileSystem reports failure by returning
+  * false, not throwing); an ignored false would silently corrupt the
+  * table. A real deployment would use a MERGE-capable table format
   * (Delta/Iceberg) instead — this is that transaction for plain parquet.
+  *
+  * On HDFS a directory rename is atomic, so every crash window leaves a
+  * complete copy under exactly one of table/__old/__staging. On OBJECT
+  * STORES a "rename" is per-file copy+delete, so a crash can leave the
+  * only copy SPLIT across two directories — and because `_SUCCESS` sorts
+  * before `part-*`, the moved-marker-first order makes any
+  * completeness-by-marker heuristic actively dangerous (round-7 review
+  * finding: recovery classified a partial __old as complete and deleted
+  * the unmoved part files). The swap therefore journals its phase in a
+  * single `path__swapstate` file (object PUT/DELETE are atomic even on
+  * S3) around each non-atomic directory move, and recovery first FINISHES
+  * the interrupted move file-by-file (file moves converge: every file is
+  * in exactly one of the two directories) before deciding what to keep.
   *
   * Shared by the streaming keyed-upsert sink and the compaction utility so
   * the swap + recovery protocol exists in exactly one place.
@@ -26,6 +38,7 @@ object TableSwap {
     val fs      = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(path + "__staging")
     val retired = new Path(path + "__old")
+    val journal = new Path(path + "__swapstate")
 
     def mustRename(from: Path, to: Path): Unit =
       require(fs.rename(from, to), s"TableSwap: rename failed: $from -> $to")
@@ -33,32 +46,76 @@ object TableSwap {
     // __old could be mistaken for crash state by a LATER recovery pass.
     def mustDelete(p: Path): Unit =
       require(fs.delete(p, true) || !fs.exists(p), s"TableSwap: delete failed: $p")
-    // A completely-written table carries the committer's _SUCCESS marker; a
-    // dir without it is a partial copy (e.g. a crashed copy+delete "rename"
-    // on object stores, where rename is not atomic). If the cluster
-    // disables marksuccessfuljobs, NEITHER dir has the marker and recovery
-    // falls through to the drop-__old branch — never to a rollback of a
-    // live table.
-    def isComplete(p: Path): Boolean = fs.exists(new Path(p, "_SUCCESS"))
 
-    // Crash recovery BEFORE the caller reads the table: if it is gone but
-    // __old survives, the crash hit between the two renames — restore
-    // __old. If both exist, discard the TABLE only when it is partial
-    // (_SUCCESS absent) AND __old is complete; requiring isComplete(__old)
-    // prevents restoring a partial __old over a usable table.
-    if (!fs.exists(hPath) && fs.exists(retired)) mustRename(retired, hPath)
-    else if (fs.exists(retired) && fs.exists(hPath) &&
-        !isComplete(hPath) && isComplete(retired)) {
-      mustDelete(hPath)
-      mustRename(retired, hPath)
-    } else if (fs.exists(retired)) mustDelete(retired)
+    def writeJournal(phase: String): Unit = {
+      val out = fs.create(journal, true)
+      try out.write(phase.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    def readJournal(): Option[String] =
+      if (!fs.exists(journal)) None
+      else {
+        val len = fs.getFileStatus(journal).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(journal)
+        try in.readFully(0, buf) finally in.close()
+        Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+      }
+
+    /** Finish an interrupted directory move: after a mid-rename crash each
+      * file lives in exactly one of (src, dst), so moving the remainder
+      * file-by-file converges to the state the whole-dir rename promised.
+      */
+    def moveAll(src: Path, dst: Path): Unit =
+      if (fs.exists(src)) {
+        if (!fs.exists(dst)) mustRename(src, dst)
+        else {
+          fs.listStatus(src).foreach(st =>
+            mustRename(st.getPath, new Path(dst, st.getPath.getName)))
+          mustDelete(src)
+        }
+      }
+
+    // ---- crash recovery (runs before the caller reads the table) ----
+    readJournal() match {
+      case Some("retire") =>
+        // crashed while retiring table → __old: the OLD table may be
+        // split across both dirs — converge it back under the table path
+        // (one pass: every file is in exactly one of the two) and discard
+        // staging (this call's write() redoes it).
+        moveAll(retired, hPath)
+        mustDelete(staging)
+        mustDelete(journal)
+      case Some("promote") =>
+        // crashed while promoting __staging → table: the NEW table may be
+        // split across both dirs (the old one is complete under __old,
+        // but the new write had fully committed — roll forward).
+        moveAll(staging, hPath)
+        mustDelete(retired)
+        mustDelete(journal)
+      case Some(other) =>
+        throw new IllegalStateException(
+          s"TableSwap: unrecognized swap journal state '$other' at $journal")
+      case None =>
+        // no journal: either a clean state, or a crash from the pre-journal
+        // protocol / outside the journaled windows. A whole-dir rename
+        // that never started leaves complete dirs, so the simple rules
+        // hold: missing table + surviving __old = crash between renames
+        // (restore); both present = the swap completed far enough that the
+        // table is live (drop the leftover __old).
+        if (!fs.exists(hPath) && fs.exists(retired)) mustRename(retired, hPath)
+        else if (fs.exists(retired)) mustDelete(retired)
+    }
     mustDelete(staging)
 
     write(staging.toString) // executes fully (reading `path`) pre-swap
 
     if (fs.exists(hPath)) {
+      writeJournal("retire")
       mustRename(hPath, retired)
+      writeJournal("promote")
       mustRename(staging, hPath)
+      mustDelete(journal)
       mustDelete(retired)
     } else {
       mustRename(staging, hPath)

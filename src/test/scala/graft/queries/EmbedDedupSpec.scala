@@ -55,6 +55,31 @@ class EmbedDedupSpec extends SparkSpec {
     assert(got === baseline.diff(losers))
   }
 
+  test("EmbedDedup clusters the SURVIVING corpus: removing a canonical upstream keeps its mate") {
+    val docs = Tables.documents(spark, sf)
+    val emb  = Tables.embeddings(spark, sf)
+    val pairs = VectorQueries.embedNeardupPairs(emb)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val degree = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // a mate whose ONLY near-dup partner is its canonical: if the
+    // canonical is removed upstream (decontam/PII/filters), the mate has
+    // no surviving partner and MUST be kept — clustering the raw table
+    // would elect the removed doc and drop the whole cluster
+    val candidate = pairs.find { case (a, b) => a < b && degree(b) == 1 }
+    assume(candidate.nonEmpty, "corpus has no 1-degree near-dup mate at this sf")
+    val (a, b) = candidate.get
+    val cfg = TrainingPipeline.Config(
+      minQuality = 0.0, dedup = TrainingPipeline.EmbedDedup)
+    val got = TrainingPipeline.export(
+        docs.filter(col("doc_id") =!= a), Some(emb), cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.contains(b),
+      s"mate $b of upstream-removed canonical $a was dropped with its cluster")
+    assert(!got.contains(a))
+  }
+
   test("EmbedDedup without an embeddings table is refused") {
     val docs = Tables.documents(spark, sf)
     val cfg = TrainingPipeline.Config(dedup = TrainingPipeline.EmbedDedup)

@@ -75,6 +75,19 @@ class SplitAssignSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("fraction boundaries at 1.0: threshold clamps instead of misrouting") {
+    // floor(1.0·2^32) formats as 9-char "100000000"; char-by-char compare
+    // against 8-char keys sent 15/16 of the space to the WRONG split
+    // before the "g" sentinel clamp
+    val docs = Tables.documents(spark, sf)
+    val trainVal = TextQueries.splitAssignOf(docs, trainFrac = 0.9, valFrac = 0.1)
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(!trainVal.contains("test"), s"train+val=1.0 leaked a test split: $trainVal")
+    val allTrain = TextQueries.splitAssignOf(docs, trainFrac = 1.0, valFrac = 0.0)
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(allTrain === Set("train"), s"trainFrac=1.0 leaked: $allTrain")
+  }
+
   test("TrainingPipeline.assignSplits mirrors the registry q80") {
     val viaPipeline = TrainingPipeline.assignSplits(Tables.documents(spark, sf))
       .collect().map(_.toSeq).toSet

@@ -1,0 +1,114 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** The journaled swap protocol ([[TableSwap.replace]]): happy path, and
+  * recovery from simulated mid-rename crash states — the object-store
+  * windows where a directory "rename" is per-file copy+delete and a crash
+  * leaves the only copy SPLIT across two directories. States are staged on
+  * the local FS exactly as an interrupted move leaves them (files split,
+  * journal present) and replace() must converge without losing a file.
+  */
+class TableSwapSpec extends SparkSpec {
+
+  private def dir(): String =
+    Files.createTempDirectory("graft-swap").toString + "/table"
+
+  private def writeFile(path: String, content: String): Unit = {
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(f.toPath, content)
+  }
+  private def listNames(path: String): Set[String] = {
+    val f = new java.io.File(path)
+    if (!f.exists) Set.empty else f.list().toSet
+  }
+  private def readFile(path: String): String =
+    java.nio.file.Files.readString(new java.io.File(path).toPath)
+
+  test("happy path: replace swaps contents and leaves no scaffolding") {
+    val t = dir()
+    writeFile(s"$t/part-1", "v1")
+    writeFile(s"$t/_SUCCESS", "")
+    TableSwap.replace(spark, t) { staging =>
+      // the writer sees the CURRENT table while producing the next one
+      assert(readFile(s"$t/part-1") === "v1")
+      writeFile(s"$staging/part-1", "v2")
+      writeFile(s"$staging/_SUCCESS", "")
+    }
+    assert(readFile(s"$t/part-1") === "v2")
+    assert(!new java.io.File(t + "__old").exists)
+    assert(!new java.io.File(t + "__staging").exists)
+    assert(!new java.io.File(t + "__swapstate").exists)
+  }
+
+  test("recovery from a mid-RETIRE crash: split old table converges, no file lost") {
+    val t = dir()
+    // the interrupted table→__old move made it halfway: _SUCCESS and one
+    // part already under __old, the other part still at the table path —
+    // the marker-moved-first order that defeated the _SUCCESS heuristic
+    writeFile(s"$t/part-1", "old-1")
+    writeFile(s"${t}__old/part-0", "old-0")
+    writeFile(s"${t}__old/_SUCCESS", "")
+    writeFile(s"${t}__swapstate", "retire")
+    var seen: Set[String] = Set.empty
+    TableSwap.replace(spark, t) { staging =>
+      seen = listNames(t) // writer must see the fully restored old table
+      writeFile(s"$staging/part-1", "new")
+      writeFile(s"$staging/_SUCCESS", "")
+    }
+    assert(seen === Set("part-0", "part-1", "_SUCCESS"))
+    assert(readFile(s"$t/part-1") === "new")
+    assert(!new java.io.File(t + "__old").exists)
+    assert(!new java.io.File(t + "__swapstate").exists)
+  }
+
+  test("recovery from a mid-PROMOTE crash rolls the committed write forward") {
+    val t = dir()
+    // staging→table move interrupted: part-0 already promoted, part-1
+    // still in staging; the complete OLD table waits under __old
+    writeFile(s"$t/part-0", "new-0")
+    writeFile(s"${t}__staging/part-1", "new-1")
+    writeFile(s"${t}__old/part-0", "old-0")
+    writeFile(s"${t}__old/_SUCCESS", "")
+    writeFile(s"${t}__swapstate", "promote")
+    var seen: Set[String] = Set.empty
+    TableSwap.replace(spark, t) { staging =>
+      seen = listNames(t) // writer must see the rolled-forward NEW table
+      writeFile(s"$staging/part-0", "newer")
+    }
+    assert(seen === Set("part-0", "part-1"))
+    assert(readFile(s"$t/part-0") === "newer")
+    assert(!new java.io.File(t + "__old").exists)
+    assert(!new java.io.File(t + "__swapstate").exists)
+  }
+
+  test("journal-less recovery: surviving __old restores a missing table; stale __old is dropped") {
+    val t = dir()
+    writeFile(s"${t}__old/part-0", "old")
+    TableSwap.replace(spark, t) { staging =>
+      assert(readFile(s"$t/part-0") === "old") // restored before write runs
+      writeFile(s"$staging/part-0", "new")
+    }
+    assert(readFile(s"$t/part-0") === "new")
+
+    // both dirs present without a journal = the swap completed far enough
+    // that the table is live; the leftover __old is dropped
+    writeFile(s"${t}__old/part-0", "stale")
+    TableSwap.replace(spark, t) { staging =>
+      writeFile(s"$staging/part-0", "newer")
+    }
+    assert(readFile(s"$t/part-0") === "newer")
+    assert(!new java.io.File(t + "__old").exists)
+  }
+
+  test("an unrecognized journal state fails loudly instead of guessing") {
+    val t = dir()
+    writeFile(s"$t/part-0", "v1")
+    writeFile(s"${t}__swapstate", "garbage")
+    intercept[IllegalStateException] {
+      TableSwap.replace(spark, t)(_ => ())
+    }
+  }
+}
