@@ -139,21 +139,26 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
-  test("upsert sink recovery prefers __old over a partial table (no _SUCCESS)") {
+  test("upsert sink recovery converges a mid-retire crash (journaled swap)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val dir   = java.nio.file.Files.createTempDirectory("graft_upsert_rec")
     val table = s"$dir/table"
-    // Simulate a crash mid non-atomic rename (object-store copy+delete):
-    // the only COMPLETE copy of history lives in __old; the table path
-    // holds a partial copy without the committer's _SUCCESS marker.
-    Seq((1L, 5L, 50.0), (9L, 3L, 33.0)).toDF("user_id", "n", "total")
+    // Simulate a crash mid non-atomic table→__old rename (object-store
+    // copy+delete, marker and one part already moved, the other part
+    // still at the table path) with the swap journal in its "retire"
+    // phase — the split-history state TableSwapSpec covers at the FS
+    // level, here driven through the streaming upsert sink end-to-end.
+    Seq((9L, 3L, 33.0)).toDF("user_id", "n", "total")
       .coalesce(1).write.parquet(s"${table}__old")
-    Seq((1L, 1L, 1.0)).toDF("user_id", "n", "total")
+    Seq((1L, 5L, 50.0)).toDF("user_id", "n", "total")
       .coalesce(1).write.parquet(table)
     val fs = new org.apache.hadoop.fs.Path(table)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(table, "_SUCCESS"), false)
+    val journal = fs.create(
+      new org.apache.hadoop.fs.Path(s"${table}__swapstate"), true)
+    try journal.write("retire".getBytes("UTF-8")) finally journal.close()
 
     val input = MemoryStream[(Long, Double, Timestamp)]
     val counts = input.toDF().toDF("user_id", "value", "event_time")
@@ -167,10 +172,11 @@ class StreamingOpsSpec extends SparkSpec {
       val out = spark.read.parquet(table)
         .collect().map(r => r.getAs[Long]("user_id") ->
           (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
-      // user 9 survives ONLY if recovery restored __old (the partial table
-      // did not contain it); user 1 is the batch's fresh row
+      // user 9 survives ONLY if recovery converged the split history (its
+      // row lived under __old); user 1 is replaced by the batch's fresh row
       assert(out === Map(1L -> (1L, 10.0), 9L -> (3L, 33.0)))
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${table}__old")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${table}__swapstate")))
     } finally query.stop()
   }
 
