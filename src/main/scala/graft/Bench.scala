@@ -26,7 +26,13 @@ object Bench {
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => return -1.0 }
+      catch { case e: Throwable =>
+        // loud, not silent: a swallowed failure would DROP the query from
+        // the headline total, making a runtime regression read as a
+        // cross-round speedup with nothing on stderr to diagnose
+        System.err.println(s"[bench] query failed: ${e.getClass.getName}: ${e.getMessage}")
+        return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     def minOfN(n: Int)(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -94,8 +100,12 @@ object Bench {
     // driver tail-captures output, so a front-loaded headline is what gets
     // truncated first on long lines (lost round 6's total + q00–q23).
     val total = results.map(_._2).filter(_ >= 0).sum
+    // failed queries are excluded from `total` — surface WHICH, so two
+    // rounds' totals are never silently compared over different query sets
+    val failed = all.collect { case (k, v) if v < 0 => s""""$k"""" }
+      .mkString("[", ",", "]")
     println(
-      s"""{"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total_query_sec","value":${f3(total)}}""")
+      s"""{"queries":$qs,"failed":$failed,"sf":"$sfDir","unit":"sec","metric":"total_query_sec","value":${f3(total)}}""")
     spark.stop()
   }
 }

@@ -169,9 +169,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
-    * rows-only check (q36: sketches; q39/q56/q57: ANN recall-bounded in
-    * specs; q42: libm log). The md5 fingerprint family (q24/q25) IS
-    * oracle-replayed.
+    * rows-only check (q29: partition-order float sums, its bit-exact twin
+    * q60 IS oracled; q36: sketches; q39/q56/q57: ANN recall-bounded in
+    * specs; q42: libm log, its rational twin q42b IS oracled). The md5
+    * fingerprint family (q24/q25) IS oracle-replayed.
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ TextQueries.oracleSql ++

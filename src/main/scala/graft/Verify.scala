@@ -20,10 +20,15 @@ object Verify {
       // queries would run fully single-threaded; repartition keeps every
       // stage parallel and only funnels the result into one output file
       // for the driver's compare.
-      val df = fn(spark, sfDir)
-      try (if (singleFile) df.repartition(1) else df).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // construction INSIDE the try: queries do eager work at build time
+      // (Tables.load analysis, materialize()'s localCheckpoint job,
+      // argument require()s) — outside it, one failing query would abort
+      // the whole dump INCLUDING oracle_sql.json and zero the round
+      try {
+        val df = fn(spark, sfDir)
+        (if (singleFile) df.repartition(1) else df).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -44,11 +44,10 @@ object Charts {
   private val left = 150; private val right = 40; private val top = 60
   private val bottom = 130
 
-  /** Per-week total volume — the ax1 frame (A6 family). */
-  def weeklyVolumeFrame(agg: DataFrame): DataFrame =
-    agg.groupBy("week_start_date")
-      .agg(sum("total_volume").as("total_volume"))
-      .orderBy("week_start_date")
+  /** Per-week total volume — the ax1 frame: [[Report.weeklyVolume]], the
+    * oracled A6 aggregate (one definition — chart and report can't drift).
+    */
+  def weeklyVolumeFrame(agg: DataFrame): DataFrame = Report.weeklyVolume(agg)
 
   /** Per-(week, client_type) trade counts — the ax2 frame (A7 family). */
   def weeklyCountByTypeFrame(agg: DataFrame): DataFrame =

@@ -33,7 +33,14 @@ object Report {
       clientType: String = "bronze",
       metrics: Seq[String] = Seq("total_volume", "total_pnl"),
       topN: Int = 3): DataFrame = {
-    val per = perUser(agg, clientType, metrics).cache()
+    // materialize, not cache(): both metric branches share the one
+    // computed per-user frame either way, but a cache() entry with no
+    // owner to unpersist it pins executor storage for the application's
+    // lifetime — repeated report runs in a long-lived session accumulate
+    // dead cache. localCheckpoint blocks are reference-tracked and freed
+    // when the frame is collected by GC.
+    val per = graft.operators.RelationalOps.materialize(
+      perUser(agg, clientType, metrics))
     val frames = metrics.map { m =>
       per
         .orderBy(col(m).desc)

@@ -40,7 +40,13 @@ object Xlsx {
     // escaped as `_x005F_` first so round-tripping is unambiguous. Without
     // this, one stray control byte in a string cell makes the whole
     // workbook unreadable in Excel/openpyxl/LibreOffice.
-    val xEscLookalike = "_x[0-9A-Fa-f]{4}_".r
+    // lookahead, NOT a consuming match of the whole _xHHHH_ sequence:
+    // adjacent lookalikes SHARE their underscore ("_x0041_x0042_"), and a
+    // consuming regex skips the second one, so a reader would decode the
+    // unescaped half back to a character — silent corruption. The
+    // zero-width lookahead escapes every underscore that starts a
+    // lookalike, overlapping or not.
+    val xEscLookalike = "_(?=x[0-9A-Fa-f]{4}_)".r
     // a surrogate is legal only inside a well-formed high+low pair (it
     // encodes a supplementary character); lone halves are illegal
     def encodeIllegal(s: String): String = {
@@ -69,7 +75,7 @@ object Xlsx {
         .replace("\r", "&#xD;")
       val guarded =
         if (entified.contains("_x"))
-          xEscLookalike.replaceAllIn(entified, m => "_x005F" + m.matched)
+          xEscLookalike.replaceAllIn(entified, _ => "_x005F_")
         else entified
       encodeIllegal(guarded)
     }

@@ -61,14 +61,19 @@ object SketchOps {
   def buildStringBloom(
       df: org.apache.spark.sql.DataFrame, column: String,
       expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
-    val bf = df.select(column).na.drop()
+    val rdd = df.select(column).na.drop()
       .queryExecution.toRdd // InternalRow: UTF8String, no row decode
       .mapPartitions { it =>
         val f = BloomFilter.create(math.max(expectedItems, 64L), fpp)
         it.foreach(r => f.putBinary(r.getUTF8String(0).getBytes))
         Iterator.single(f)
       }
-      .reduce { (a, b) => a.mergeInPlace(b); a }
+    // an optimized-to-empty source plans ZERO partitions, where reduce
+    // throws "empty collection" — degrade to the empty filter ("nothing
+    // might be contained") instead of killing the prefilter build
+    val bf =
+      if (rdd.getNumPartitions == 0) BloomFilter.create(math.max(expectedItems, 64L), fpp)
+      else rdd.reduce { (a, b) => a.mergeInPlace(b); a }
     val out = new java.io.ByteArrayOutputStream()
     bf.writeTo(out)
     out.toByteArray

@@ -29,15 +29,31 @@ object TextKernels {
   private val md5Local = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
+  // reused 16-byte output buffer for md5Hash64 (same discipline as winnow
+  // and cdcCuts, whose comments measured per-gram digest allocation as the
+  // dominant cost) — safe because each executor thread has its own
+  private val digestLocal = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
 
   /** First 8 bytes of md5(s) as a big-endian long — numerically equal to
     * parsing the first 16 hex chars of the digest (the DuckDB oracle's
-    * `substr(md5(s), 1, 16)`).
+    * `substr(md5(s), 1, 16)`). Digest lands in a thread-local buffer and
+    * the long is assembled manually: simhash calls this once per token per
+    * document corpus-wide, and the previous `ByteBuffer.wrap(md.digest(...))`
+    * allocated two objects per call on that hot path.
     */
   def md5Hash64(s: UTF8String): Long = {
-    val md = md5Local.get()
+    val md  = md5Local.get()
+    val buf = digestLocal.get()
+    val bytes = s.getBytes
     md.reset()
-    java.nio.ByteBuffer.wrap(md.digest(s.getBytes)).getLong
+    md.update(bytes, 0, bytes.length)
+    md.digest(buf, 0, 16)
+    ((buf(0) & 0xffL) << 56) | ((buf(1) & 0xffL) << 48) |
+      ((buf(2) & 0xffL) << 40) | ((buf(3) & 0xffL) << 32) |
+      ((buf(4) & 0xffL) << 24) | ((buf(5) & 0xffL) << 16) |
+      ((buf(6) & 0xffL) << 8) | (buf(7) & 0xffL)
   }
 
   /** 64-bit SimHash over an array of tokens: each token votes its md5-derived

@@ -15,10 +15,14 @@ import org.apache.spark.sql.types._
   * computes dot + both norms in a single pass.
   *
   * Outside that domain the kernels THROW rather than silently diverge from
-  * the HOF semantics (which yield NULL there): a length mismatch or a NULL
-  * element raises IllegalArgumentException — reading ragged or sparse
-  * vectors through `ArrayData` getters would otherwise truncate to the
-  * shorter length and read garbage for NULL slots.
+  * the HOF semantics: a length mismatch or a NULL element raises
+  * IllegalArgumentException — reading ragged or sparse vectors through
+  * `ArrayData` getters would otherwise truncate to the shorter length and
+  * read garbage for NULL slots. The fused cosine additionally throws on
+  * non-finite elements (post-loop norm check): its NaN→NULL zero-norm
+  * mapping would otherwise silently turn a NaN input into NULL where the
+  * HOF twin and the oracle propagate NaN. `dot` propagates NaN unchanged —
+  * there the HOF does the same, so no divergence exists to guard.
   */
 object VectorKernels {
 
@@ -50,6 +54,14 @@ object VectorKernels {
     * expression layer converts NaN to NULL — matching the HOF guard).
     * Three independent left-to-right accumulations in one pass equal three
     * separate loops bit-for-bit.
+    *
+    * Non-finite ELEMENTS (NaN/±Inf, or values so large a norm overflows)
+    * THROW after the loop, same policy as the NULL-element/ragged guards:
+    * a NaN result here would be mapped to NULL by the expression layer
+    * while the HOF twin and the SQL oracle yield NaN — a silent
+    * divergence inside the documented bit-identical domain. The check is
+    * post-loop (two isFinite tests per ROW, not per element), so the hot
+    * loop is untouched; with finite norms the only NaN left is zero-norm.
     */
   def cosineOrNaN(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
     val n = checkLengths(a, b)
@@ -66,6 +78,9 @@ object VectorKernels {
       nb += y * y
       i += 1
     }
+    if (!java.lang.Double.isFinite(na) || !java.lang.Double.isFinite(nb))
+      throw new IllegalArgumentException(
+        "vector kernel: non-finite element or norm overflow (finite dense vectors required)")
     val nn = math.sqrt(na) * math.sqrt(nb)
     if (nn == 0.0) Double.NaN else d / nn
   }

@@ -24,14 +24,18 @@ object Multimodal {
 
   case class MediaRow(doc_id: Long, mime: String, bytes: Array[Byte])
 
+  // Feature fields are Options: a NULL bytes cell (nullable binary columns
+  // come straight from parquet) — or, with a real codec, a failed decode —
+  // yields None features rather than killing the job, matching the columnar
+  // twin's NULL-propagating expression semantics.
   case class MediaFeatures(
       doc_id: Long,
-      n_bytes: Int,
-      entropy: Double,
-      mode_byte: Int,
+      n_bytes: Option[Int],
+      entropy: Option[Double],
+      mode_byte: Option[Int],
       // Strided byte sample — the "frame sample" stand-in (every n-th byte,
       // up to 16), as a fixed-shape feature vector.
-      sample: Array[Byte])
+      sample: Option[Array[Byte]])
 
   /** Wrap a text table as a media table: opaque bytes + typed metadata.
     * In production the binary column would come straight from parquet.
@@ -79,8 +83,13 @@ object Multimodal {
     media.select("doc_id", "mime", "bytes").as[MediaRow].mapPartitions { rows =>
       // per-partition decoder init would go here
       rows.map { r =>
-        val (entropy, mode, sample) = decodeStub(r.bytes)
-        MediaFeatures(r.doc_id, r.bytes.length, entropy, mode, sample)
+        if (r.bytes == null) // NULL media cell → NULL features (twin parity)
+          MediaFeatures(r.doc_id, None, None, None, None)
+        else {
+          val (entropy, mode, sample) = decodeStub(r.bytes)
+          MediaFeatures(r.doc_id, Some(r.bytes.length), Some(entropy),
+            Some(mode), Some(sample))
+        }
       }
     }
   }

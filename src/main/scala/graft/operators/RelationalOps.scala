@@ -61,10 +61,15 @@ object RelationalOps {
     * desc, ties to the smaller id, rank emitted as BIGINT — with two
     * DOCUMENTED differences: group/id must be integral columns (they ride
     * the typed encoder as longs; a non-integral key fails fast here rather
-    * than null-collapsing at runtime), and NULL/NaN scores are DROPPED
-    * (the window form ranks NaN FIRST under desc — Spark orders NaN above
-    * every double — which is almost never the wanted top-k). Equivalence
-    * with the window form on integral-keyed, NaN-free data is
+    * than null-collapsing at runtime), and rows with a NULL group/id/score
+    * or NaN score are DROPPED — NULL keys cannot ride the primitive
+    * encoder (they previously crashed mid-job with an opaque
+    * "Null value appeared in non-nullable field"), and the window form
+    * ranks NaN FIRST under desc (Spark orders NaN above every double) —
+    * which is almost never the wanted top-k. The NULL-score filter runs
+    * AFTER the double cast, so a non-castable string score drops the row
+    * like a NULL instead of crashing the encoder. Equivalence with the
+    * window form on integral-keyed, non-NULL, NaN-free data is
     * spec-asserted.
     */
   def topKPerGroupAgg(
@@ -80,9 +85,13 @@ object RelationalOps {
     }
     requireIntegral(groupCol)
     requireIntegral(idCol)
-    df.filter(col(scoreCol).isNotNull) // NaN is dropped inside the buffer
-      .select(col(groupCol).cast("long"), col(idCol).cast("long"),
-        col(scoreCol).cast("double"))
+    df.select(col(groupCol).cast("long"), col(idCol).cast("long"),
+        col(scoreCol).try_cast("double").as(scoreCol))
+      // filter AFTER the cast (try_cast: a failed cast is a null — under
+      // ANSI a plain cast would throw — and the null drops here);
+      // NaN is dropped inside the buffer
+      .filter(col(groupCol).isNotNull && col(idCol).isNotNull &&
+        col(scoreCol).isNotNull)
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues(r => (r._3, r._2))
@@ -114,7 +123,11 @@ object RelationalOps {
     val ids = col("ids")
     buckets
       .groupBy(bucketCols.map(col): _*)
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      // array_distinct BEFORE the pair expansion: duplicate (bucket, id)
+      // input rows would otherwise emit a SELF-pair (outA == outB), which
+      // a<b consumers interpret as "doc is a near-dup of itself" and
+      // delete the only copy
+      .agg(sort_array(array_distinct(collect_list(col(idCol)))).as("ids"))
       .filter(size(ids) > 1 && size(ids) <= maxBucket)
       .select(explode(
         flatten(transform(sequence(lit(1), size(ids) - 1), i =>
@@ -133,8 +146,11 @@ object RelationalOps {
       gap: java.time.Duration): DataFrame = {
     val w = Window.partitionBy(userCol).orderBy(ts, tieBreaker)
     val prev = lag(ts, 1).over(w)
+    // micros with saturation (durationUsSaturating), NOT toMillis*1000:
+    // that truncated sub-ms gap components (disagreeing with the streaming
+    // twin's true gapMicros) and wrapped negative for ~292-year gaps
     val isNew = when(
-      prev.isNull || (unix_micros(ts) - unix_micros(prev)) > gap.toMillis * 1000L,
+      prev.isNull || (unix_micros(ts) - unix_micros(prev)) > durationUsSaturating(gap),
       1L).otherwise(0L)
     events
       .withColumn("__new_session", isNew)
@@ -176,21 +192,27 @@ object RelationalOps {
   }
 
   /** As-of join specialized to event streams: for every row of `ofType`,
-    * the most recent strictly-earlier timestamp among rows of `fromType`
-    * with the same key. Implemented as union + one window pass (single
-    * shuffle on the key, no row explosion) instead of a range join —
-    * the shape that survives 100× scale-up.
+    * the most recent STRICTLY-earlier timestamp among rows of `fromType`
+    * with the same key (`allow_exact_matches=False` in pandas-merge_asof
+    * terms — same strictness as [[funnelStages]]). Implemented as a RANGE
+    * frame over the micros order key, `[unbounded, -1]`: the frame boundary
+    * is by VALUE, so a fromType row sharing this row's timestamp is
+    * excluded no matter how any tie-breaker orders it — a ROWS frame would
+    * let the tie-break silently decide whether a tie counts. Still one
+    * window pass (single shuffle on the key, no row explosion) instead of
+    * a range join — the shape that survives 100× scale-up. `max` (not
+    * `last`) makes the result order-independent within the frame.
     */
-  def lastEventBefore(events: DataFrame, keyCol: String, tsCol: String, tieBreaker: Column,
+  def lastEventBefore(events: DataFrame, keyCol: String, tsCol: String,
       typeCol: String, ofType: String, fromType: String, outCol: String): DataFrame = {
     val w = Window
       .partitionBy(keyCol)
-      .orderBy(col(tsCol), tieBreaker)
-      .rowsBetween(Window.unboundedPreceding, -1)
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(Window.unboundedPreceding, -1)
     events
       .filter(col(typeCol).isin(ofType, fromType))
       .withColumn(outCol,
-        last(when(col(typeCol) === fromType, col(tsCol)), ignoreNulls = true).over(w))
+        max(when(col(typeCol) === fromType, col(tsCol))).over(w))
       .filter(col(typeCol) === ofType)
   }
 
@@ -393,6 +415,11 @@ object RelationalOps {
     */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types._
+    // fail fast with a readable message — an empty list dies on star-
+    // expanding array<null>, a duplicate on an ambiguous __nulls_<c> ref
+    require(cols.nonEmpty, "profileColumns: cols must be non-empty")
+    require(cols.distinct.size == cols.size,
+      s"profileColumns: duplicate column names in $cols")
     def numeric(c: String): Option[Column] = df.schema(c).dataType match {
       case _: NumericType => Some(col(c).cast("double"))
       case TimestampType | TimestampNTZType => Some(unix_micros(col(c)).cast("double"))
@@ -448,15 +475,23 @@ object RelationalOps {
       // first 8 hex chars as an unsigned 32-bit value: the thresholdable
       // numeric twin of the lexicographic hex order
       conv(substring(key, 1, 8), 16, 10).cast("long").as("__k32"))
-    val thresholds = keyed.groupBy(groupCol).agg(count(lit(1)).as("__n"))
-      .select(col(groupCol), col("__n"),
-        least(lit((1L << 32) - 1),
-          ceil(lit(safety.toLong * k) * lit(4294967296.0) / col("__n"))
-            .cast("long")).as("__thr"))
+    // materialized: consumed by the survivor join AND the shortfall probe —
+    // un-checkpointed, each consumer re-runs the corpus-side count
+    val thresholds = materialize(
+      keyed.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+        .select(col(groupCol), col("__n"),
+          least(lit((1L << 32) - 1),
+            ceil(lit(safety.toLong * k) * lit(4294967296.0) / col("__n"))
+              .cast("long")).as("__thr")))
     val w = Window.partitionBy(groupCol).orderBy(col("__key"), col(idCol))
-    val survivors = keyed
+    // materialize: BOTH the ranked branch and the shortfall probe consume
+    // the survivor set — without it Catalyst re-plans the corpus-side
+    // projection + threshold join under each (the q72 lesson), turning the
+    // advertised two corpus passes into three. Survivors are O(groups·k·
+    // safety) rows — tiny relative to the corpus.
+    val survivors = materialize(keyed
       .join(broadcast(thresholds.select(groupCol, "__thr")), Seq(groupCol))
-      .filter(col("__k32") <= col("__thr"))
+      .filter(col("__k32") <= col("__thr")))
     val ranked = survivors
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
@@ -465,8 +500,11 @@ object RelationalOps {
     // Outer join FROM thresholds: a group with ZERO survivors is absent
     // from the survivor aggregate entirely, and must still be flagged
     // (caught by StratifiedExactKSpec's starved-threshold case).
+    // explicit broadcast: both sides are per-group tiny, but they now read
+    // from materialized LogicalRDDs whose unknown stats default to huge —
+    // unhinted, Catalyst plans a SortMergeJoin here (PlanQualitySpec)
     val short = thresholds.select(groupCol, "__n")
-      .join(survivors.groupBy(groupCol).agg(count(lit(1)).as("__surv")),
+      .join(broadcast(survivors.groupBy(groupCol).agg(count(lit(1)).as("__surv"))),
         Seq(groupCol), "left_outer")
       .filter(coalesce(col("__surv"), lit(0L)) < least(lit(k.toLong), col("__n")))
       .select(col(groupCol))

@@ -190,7 +190,7 @@ object RelationalQueries {
     // As-of join: last click strictly before each purchase, same user.
     "q15_asof" -> ((s, d) => {
       RelationalOps.lastEventBefore(
-          Tables.events(s, d), "user_id", "ts", col("event_id"),
+          Tables.events(s, d), "user_id", "ts",
           "event_type", ofType = "purchase", fromType = "click",
           outCol = "last_click_ts")
         .select(
@@ -609,8 +609,8 @@ object RelationalQueries {
         |w AS (
         |  SELECT event_id, user_id, ts, event_type,
         |    max(CASE WHEN event_type = 'click' THEN ts END) OVER (
-        |      PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+        |      PARTITION BY user_id ORDER BY epoch_us(ts)
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
         |  FROM pc)
         |SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |  epoch_us(last_click_ts) AS last_click_us

@@ -498,9 +498,15 @@ object TextQueries {
       .select(col("band"), col("band_tokens"), col("needed"))
     scored.join(broadcast(cut), Seq("band"))
       .filter(col("needed") >= col("band_tokens") ||
+        // least-clamp at ffffffff: a rate that ROUNDS to 1.0 (needed just
+        // under band_tokens at float resolution) would otherwise format as
+        // the 9-char "100000000", and char-by-char compare against 8-hex
+        // keys keeps only 1/16 of the boundary band — same hazard
+        // sampleThresholdHex documents; 2^-32 under-keep accepted
         col("tb_key") < format_string("%08x",
-          floor(col("needed").cast("double") / col("band_tokens").cast("double")
-            * lit(4294967296.0)).cast("long")))
+          least(lit(4294967295L),
+            floor(col("needed").cast("double") / col("band_tokens").cast("double")
+              * lit(4294967296.0)).cast("long"))))
       .select("doc_id", "n_tokens", "band")
   }
 
@@ -1647,11 +1653,6 @@ object TextQueries {
     "q81_unigram_score" -> ((s, d) =>
       unigramScoreOf(Tables.documents(s, d))),
 
-    // Incremental admission dedup: the doc_id % 10 = 0 slice plays the
-    // incoming batch, the rest the accumulated corpus; batch docs exactly
-    // or nearly duplicating a base doc are refused, novel docs admitted
-    // (see incrementalDedup — within-batch duplicates are NOT each
-    // other's problem here).
     // Deterministic corpus shuffle + shard assignment (see shuffleShardsOf;
     // the ordered physical layout is ShuffledShards.writeShuffled).
     "q86_shuffle_shard" -> ((s, d) =>
@@ -1672,6 +1673,11 @@ object TextQueries {
     "q89_importance_weight" -> ((s, d) =>
       importanceScoresOf(Tables.documents(s, d))),
 
+    // Incremental admission dedup: the doc_id % 10 = 0 slice plays the
+    // incoming batch, the rest the accumulated corpus; batch docs exactly
+    // or nearly duplicating a base doc are refused, novel docs admitted
+    // (see incrementalDedup — within-batch duplicates are NOT each
+    // other's problem here).
     "q84_incremental_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       incrementalDedup(
@@ -1826,7 +1832,11 @@ object TextQueries {
         .select(col("doc_id"),
           explode(transform(col("starts"), st => struct(
             st.cast("long").as("chunk_start"),
-            concat_ws(" ", slice(col("toks"), st, lit(50))).as("chunk"))))
+            // NULL toks (NULL text) → NULL chunk: concat_ws would silently
+            // fold the NULL array to '' where the oracle's array_to_string
+            // propagates NULL — n_tokens then propagates via split(NULL)
+            when(col("toks").isNotNull,
+              concat_ws(" ", slice(col("toks"), st, lit(50)))).as("chunk"))))
             .as("c"))
         .select(col("doc_id"), col("c.chunk_start"), col("c.chunk"))
         .withColumn("n_tokens", size(split(col("chunk"), " ")).cast("long"))
@@ -2515,9 +2525,9 @@ object TextQueries {
            |SELECT s.doc_id, s.n_tokens, s.band
            |FROM s JOIN k USING (band)
            |WHERE k.needed >= k.band_tokens
-           |   OR s.tb_key < printf('%08x', CAST(floor(
+           |   OR s.tb_key < printf('%08x', least(4294967295, CAST(floor(
            |        CAST(k.needed AS DOUBLE) / CAST(k.band_tokens AS DOUBLE)
-           |        * 4294967296.0) AS BIGINT))""".stripMargin,
+           |        * 4294967296.0) AS BIGINT)))""".stripMargin,
 
     // q88 replay: the sketch phase only proposes CANDIDATES (a guaranteed
     // superset — see heavyHitters); the exact recount makes the final

@@ -107,7 +107,8 @@ class XlsxSpec extends SparkSpec {
         Row("a\u0001b\u0008c"), // forbidden even as &#N; in XML 1.0
         Row("keep\ttabs\nand\rCRs"),    // the three LEGAL control chars pass
         Row("_x0041_literal"),          // lookalike: underscore escaped
-        Row("emoji 😀 ok")),  // valid surrogate PAIR is legal XML
+        Row("emoji 😀 ok"),   // valid surrogate PAIR is legal XML
+        Row("_x0041_x0042_")), // ADJACENT lookalikes share an underscore
       schema)
     val path = Files.createTempDirectory("graft-xlsx-ctl").toString + "/c.xlsx"
     Xlsx.write(df, path)
@@ -118,6 +119,9 @@ class XlsxSpec extends SparkSpec {
     assert(rows(1) === Seq(Some("keep\ttabs\nand\rCRs")))
     assert(rows(2) === Seq(Some("_x005F_x0041_literal")))
     assert(rows(3) === Seq(Some("emoji 😀 ok")))
+    // both overlapping lookalikes escaped — a consuming regex would leave
+    // "_x0042_" bare and a reader would decode it to "B"
+    assert(rows(4) === Seq(Some("_x005F_x0041_x005F_x0042_")))
   }
 
   test("cell values match the reference's checked-in top_clients.xlsx") {

@@ -51,4 +51,26 @@ class VectorOpsSpec extends SparkSpec {
   test("native cosine of a zero vector is NULL") {
     assert(calc(Seq(0.0, 0.0), Seq(1.0, 2.0), VectorOps.cosine) === None)
   }
+
+  test("cosine throws on non-finite elements instead of silently yielding NULL") {
+    // a NaN input would accumulate NaN norms, which the NaN→NULL zero-norm
+    // mapping would silently turn into NULL where the HOF twin propagates
+    // NaN — the kernel's contract is to THROW outside its bit-identical
+    // domain, matching the ragged/NULL-element guards
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null && (c.getCause ne c)) c = c.getCause
+      String.valueOf(c.getMessage)
+    }
+    val e = intercept[Exception] {
+      calc(Seq(Double.NaN, 1.0), Seq(1.0, 1.0), VectorOps.cosine)
+    }
+    assert(rootMsg(e).contains("non-finite"))
+    val e2 = intercept[Exception] {
+      calc(Seq(Double.MaxValue, Double.MaxValue), Seq(1.0, 1.0), VectorOps.cosine)
+    }
+    assert(rootMsg(e2).contains("non-finite"))
+    // dot propagates NaN unchanged — the HOF does the same, no divergence
+    assert(calc(Seq(Double.NaN, 1.0), Seq(1.0, 1.0), VectorOps.dot).exists(_.isNaN))
+  }
 }

@@ -19,16 +19,33 @@ class MultimodalSpec extends SparkSpec {
     val f = Multimodal.extractFeatures(Multimodal.mediaTable(docs))
       .collect().map(r => r.doc_id -> r).toMap
     // single-symbol input: entropy 0, mode = 'a'
-    assert(f(1L).n_bytes === 4)
-    assert(f(1L).entropy === 0.0)
-    assert(f(1L).mode_byte === 'a'.toInt)
+    assert(f(1L).n_bytes === Some(4))
+    assert(f(1L).entropy === Some(0.0))
+    assert(f(1L).mode_byte === Some('a'.toInt))
     // uniform 4-symbol input: entropy = ln(4)
-    assert(math.abs(f(2L).entropy - math.log(4)) < 1e-12)
-    assert(f(2L).sample.length === 16)
+    assert(math.abs(f(2L).entropy.get - math.log(4)) < 1e-12)
+    assert(f(2L).sample.get.length === 16)
     // determinism across runs
     val again = Multimodal.extractFeatures(Multimodal.mediaTable(docs))
       .collect().map(r => r.doc_id -> r.entropy).toMap
     assert(again(2L) === f(2L).entropy)
+  }
+
+  test("a NULL bytes cell yields NULL features on BOTH paths, not an NPE") {
+    import spark.implicits._
+    // nullable binary columns come straight from parquet; mediaTable's
+    // encode() propagates a NULL text the same way — the mapPartitions
+    // path used to NPE in decodeStub while the columnar twin returned NULL
+    val docs = Seq((1L, Some("hello")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val media = Multimodal.mediaTable(docs)
+    val viaRows = Multimodal.extractFeatures(media)
+      .collect().map(r => r.doc_id -> r.n_bytes).toMap
+    assert(viaRows === Map(1L -> Some(5), 2L -> None))
+    val viaColumnar = Multimodal.extractFeaturesColumnar(media)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(viaColumnar === viaRows)
   }
 
   test("columnar expression path is bit-identical to mapPartitions") {

@@ -57,7 +57,7 @@ class RelationalOpsSpec extends SparkSpec {
       (2L, ts("2023-01-01 10:00:00"), 6L, "purchase"), // ← null (no click)
     ).toDF("user_id", "ts", "event_id", "event_type")
     val out = RelationalOps.lastEventBefore(
-        df, "user_id", "ts", col("event_id"), "event_type",
+        df, "user_id", "ts", "event_type",
         ofType = "purchase", fromType = "click", outCol = "last_click")
       .select(col("event_id"), col("last_click").cast("string"))
       .as[(Long, Option[String])].collect().toMap
@@ -65,6 +65,60 @@ class RelationalOpsSpec extends SparkSpec {
       3L -> Some("2023-01-01 10:00:00"),
       5L -> Some("2023-01-01 10:20:00"),
       6L -> None))
+  }
+
+  test("lastEventBefore excludes a source event sharing the row's timestamp") {
+    import spark.implicits._
+    // strictly-earlier is by VALUE: the same-ts click must not count,
+    // regardless of which event_id orders first — and the earlier click
+    // (not NULL) must be returned when one exists
+    val df = Seq(
+      (1L, ts("2023-01-01 09:00:00"), 1L, "click"),
+      (1L, ts("2023-01-01 10:00:00"), 2L, "click"),    // tie with purchase
+      (1L, ts("2023-01-01 10:00:00"), 3L, "purchase"), // ← click@09:00
+      (2L, ts("2023-01-01 10:00:00"), 5L, "purchase"), // tie, no earlier
+      (2L, ts("2023-01-01 10:00:00"), 4L, "click"),    //   → NULL
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = RelationalOps.lastEventBefore(
+        df, "user_id", "ts", "event_type",
+        ofType = "purchase", fromType = "click", outCol = "last_click")
+      .select(col("event_id"), col("last_click").cast("string"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out === Map(
+      3L -> Some("2023-01-01 09:00:00"),
+      5L -> None))
+  }
+
+  test("sessionize honors sub-millisecond gap components") {
+    import spark.implicits._
+    // gap = 1.5 ms; events 1.2 ms apart are the SAME session. The old
+    // toMillis*1000 conversion truncated the gap to 1 ms and split them.
+    val base = ts("2023-01-01 10:00:00")
+    def plusUs(us: Long) = Timestamp.from(base.toInstant.plusNanos(us * 1000))
+    val df = Seq(
+      (1L, base, 1L),
+      (1L, plusUs(1200), 2L),  // 1.2 ms later — within the 1.5 ms gap
+      (1L, plusUs(3000), 3L),  // 1.8 ms after #2 — new session
+    ).toDF("user_id", "ts", "event_id")
+    val out = RelationalOps
+      .sessionize(df, "user_id", col("ts"), col("event_id"),
+        Duration.ofNanos(1500000)) // 1.5 ms
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("profileColumns rejects empty and duplicate column lists clearly") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    // the raw failures are an opaque star-expand error and an ambiguous
+    // __nulls_<c> reference — a generic profiling entry point gets called
+    // with df.columns of arbitrary tables, so fail fast and readable
+    assert(intercept[IllegalArgumentException] {
+      RelationalOps.profileColumns(df, Seq())
+    }.getMessage.contains("non-empty"))
+    assert(intercept[IllegalArgumentException] {
+      RelationalOps.profileColumns(df, Seq("k", "k"))
+    }.getMessage.contains("duplicate"))
   }
 
   test("materialize: checkpoints by default, identity under the plan-audit skip conf") {

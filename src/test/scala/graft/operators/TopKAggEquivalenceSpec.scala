@@ -44,6 +44,24 @@ class TopKAggEquivalenceSpec extends SparkSpec {
     assert(out.toSet === Set((1L, 10L, 1L), (1L, 12L, 2L)))
   }
 
+  test("NULL keys and non-castable scores drop the row instead of crashing") {
+    import spark.implicits._
+    // NULL group/id can't ride the primitive tuple encoder (used to throw
+    // "Null value appeared in non-nullable field" mid-job) and a string
+    // score that fails the double cast becomes NULL post-cast — all three
+    // must drop cleanly
+    val df = Seq(
+      (Some(1L), Some(10L), "0.9"),
+      (None, Some(11L), "0.8"),     // NULL group
+      (Some(1L), None, "0.7"),      // NULL id
+      (Some(1L), Some(12L), "abc"), // cast-to-double fails → NULL score
+      (Some(1L), Some(13L), "0.5"))
+      .toDF("g", "id", "s")
+    val out = RelationalOps.topKPerGroupAgg(df, "g", "id", "s", 5, "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSet === Set((1L, 10L, 1L), (1L, 13L, 2L)))
+  }
+
   test("non-integral group keys fail fast with a clear error") {
     import spark.implicits._
     val df = Seq(("books", 1L, 0.5)).toDF("g", "id", "s")

@@ -25,6 +25,19 @@ class DecontamBloomSpec extends SparkSpec {
     assert(fp < 100, s"false-positive count $fp way over the 1% target")
   }
 
+  test("an empty source builds an empty filter instead of throwing") {
+    // an optimized-to-empty relation plans zero partitions, where the old
+    // partial-filter reduce threw "empty collection" — the prefilter must
+    // degrade to "nothing might be contained"
+    val empty = Seq.empty[String].toDF("gram").filter(lit(false))
+    val bytes = SketchOps.buildStringBloom(
+      empty, "gram", expectedItems = 100, fpp = 0.01)
+    val hits = Seq("a", "b").toDF("gram")
+      .withColumn("hit", SketchOps.bloomMightContain(col("gram"), bytes))
+      .collect().map(_.getBoolean(1))
+    assert(hits.forall(_ == false))
+  }
+
   test("q83 equals the exact q69 decontamination on the corpus slices") {
     val sf = "/root/testdata/sf0.001"
     val a = graft.SparkEntry.queries("q83_decontam_bloom")(spark, sf)
