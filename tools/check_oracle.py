@@ -16,11 +16,15 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame):
+    """Column-sorted, row-sorted frame + its stringified twin (the twin
+    doubles as the non-float compare key, so the frame is stringified once,
+    not once for the sort and again per compared column)."""
     df = df.reindex(sorted(df.columns), axis=1)
     key = df.astype(str)
     order = key.sort_values(by=list(df.columns)).index
-    return df.loc[order].reset_index(drop=True)
+    return (df.loc[order].reset_index(drop=True),
+            key.loc[order].reset_index(drop=True))
 
 
 def main(outdir: str, sf: str) -> int:
@@ -50,37 +54,60 @@ def main(outdir: str, sf: str) -> int:
             print(f"{name}: ROW COUNT spark={len(spark_df)} duck={len(duck_df)}")
             failures += 1
             continue
-        a, b = canon(spark_df), canon(duck_df)
-        bad = []
-        for c in a.columns:
-            av, bv = a[c], b[c]
-            # Dtype-kind gate BEFORE the tolerant float branch: DuckDB
-            # sum(BIGINT) returns HUGEINT, which pandas coerces to float64 —
-            # the old code then compared by value and masked exactly the
-            # int-vs-float mismatch that the driver's hash check fails on
-            # (round-6 q62). An integer column on one side and a float on
-            # the other is a typing bug in the oracle SQL (missing CAST),
-            # not a tolerance question.
-            kinds = {av.dtype.kind, bv.dtype.kind}
-            if "f" in kinds and kinds & {"i", "u"}:
-                bad.append(
-                    f"{c} (DTYPE KIND spark={av.dtype} duck={bv.dtype}; "
-                    "cast the oracle, e.g. CAST(sum(x) AS BIGINT))")
-                continue
-            if av.dtype.kind == "f" or bv.dtype.kind == "f":
-                av = av.astype(float); bv = bv.astype(float)
-                eq = (av.values == bv.values) | (av.isna().values & bv.isna().values)
-                if not eq.all():
-                    d = np.nanmax(np.abs(av.values - bv.values))
-                    bad.append(f"{c} (maxdiff={d:.3e}, n={int((~eq).sum())})")
-            else:
-                if "datetime" in str(av.dtype) or "datetime" in str(bv.dtype):
-                    av = pd.to_datetime(av).astype("datetime64[us]")
-                    bv = pd.to_datetime(bv).astype("datetime64[us]")
-                eq = (av.astype(str).values == bv.astype(str).values)
-                if not eq.all():
-                    i = int(np.argmax(~eq))
-                    bad.append(f"{c} (first: {av.iloc[i]!r} != {bv.iloc[i]!r}, n={int((~eq).sum())})")
+        # guarded: an inconvertible dtype pairing (string-vs-double astype,
+        # tz-aware-vs-naive datetime) must record ONE failure and move on —
+        # exactly the oracle-typing-bug class this tool reports, so it must
+        # not be the class that crashes the whole gate mid-run
+        try:
+            (a, akey), (b, bkey) = canon(spark_df), canon(duck_df)
+            bad = []
+            for c in a.columns:
+                av, bv = a[c], b[c]
+                # Dtype-kind gate BEFORE the tolerant float branch: DuckDB
+                # sum(BIGINT) returns HUGEINT, which pandas coerces to float64 —
+                # the old code then compared by value and masked exactly the
+                # int-vs-float mismatch that the driver's hash check fails on
+                # (round-6 q62). An integer column on one side and a float on
+                # the other is a typing bug in the oracle SQL (missing CAST),
+                # not a tolerance question.
+                kinds = {av.dtype.kind, bv.dtype.kind}
+                if "f" in kinds and kinds & {"i", "u"}:
+                    bad.append(
+                        f"{c} (DTYPE KIND spark={av.dtype} duck={bv.dtype}; "
+                        "cast the oracle, e.g. CAST(sum(x) AS BIGINT))")
+                    continue
+                if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                    av = av.astype(float); bv = bv.astype(float)
+                    both = av.values.astype(float), bv.values.astype(float)
+                    nan_a, nan_b = np.isnan(both[0]), np.isnan(both[1])
+                    eq = (both[0] == both[1]) | (nan_a & nan_b)
+                    if not eq.all():
+                        # numeric deviation only over rows numeric on BOTH
+                        # sides; NaN-vs-value mismatches counted separately
+                        # (np.nanmax over an all-NaN diff printed
+                        # 'maxdiff=nan' + an All-NaN-slice warning)
+                        num = ~nan_a & ~nan_b & ~eq
+                        nan_mismatch = int((nan_a ^ nan_b).sum())
+                        parts = [f"n={int((~eq).sum())}"]
+                        if num.any():
+                            d = np.abs(both[0][num] - both[1][num]).max()
+                            parts.insert(0, f"maxdiff={d:.3e}")
+                        if nan_mismatch:
+                            parts.append(f"nan_vs_value={nan_mismatch}")
+                        bad.append(f"{c} ({', '.join(parts)})")
+                else:
+                    av_s, bv_s = akey[c], bkey[c]
+                    if "datetime" in str(av.dtype) or "datetime" in str(bv.dtype):
+                        av_s = pd.to_datetime(av).astype("datetime64[us]").astype(str)
+                        bv_s = pd.to_datetime(bv).astype("datetime64[us]").astype(str)
+                    eq = (av_s.values == bv_s.values)
+                    if not eq.all():
+                        i = int(np.argmax(~eq))
+                        bad.append(f"{c} (first: {av.iloc[i]!r} != {bv.iloc[i]!r}, n={int((~eq).sum())})")
+        except Exception as e:
+            print(f"{name}: COMPARE ERROR: {type(e).__name__}: {e}")
+            failures += 1
+            continue
         if bad:
             print(f"{name}: VALUE MISMATCH rows={len(a)}: " + "; ".join(bad))
             failures += 1
