@@ -56,18 +56,22 @@ object Sinks {
       numFiles: Int = 1, partitionCols: Seq[String] = Nil,
       format: String = "parquet"): Unit =
     TableSwap.replace(spark, path) { staging =>
-      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-      val saved    = spark.conf.get(inferKey)
-      spark.conf.set(inferKey, "false")
-      try {
-        val df = spark.read.format(format).load(path)
-        val writer =
-          (if (partitionCols.isEmpty) df.repartition(numFiles)
-           else df.repartition(
-             partitionCols.map(col) :+ pmod(spark_partition_id(), lit(numFiles)): _*))
-            .write.mode(SaveMode.Overwrite).format(format)
-        (if (partitionCols.isEmpty) writer
-         else writer.partitionBy(partitionCols: _*)).save(staging)
-      } finally spark.conf.set(inferKey, saved)
+      // cloned session, NOT a set/restore on the caller's conf: the
+      // rewrite of a large table runs for minutes, and the session-wide
+      // toggle would silently string-type partition columns for every
+      // CONCURRENT query in the same session (and two concurrent compacts
+      // race the restore). newSession shares the SparkContext but owns
+      // its conf, so the inference change is scoped to this rewrite.
+      val scoped = spark.newSession()
+      scoped.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      val df = scoped.read.format(format).load(path)
+      val writer =
+        (if (partitionCols.isEmpty) df.repartition(numFiles)
+         else df.repartition(
+           partitionCols.map(col) :+ pmod(spark_partition_id(), lit(numFiles)): _*))
+          .write.mode(SaveMode.Overwrite).format(format)
+      (if (partitionCols.isEmpty) writer
+       else writer.partitionBy(partitionCols: _*)).save(staging)
     }
 }

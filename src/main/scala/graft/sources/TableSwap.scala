@@ -47,10 +47,21 @@ object TableSwap {
     def mustDelete(p: Path): Unit =
       require(fs.delete(p, true) || !fs.exists(p), s"TableSwap: delete failed: $p")
 
+    val journalTmp = new Path(path + "__swapstate.tmp")
+    // tmp + rename, never create-with-overwrite on the live journal:
+    // fs.create(journal, true) TRUNCATES the existing phase first, so a
+    // crash mid-write left an empty/partial journal that recovery could
+    // only refuse ("unrecognized state") — permanently wedging the swap.
+    // With the tmp protocol the journal is either absent or complete: the
+    // delete→rename window leaves NO journal, which the None branch
+    // already converges (rollback; this call's write() redoes the work).
     def writeJournal(phase: String): Unit = {
-      val out = fs.create(journal, true)
+      mustDelete(journalTmp)
+      val out = fs.create(journalTmp, true)
       try out.write(phase.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      mustDelete(journal)
+      mustRename(journalTmp, journal)
     }
     def readJournal(): Option[String] =
       if (!fs.exists(journal)) None
@@ -70,8 +81,20 @@ object TableSwap {
       if (fs.exists(src)) {
         if (!fs.exists(dst)) mustRename(src, dst)
         else {
-          fs.listStatus(src).foreach(st =>
-            mustRename(st.getPath, new Path(dst, st.getPath.getName)))
+          fs.listStatus(src).foreach { st =>
+            val target = new Path(dst, st.getPath.getName)
+            if (!fs.exists(target)) mustRename(st.getPath, target)
+            // hive-partition subdir present on BOTH sides: merge
+            // recursively — a flat rename into an existing directory
+            // NESTS it (POSIX mv semantics: dst/p=1/p=1/part-*)
+            else if (st.isDirectory) moveAll(st.getPath, target)
+            // same FILE on both sides: the object-store copy half of the
+            // interrupted per-file rename completed, only the source
+            // delete didn't — the destination is a complete copy, so
+            // converge by dropping the source (a rename here would
+            // return false and wedge every later recovery pass)
+            else mustDelete(st.getPath)
+          }
           mustDelete(src)
         }
       }
@@ -98,7 +121,8 @@ object TableSwap {
           s"TableSwap: unrecognized swap journal state '$other' at $journal")
       case None =>
         // no journal: either a clean state, or a crash from the pre-journal
-        // protocol / outside the journaled windows. A whole-dir rename
+        // protocol / outside the journaled windows (including writeJournal's
+        // own delete→rename gap, which rolls BACK here). A whole-dir rename
         // that never started leaves complete dirs, so the simple rules
         // hold: missing table + surviving __old = crash between renames
         // (restore); both present = the swap completed far enough that the
@@ -106,6 +130,7 @@ object TableSwap {
         if (!fs.exists(hPath) && fs.exists(retired)) mustRename(retired, hPath)
         else if (fs.exists(retired)) mustDelete(retired)
     }
+    mustDelete(journalTmp) // stale tmp from a crash inside writeJournal
     mustDelete(staging)
 
     write(staging.toString) // executes fully (reading `path`) pre-swap

@@ -119,8 +119,17 @@ object StreamingOps {
         graft.sources.TableSwap.replace(spark, path) { staging =>
           val merged =
             if (fs.exists(hPath)) {
+              // null-SAFE anti-join (<=>): a plain key equi-join never
+              // matches NULL key values, so a null-keyed group's stale row
+              // would survive every merge and the table would accrete one
+              // duplicate per touching batch (dropDuplicates above treats
+              // null keys as equal — the merge must agree)
+              val newKeys = deduped.select(
+                keys.map(c => col(c).as(s"__new_$c")): _*)
+              val cond = keys.map(k => col(k) <=> col(s"__new_$k"))
+                .reduce(_ && _)
               spark.read.parquet(path)
-                .join(deduped.select(keys.map(col): _*), keys, "left_anti")
+                .join(newKeys, cond, "left_anti")
                 .unionByName(deduped)
             } else deduped
           merged.write.mode("overwrite").parquet(staging)
@@ -482,6 +491,13 @@ object StreamingOps {
   /** Per-user sessionize state: the open session (`start = -1` ⇒ none)
     * plus the not-yet-committed buffer of event timestamps at/above the
     * watermark (the funnelMachine discipline).
+    *
+    * The -1 sentinels here (and in the funnel/cohort/gap-fill states)
+    * cannot collide with real data: committed timestamps are always ≥ some
+    * earlier watermark, and Spark watermarks are non-negative — so
+    * PRE-EPOCH event times never commit; they are dropped as late rows at
+    * the `>= wmUs` gate (watermark floor 0). Historical pre-1970 backfills
+    * belong on the batch twins, which handle them explicitly.
     */
   case class SessionState(
       start: Long, last: Long, events: Int, buffer: List[Long])
@@ -677,6 +693,11 @@ object StreamingOps {
       val merged = (prev.buffer ++ fresh)
         .sortBy(e => (e._1, -stepSeq.indexOf(e._2)))
       val (commit, keep) = merged.partition(_._1 < wmUs)
+      // nothing usable and no state yet (every row late-dropped): emit
+      // nothing and — critically — create no state; state.update here
+      // would pin an all-None user in the store forever
+      if (!state.exists && commit.isEmpty && keep.isEmpty)
+        return Iterator.empty
       val committed = commit.foldLeft(
         (prev.minima.toVector, prev.lasts.toVector))(fold)
       state.update(FunnelWinState(committed._1, committed._2, keep))
@@ -698,6 +719,10 @@ object StreamingOps {
     }
 
     events
+      // pre-filter to funnel types, like the batch operator: without it
+      // every user in the whole stream forms a group, and non-participants
+      // would hold permanent state and emit spurious all-None rows
+      .filter(col("event_type").isin(stepSeq.map(s => s: Any): _*))
       .withColumn("event_time", timestamp_micros(col("ts_micros")))
       .withWatermark("event_time", delay)
       .as[FunnelEvent]
@@ -763,10 +788,20 @@ object StreamingOps {
     * order; emission happens on commit only, which is what makes the
     * exactly-once-per-offset contract (and Append mode) possible. The
     * trade-off is emission latency of one watermark horizon.
+    *
+    * `idleExpiry` bounds state for long-dead users (otherwise every user
+    * ever seen holds a CohortState forever — cardinality-unbounded, the
+    * funnelMachine hazard). The caveat is SHARPER here than the funnel's:
+    * expiry forgets `seenOffsets` AND the cohort anchor, so a user
+    * returning after expiry re-anchors as a NEW cohort and may re-emit —
+    * the exactly-once contract then holds only per state lifetime. Leave
+    * it None where retention windows are long-lived and bound state by
+    * sizing the cluster instead.
     */
   def cohortActivityStream(
       events: Dataset[CohortEvent],
       periodSeconds: Long,
+      idleExpiry: Option[java.time.Duration] = None,
       delay: String = "10 minutes"): Dataset[CohortActivity] = {
     import events.sparkSession.implicits._
     val periodUs = periodSeconds * 1000000L
@@ -777,9 +812,18 @@ object StreamingOps {
         state: GroupState[CohortState]): Iterator[CohortActivity] = {
       val prev = state.getOption.getOrElse(CohortState(-1L, Nil, Nil))
       val wmUs = state.getCurrentWatermarkMs() * 1000L
+      // idle expiry fired with nothing pending: free the dead user's state
+      if (state.hasTimedOut && prev.buffer.isEmpty && rows.isEmpty &&
+          idleExpiry.isDefined) {
+        state.remove()
+        return Iterator.empty
+      }
       val merged = (prev.buffer ++ rows.map(_.ts_micros).filter(_ >= wmUs))
         .sorted
       val (commit, keep) = merged.partition(_ < wmUs)
+      // all rows late-dropped and no state yet: no emission, no state
+      if (!state.exists && commit.isEmpty && keep.isEmpty)
+        return Iterator.empty
       var firstTs = prev.firstTs
       val seen = scala.collection.mutable.Set(prev.seenOffsets: _*)
       val out = Seq.newBuilder[CohortActivity]
@@ -794,10 +838,13 @@ object StreamingOps {
       // a group only re-enters fn on new data OR a timeout — without one,
       // a quiet user's buffered rows would never commit. Fire when the
       // watermark passes the oldest buffered event (clamped above the
-      // current watermark, the sessionize rule).
+      // current watermark, the sessionize rule); with nothing buffered,
+      // arm the optional idle expiry so long-dead users' state is freed.
       if (keep.nonEmpty)
         state.setTimeoutTimestamp(math.max(
           keep.head / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+      else idleExpiry.foreach(d => state.setTimeoutTimestamp(
+        state.getCurrentWatermarkMs() + math.max(d.toMillis, 1L)))
       out.result().iterator
     }
 
@@ -832,14 +879,17 @@ object StreamingOps {
   /** `nextEmit` = first not-yet-emitted period (-1 before the key's first
     * commit); `agg` holds per-period (cnt, sum) for committed events whose
     * period has not closed; `silent` counts consecutive zero periods
-    * emitted; `buffer` is the out-of-order tail above the watermark.
+    * emitted; `lastSum` is the most recent emitted non-silent value_sum
+    * (the forward-fill carry); `buffer` is the out-of-order tail above the
+    * watermark.
     */
   case class GapState(
       nextEmit: Long, agg: Map[Long, (Long, Double)], silent: Int,
-      buffer: List[(Long, Double)])
+      lastSum: Option[Double], buffer: List[(Long, Double)])
 
   case class GapFillRow(
-      key: Long, win_start: Long, cnt: Long, value_sum: Option[Double])
+      key: Long, win_start: Long, cnt: Long, value_sum: Option[Double],
+      filled_sum: Option[Double])
 
   /** Streaming twin of [[graft.operators.RelationalOps.gapFillPeriods]]:
     * per key, one row per CLOSED epoch-aligned period from its first event
@@ -847,12 +897,16 @@ object StreamingOps {
     * the key was silent. A period closes when the watermark passes its
     * end; event-time timeouts re-arm at each next boundary so silent keys
     * keep emitting zeros WITHOUT new data — that is the operator's point
-    * (gap detection / heartbeat). Two documented differences from the
-    * batch op: the still-open tail period never emits (no "last event"
-    * exists on a stream), and after `maxSilentPeriods` consecutive zeros
-    * the key's state drops and the heartbeat stops (bounds state for dead
-    * keys; a returning event re-anchors the key as fresh, so its silent
-    * gap beyond the expiry is NOT back-filled).
+    * (gap detection / heartbeat). `filled_sum` carries the batch op's
+    * forward-fill (last observed value_sum) across silent periods, so a
+    * consumer migrating from [[graft.operators.RelationalOps
+    * .gapFillPeriods]] keeps the ffill column. Two documented differences
+    * from the batch op: the still-open tail period never emits (no "last
+    * event" exists on a stream), and after `maxSilentPeriods` consecutive
+    * zeros the key's state drops and the heartbeat stops (bounds state
+    * for dead keys; a returning event re-anchors the key as FRESH — its
+    * silent gap beyond the expiry is not back-filled and the ffill carry
+    * resets with it).
     */
   def gapFillStream(
       events: Dataset[GapEvent],
@@ -866,7 +920,8 @@ object StreamingOps {
         key: Long,
         rows: Iterator[GapEvent],
         state: GroupState[GapState]): Iterator[GapFillRow] = {
-      val prev = state.getOption.getOrElse(GapState(-1L, Map.empty, 0, Nil))
+      val prev = state.getOption.getOrElse(
+        GapState(-1L, Map.empty, 0, None, Nil))
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       val merged = (prev.buffer ++
         rows.map(e => (e.ts_micros, e.value)).filter(_._1 >= wmUs))
@@ -882,6 +937,7 @@ object StreamingOps {
       }
       val out = Seq.newBuilder[GapFillRow]
       var silent = prev.silent
+      var lastSum = prev.lastSum
       var expired = false
       if (nextEmit >= 0) {
         val closedUpTo = Math.floorDiv(wmUs, periodUs) // exclusive bound
@@ -889,15 +945,20 @@ object StreamingOps {
           agg.remove(nextEmit) match {
             case Some((c, s)) =>
               silent = 0
+              // HALF_UP like Spark's round(sum, 2) in the batch op —
+              // math.rint would be HALF_EVEN and drift on exact halves
+              val rounded = BigDecimal(s)
+                .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+              lastSum = Some(rounded)
               out += GapFillRow(key, nextEmit * periodSeconds, c,
-                // HALF_UP like Spark's round(sum, 2) in the batch op —
-                // math.rint would be HALF_EVEN and drift on exact halves
-                Some(BigDecimal(s)
-                  .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+                Some(rounded), lastSum)
             case None =>
               silent += 1
               if (silent > maxSilentPeriods) expired = true
-              else out += GapFillRow(key, nextEmit * periodSeconds, 0L, None)
+              // silent period: explicit zero row, ffill carries the last
+              // observed sum — the batch last(value_sum, ignoreNulls)
+              else out += GapFillRow(key, nextEmit * periodSeconds, 0L,
+                None, lastSum)
           }
           nextEmit += 1
         }
@@ -913,7 +974,9 @@ object StreamingOps {
           else if (agg.nonEmpty) agg.keys.min
           else -1L
         state.update(GapState(anchor, agg.toMap,
-          if (expired) 0 else silent, keep))
+          if (expired) 0 else silent,
+          if (expired) None else lastSum, // fresh re-anchor resets the ffill
+          keep))
         // re-arm at the next period boundary (or just past the watermark,
         // whichever is later) so zero rows flow without new data
         val nextBoundaryMs =

@@ -103,6 +103,58 @@ class TableSwapSpec extends SparkSpec {
     assert(!new java.io.File(t + "__old").exists)
   }
 
+  test("recovery merges a partition subdir split across both sides — no nesting") {
+    val t = dir()
+    // hive-partitioned table interrupted mid-retire: p_date=2024-01-01
+    // exists on BOTH sides with different files — a flat rename would
+    // move the __old copy INTO the table's copy (p_date=.../p_date=...)
+    writeFile(s"$t/p_date=2024-01-01/part-1", "old-1")
+    writeFile(s"${t}__old/p_date=2024-01-01/part-0", "old-0")
+    writeFile(s"${t}__old/p_date=2024-02-02/part-0", "old-feb")
+    writeFile(s"${t}__swapstate", "retire")
+    var seen: Set[String] = Set.empty
+    TableSwap.replace(spark, t) { staging =>
+      seen = listNames(s"$t/p_date=2024-01-01")
+      assert(listNames(t).forall(_.startsWith("p_date=")))
+      writeFile(s"$staging/p_date=2024-01-01/part-0", "new")
+    }
+    assert(seen === Set("part-0", "part-1")) // merged flat, not nested
+    assert(readFile(s"$t/p_date=2024-01-01/part-0") === "new")
+    assert(!new java.io.File(t + "__old").exists)
+  }
+
+  test("recovery converges a file present on BOTH sides (copy done, delete not)") {
+    val t = dir()
+    // object-store rename = copy+delete per file; the crash hit after the
+    // copy of part-0 but before its delete — identical bytes both sides.
+    // mustRename onto the existing destination would return false and
+    // wedge every later recovery; the source copy must be dropped instead.
+    writeFile(s"$t/part-0", "old-0")
+    writeFile(s"$t/part-1", "old-1")
+    writeFile(s"${t}__old/part-0", "old-0")
+    writeFile(s"${t}__swapstate", "retire")
+    TableSwap.replace(spark, t) { staging =>
+      assert(readFile(s"$t/part-0") === "old-0")
+      assert(readFile(s"$t/part-1") === "old-1")
+      writeFile(s"$staging/part-0", "new")
+    }
+    assert(readFile(s"$t/part-0") === "new")
+    assert(!new java.io.File(t + "__old").exists)
+    assert(!new java.io.File(t + "__swapstate").exists)
+  }
+
+  test("a stale journal tmp from a crash inside writeJournal is cleaned up") {
+    val t = dir()
+    writeFile(s"$t/part-0", "v1")
+    writeFile(s"${t}__swapstate.tmp", "retire") // crash before the rename
+    TableSwap.replace(spark, t) { staging =>
+      writeFile(s"$staging/part-0", "v2")
+    }
+    assert(readFile(s"$t/part-0") === "v2")
+    assert(!new java.io.File(t + "__swapstate.tmp").exists)
+    assert(!new java.io.File(t + "__swapstate").exists)
+  }
+
   test("an unrecognized journal state fails loudly instead of guessing") {
     val t = dir()
     writeFile(s"$t/part-0", "v1")

@@ -139,6 +139,34 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("upsert sink updates a NULL-keyed group in place (null-safe merge)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_null")
+    val input = MemoryStream[(Option[String], Double, Timestamp)]
+    // symbol is the key and can be NULL — a plain equi-anti-join never
+    // matches null=null, so the null group's stale row used to survive
+    // every merge and the table accreted one duplicate per touching batch
+    val counts = input.toDF().toDF("symbol", "value", "event_time")
+      .groupBy("symbol")
+      .agg(count("value").as("n"), sum("value").as("total"))
+    val query = StreamingOps.upsertSink(
+      counts, Seq("symbol"), s"$dir/table", s"$dir/ckpt")
+    try {
+      input.addData((None, 1.0, ts("2023-01-01 10:00:00")),
+        (Some("AAPL"), 5.0, ts("2023-01-01 10:01:00")))
+      query.processAllAvailable()
+      input.addData((None: Option[String], 2.0, ts("2023-01-01 10:02:00")))
+      query.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/table")
+        .collect().map(r => Option(r.getAs[String]("symbol")) ->
+          (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+      assert(out === Map(None -> (2L, 3.0), Some("AAPL") -> (1L, 5.0)))
+      // exactly ONE row per key — the null group was not duplicated
+      assert(spark.read.parquet(s"$dir/table").count() === 2)
+    } finally query.stop()
+  }
+
   test("upsert sink recovery converges a mid-retire crash (journaled swap)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -971,6 +999,69 @@ class StreamingOpsSpec extends SparkSpec {
       Some(13 * H + M))))
   }
 
+  test("funnel stream ignores non-funnel users entirely — no rows, no state churn") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import StreamingOps.{FunnelEvent, FunnelUpdate}
+    val H = 3600L * 1000000L
+    val input = MemoryStream[FunnelEvent]
+    val query = StreamingOps.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel_nonpart")
+      .outputMode("update").start()
+    try {
+      // user 7 only ever scrolls — the batch op filters non-funnel types
+      // before the cascade, so the stream must not emit all-None rows for
+      // it (which would also have pinned permanent state per such user)
+      input.addData(FunnelEvent(7L, 10 * H, "scroll"),
+        FunnelEvent(1L, 10 * H, "view"))
+      query.processAllAvailable()
+      input.addData(FunnelEvent(7L, 12 * H, "scroll"),
+        FunnelEvent(99L, 12 * H, "view")) // watermark flusher
+      query.processAllAvailable()
+      val rows = spark.table("funnel_nonpart").as[FunnelUpdate]
+        .collect().toSet
+      assert(!rows.exists(_.user_id == 7L), rows)
+      assert(rows.exists(r => r.user_id == 1L && r.view_us.contains(10 * H)))
+    } finally query.stop()
+  }
+
+  test("cohort stream: idle expiry re-anchors a returning user; without it the cohort survives") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import StreamingOps.{CohortActivity, CohortEvent}
+    val H = 3600L * 1000000L
+    def run(expiry: Option[java.time.Duration], name: String): Seq[CohortActivity] = {
+      val input = MemoryStream[CohortEvent]
+      val query = StreamingOps.cohortActivityStream(
+          input.toDS(), periodSeconds = 3600L, idleExpiry = expiry)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(CohortEvent(1L, 10 * H)) // cohort anchors at hour 10
+        query.processAllAvailable()
+        // flushers: advance the watermark past user 1 (commit), then past
+        // the idle horizon twice so the expiry timeout fires
+        for (h <- Seq(12L, 14L, 16L))
+          { input.addData(CohortEvent(99L, h * H)); query.processAllAvailable() }
+        input.addData(CohortEvent(1L, 20 * H)) // the user returns
+        query.processAllAvailable()
+        input.addData(CohortEvent(99L, 23L * H)) // commit the return
+        query.processAllAvailable()
+        spark.table(name).as[CohortActivity].collect().toSeq
+          .filter(_.user_id == 1L).sortBy(_.period_offset)
+      } finally query.stop()
+    }
+    val kept = run(None, "cohort_noexpiry")
+    // exactly-once against the ORIGINAL anchor: offsets 0 and 10
+    assert(kept.map(a => (a.cohort_start, a.period_offset)) ===
+      Seq((10L * 3600L, 0L), (10L * 3600L, 10L)))
+    val expired = run(Some(java.time.Duration.ofMinutes(30)), "cohort_expiry")
+    // state dropped in the quiet gap: the return RE-ANCHORS as a new
+    // cohort (the documented exactly-once-per-state-lifetime caveat)
+    assert(expired.map(a => (a.cohort_start, a.period_offset)) ===
+      Seq((10L * 3600L, 0L), (20L * 3600L, 0L)))
+  }
+
   test("streaming retention rate (q98 twin) matches the batch rate matrix") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -1102,17 +1193,20 @@ class StreamingOpsSpec extends SparkSpec {
             .withColumn("ts", timestamp_micros(col("ts_micros"))),
           "key", "ts", "value", period)
         .collect().map(r => GapFillRow(r.getLong(0), r.getLong(1),
-          r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+          r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
       val (inSpan, pastSpan) = rows.filter(_.key == 1L)
         .partition(_.win_start <= 122L * period)
-      assert(inSpan === batch1)
+      assert(inSpan === batch1) // incl. the forward-filled filled_sum
       // past its last event the key heartbeats zeros until expiry — the
-      // batch op (which knows the span end) has no counterpart rows
-      assert(pastSpan.forall(r => r.cnt == 0L && r.value_sum.isEmpty))
+      // batch op (which knows the span end) has no counterpart rows; the
+      // ffill carry persists across the heartbeat zeros
+      assert(pastSpan.forall(r =>
+        r.cnt == 0L && r.value_sum.isEmpty && r.filled_sum.contains(7.5)))
       assert(pastSpan.size === 2)
       // key 2: its data row + exactly maxSilentPeriods zero heartbeats
       val k2 = rows.filter(_.key == 2L).toSeq.sortBy(_.win_start)
-      assert(k2.head === GapFillRow(2L, 120L * period, 1L, Some(1.25)))
+      assert(k2.head === GapFillRow(2L, 120L * period, 1L, Some(1.25), Some(1.25)))
       assert(k2.tail.map(r => (r.cnt, r.value_sum)).toSet === Set((0L, None)))
       assert(k2.size === 3) // 1 data row + 2 zeros, then the key expired
     } finally query.stop()
