@@ -60,12 +60,22 @@ object IvfIndex {
     * < k seeds), so `k` is an upper bound on the returned codebook size —
     * `knn` probes whatever codebook exists.
     */
-  def train(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** The seeding sample train() starts from — exposed so the plan-shape
+    * spec asserts TakeOrderedAndProject on the SHIPPED code path (a test
+    * rebuilding the query inline would keep passing after a regression
+    * here).
+    */
+  private[graft] def seedSample(emb: DataFrame, k: Int): DataFrame = {
     val sampleHash = xxhash64(col("vec_id"))
-    var centroids = emb
+    emb
       .select(col("vec_id"), col("embedding"))
       .orderBy(sampleHash.asc, col("vec_id").asc)
       .limit(k * 8) // TakeOrderedAndProject: per-partition top-8k, no shuffle
+  }
+
+  def train(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val sampleHash = xxhash64(col("vec_id"))
+    var centroids = seedSample(emb, k)
       .groupBy("embedding").agg(min("vec_id").as("vec_id")) // ≤ 8k rows
       .orderBy(sampleHash.asc, col("vec_id").asc).limit(k)
       .select(

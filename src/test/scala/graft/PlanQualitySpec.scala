@@ -38,7 +38,10 @@ class PlanQualitySpec extends SparkSpec {
   test("q06: global top-k plans as TakeOrderedAndProject, not Sort+Limit") {
     val p = plan("q06_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
-    assert(!p.contains("GlobalSort"), p)
+    // a regressed Sort+Limit needs a range-partitioning exchange for the
+    // global sort; TakeOrderedAndProject never does. (No plan node prints
+    // as "GlobalSort" — the old assert could never fire.)
+    assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
   test("q10: fact-fact join has no cartesian product or nested loop") {

@@ -78,12 +78,19 @@ class PipelineSpec extends SparkSpec {
 
   test("jdbcUrl routes the aggregate to the JDBC sink (no driver offline)") {
     val out = tmpDir()
-    // No JDBC driver jar exists in this container, so the write must fail —
-    // proving the option plumbing reaches the JDBC path, not parquet.
-    intercept[Exception] {
+    // No sqlite JDBC driver jar exists in this container, so the write
+    // must fail INSIDE the JDBC machinery — proving the option plumbing
+    // reaches the JDBC path, not parquet. Assert the failure is the
+    // missing-driver class, not some earlier validation error (any
+    // `intercept[Exception]` would also pass on a jdbcUrl-parsing bug
+    // that never reached a sink). Happy path is DerbyJdbcSinkSpec.
+    val e = intercept[Exception] {
       Pipeline.runEtl(spark, csv, out,
         jdbcUrl = Some("jdbc:sqlite:" + out + "/agg.db"))
     }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ").toLowerCase
+    assert(msgs.contains("driver"), msgs)
     assert(!new java.io.File(s"$out/agg_trades_weekly").exists)
   }
 }

@@ -65,11 +65,18 @@ class GramRunStatsKernelSpec extends SparkSpec {
     compare(texts, ns = 2 to 10)
   }
 
-  test("kernel runs inside codegen on the corpus (plan smoke)") {
+  test("kernel runs inside codegen on the corpus (plan-asserted)") {
     val df = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(TextFingerprints.gramRunStats(
         TextOps.tokens(TextOps.normalized(col("text"))), 3).as("g"))
       .select(col("g.top_count"))
+    // the GENERATED code must contain the direct static kernel call —
+    // an expression that lost doGenCode would fall back to interpreted
+    // eval (reflective call on the expression object) and still return
+    // correct values, so a result-only smoke can't catch the regression
+    val gen = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(gen.contains("TextKernels.gramRunStats"), gen.take(2000))
     assert(df.agg(max("top_count")).collect().head.getLong(0) >= 1L)
   }
 }

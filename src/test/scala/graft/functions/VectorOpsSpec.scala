@@ -43,7 +43,10 @@ class VectorOpsSpec extends SparkSpec {
         VectorOps.dotHof(col("ea"), col("eb")).as("dh"),
         VectorOps.cosine(col("ea"), col("eb")).as("cn"),
         VectorOps.cosineHof(col("ea"), col("eb")).as("ch"))
-      .filter(col("dn") =!= col("dh") || col("cn") =!= col("ch"))
+      // null-SAFE compare: =!= is NULL when either side is NULL, and the
+      // filter would silently drop exactly the rows where a regression
+      // made the kernel return NULL (its live zero-norm failure mode)
+      .filter(!(col("dn") <=> col("dh")) || !(col("cn") <=> col("ch")))
       .count()
     assert(diff === 0)
   }

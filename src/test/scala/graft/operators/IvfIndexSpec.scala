@@ -20,10 +20,10 @@ class IvfIndexSpec extends SparkSpec {
 
   test("seeding samples via TakeOrderedAndProject — no full-corpus shuffle") {
     val emb = graft.Tables.embeddings(spark, sf)
-    val seeds = emb
-      .select(col("vec_id"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
-      .limit(64)
+    // assert on the SHIPPED seeding path (IvfIndex.seedSample feeds
+    // train), not an inline rebuild of the query — a seeding regression
+    // in the operator must fail this, not just a lookalike
+    val seeds = IvfIndex.seedSample(emb, k = 8)
     val plan = seeds.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("Exchange"), plan)

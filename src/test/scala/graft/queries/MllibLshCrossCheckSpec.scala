@@ -41,5 +41,24 @@ class MllibLshCrossCheckSpec extends SparkSpec {
     val overlap = ours.intersect(mlPairs).size.toDouble / ours.size
     info(s"custom-LSH truth pairs: ${ours.size}; ml recall of them: $overlap")
     assert(overlap >= 0.8, s"ml MinHashLSH found only $overlap of our pairs")
+
+    // REVERSE direction — the half that catches an UNDER-emitting custom
+    // LSH (a banding bug collapsing our candidate set would still pass
+    // the forward check on the few pairs left): of ML's candidates that
+    // verify at true Jaccard >= 0.9 on our shingles, our pipeline must
+    // also surface >= 80%.
+    val shingles = docs.collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[String](1)).map(_.toSet)
+        .getOrElse(Set.empty)).toMap
+    def jac(a: Long, b: Long): Double = {
+      val (sa, sb) = (shingles(a), shingles(b))
+      if (sa.isEmpty && sb.isEmpty) 0.0
+      else sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    val mlTruth = mlPairs.filter { case (a, b) => jac(a, b) >= 0.9 }
+    assert(mlTruth.nonEmpty, "ml surfaced no high-Jaccard pairs to cross-check")
+    val reverse = mlTruth.intersect(ours).size.toDouble / mlTruth.size
+    info(s"ml truth pairs: ${mlTruth.size}; our recall of them: $reverse")
+    assert(reverse >= 0.8, s"our LSH found only $reverse of ml's verified pairs")
   }
 }

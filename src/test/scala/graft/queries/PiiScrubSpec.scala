@@ -43,8 +43,8 @@ class PiiScrubSpec extends SparkSpec {
     val out = TextQueries.piiScrubOf(docs)
     assert(out.filter(col("n_emails") =!= 0L || col("n_ipv4") =!= 0L ||
       col("n_phones") =!= 0L).count() === 0L)
-    assert(out.join(docs, "doc_id")
-      .filter(col("text_redacted") =!= col("text")).count() === 0L)
+    assert(out.join(docs, "doc_id") // null-safe: a NULL redaction must FAIL
+      .filter(!(col("text_redacted") <=> col("text"))).count() === 0L)
   }
 
   test("registry q79 seeds one deterministic PII item of each kind per doc") {

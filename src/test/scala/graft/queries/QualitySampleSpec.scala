@@ -20,11 +20,12 @@ class QualitySampleSpec extends SparkSpec {
     val b = graft.SparkEntry.queries("q78_quality_sample")(spark, sf)
     val rowsA = a.collect().map(_.toSeq).toSet
     assert(rowsA === b.collect().map(_.toSeq).toSet)
+    val n = graft.Tables.documents(spark, sf).count().toDouble
     val meanQ = TextQueries.scoreDocs(graft.Tables.documents(spark, sf))
       .agg(avg("quality")).collect().head.getDouble(0)
-    val frac = rowsA.size / 500.0
-    // Bernoulli(p_i) sum: σ ≤ 0.5/√500 ≈ 0.022 → ±0.09 is > 4σ
-    assert(math.abs(frac - meanQ) < 0.09, s"frac $frac vs meanQ $meanQ")
+    val frac = rowsA.size / n
+    // Bernoulli(p_i) sum: σ ≤ 0.5/√n ≈ 0.022 at n=500 → ±0.09 is > 4σ
+    assert(math.abs(frac - meanQ) < 0.09, s"frac $frac vs meanQ $meanQ (n=$n)")
   }
 
   test("quality 0 never keeps; quality ~1 keeps") {
@@ -51,7 +52,13 @@ class QualitySampleSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val common = mix.keySet & qs.keySet
     assert(common.nonEmpty)
-    assert(common.exists(id => mix(id) != qs(id))) // different salts
+    // independence is a POPULATION property: md5 streams under different
+    // salts should collide on ~0 of ~500 keys — `exists(_ != _)` would
+    // pass even if 99.8% of the keys were identical (the ShuffleShardSpec
+    // bound, applied here)
+    val equal = common.count(id => mix(id) == qs(id))
+    assert(equal.toDouble / common.size < 0.01,
+      s"$equal of ${common.size} keys identical across ':mix'/':qs' salts")
   }
 
   test("TrainingPipeline.export(qualitySample = true) subsets the hard-filtered pool") {

@@ -48,8 +48,8 @@ class SplitAssignSpec extends SparkSpec {
       assert(out.select("doc_id").distinct().count() === docs.count())
       // clustered docs carry their q43 cluster id as the split group
       val q43 = SparkEntry.queries("q43_dedup_clusters")(spark, sf)
-      assert(out.join(q43, "doc_id")
-        .filter(col("group_id") =!= col("cluster_id")).count() === 0L)
+      assert(out.join(q43, "doc_id") // null-safe: NULL group_id must FAIL
+        .filter(!(col("group_id") <=> col("cluster_id"))).count() === 0L)
       // split agrees with its own key at the 90/5/5 thresholds
       val trainHex = TextQueries.sampleThresholdHex(TextQueries.splitTrainFrac)
       val valHex = TextQueries.sampleThresholdHex(

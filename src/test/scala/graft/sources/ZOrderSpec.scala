@@ -74,7 +74,7 @@ class ZOrderSpec extends SparkSpec {
     val bad = q.withColumn("expect",
         ZOrderLayout.mortonKey(pmod(col("user_id"), lit(65536L)),
           pmod(col("t_bucket"), lit(65536L))))
-      .filter(col("zkey") =!= col("expect"))
+      .filter(!(col("zkey") <=> col("expect"))) // null-safe: NULL ≠ pass
     assert(bad.count() === 0L)
     assert(q.count() > 0L)
   }

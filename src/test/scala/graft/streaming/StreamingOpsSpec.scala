@@ -21,7 +21,7 @@ class StreamingOpsSpec extends SparkSpec {
     val out = df.select(
       StreamingOps.weeklyWindow(col("t")).getField("start").cast("date").as("win"),
       date_trunc("week", col("t")).cast("date").as("trunc"))
-    assert(out.filter(col("win") =!= col("trunc")).count() === 0)
+    assert(out.filter(!(col("win") <=> col("trunc"))).count() === 0)
   }
 
   test("streaming weekly agg equals the batch weekly agg on the same rows") {
@@ -446,6 +446,34 @@ class StreamingOpsSpec extends SparkSpec {
         .select("doc_a", "doc_b").distinct().collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(!pairs.contains((1L, 3L)), pairs.toString)
+    } finally query.stop()
+  }
+
+  test("near-dup candidate state is retained ACROSS batches within the horizon") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // positive control for the expiry test above: if state writes were
+    // broken so candidates never survived a batch boundary, the expiry
+    // test would pass VACUOUSLY (no cross-batch pair ever forms) and the
+    // single-batch parity tests wouldn't notice either
+    val dup = "the quick brown fox jumps over the lazy dog near the river bank"
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val query = StreamingOps.neardupCandidates(
+        input.toDF().toDF("doc_id", "text", "event_time"),
+        delay = "10 minutes")
+      .writeStream.format("memory").queryName("neardup_retain")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, dup, ts("2023-01-01 10:00:00")))
+      query.processAllAvailable()
+      // doc 3 duplicates doc 1 in a LATER micro-batch, 2 min later —
+      // well inside the 10-minute horizon: the pair MUST form
+      input.addData((3L, dup, ts("2023-01-01 10:02:00")))
+      query.processAllAvailable()
+      val pairs = spark.table("neardup_retain")
+        .select("doc_a", "doc_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 3L)), pairs.toString)
     } finally query.stop()
   }
 
