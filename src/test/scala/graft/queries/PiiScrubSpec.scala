@@ -41,16 +41,18 @@ class PiiScrubSpec extends SparkSpec {
   test("raw corpus contains no PII: zero counts, redaction is identity") {
     val docs = Tables.documents(spark, sf)
     val out = TextQueries.piiScrubOf(docs)
-    assert(out.filter(col("n_emails") =!= 0L || col("n_ipv4") =!= 0L ||
-      col("n_phones") =!= 0L).count() === 0L)
+    assert(out.filter(!(col("n_emails") <=> lit(0L)) ||
+      !(col("n_ipv4") <=> lit(0L)) ||
+      !(col("n_phones") <=> lit(0L))).count() === 0L)
     assert(out.join(docs, "doc_id") // null-safe: a NULL redaction must FAIL
       .filter(!(col("text_redacted") <=> col("text"))).count() === 0L)
   }
 
   test("registry q79 seeds one deterministic PII item of each kind per doc") {
     val q = SparkEntry.queries("q79_pii_scrub")(spark, sf)
-    assert(q.filter(col("n_emails") =!= 1L || col("n_ipv4") =!= 1L ||
-      col("n_phones") =!= 1L).count() === 0L)
+    assert(q.filter(!(col("n_emails") <=> lit(1L)) ||
+      !(col("n_ipv4") <=> lit(1L)) ||
+      !(col("n_phones") <=> lit(1L))).count() === 0L)
     assert(q.count() === Tables.documents(spark, sf).count())
   }
 
