@@ -101,8 +101,11 @@ object Bench {
     // truncated first on long lines (lost round 6's total + q00–q23).
     val total = results.map(_._2).filter(_ >= 0).sum
     // failed queries are excluded from `total` — surface WHICH, so two
-    // rounds' totals are never silently compared over different query sets
-    val failed = all.collect { case (k, v) if v < 0 => s""""$k"""" }
+    // rounds' totals are never silently compared over different query
+    // sets. REGISTERED queries only: the scaled twins never enter the
+    // total, so a failed twin must not cast doubt on it (its own -1
+    // stays visible under its key in `queries`).
+    val failed = results.collect { case (k, v) if v < 0 => s""""$k"""" }
       .mkString("[", ",", "]")
     println(
       s"""{"queries":$qs,"failed":$failed,"sf":"$sfDir","unit":"sec","metric":"total_query_sec","value":${f3(total)}}""")

@@ -61,8 +61,15 @@ object Sinks {
       // toggle would silently string-type partition columns for every
       // CONCURRENT query in the same session (and two concurrent compacts
       // race the restore). newSession shares the SparkContext but owns
-      // its conf, so the inference change is scoped to this rewrite.
+      // its conf — it starts from BUILDER-time options only, so the
+      // caller's runtime `spark.conf.set` state (codec, ANSI, file
+      // sizing …) is copied over first: the rewrite must run under the
+      // caller's settings, just with inference scoped off.
       val scoped = spark.newSession()
+      spark.conf.getAll.foreach { case (k, v) =>
+        try scoped.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf
+      }
       scoped.conf.set(
         "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       val df = scoped.read.format(format).load(path)

@@ -693,9 +693,15 @@ object StreamingOps {
       val merged = (prev.buffer ++ fresh)
         .sortBy(e => (e._1, -stepSeq.indexOf(e._2)))
       val (commit, keep) = merged.partition(_._1 < wmUs)
-      // nothing usable and no state yet (every row late-dropped): emit
-      // nothing and — critically — create no state; state.update here
-      // would pin an all-None user in the store forever
+      // nothing usable and no state yet (non-funnel-only user, or every
+      // row late-dropped): emit nothing and — critically — create no
+      // state. This guard, not a Dataset-level type filter, is what keeps
+      // non-participants out of the store: a `filter(isin(steps))` before
+      // groupByKey gets PUSHED BELOW the watermark node by Catalyst (the
+      // predicate doesn't reference event_time), so only funnel-type rows
+      // would advance the watermark and a stream of mostly non-funnel
+      // traffic would never commit buffered tails or fire idle expiries
+      // (caught by the scroll-flusher expiry spec).
       if (!state.exists && commit.isEmpty && keep.isEmpty)
         return Iterator.empty
       val committed = commit.foldLeft(
@@ -719,10 +725,6 @@ object StreamingOps {
     }
 
     events
-      // pre-filter to funnel types, like the batch operator: without it
-      // every user in the whole stream forms a group, and non-participants
-      // would hold permanent state and emit spurious all-None rows
-      .filter(col("event_type").isin(stepSeq.map(s => s: Any): _*))
       .withColumn("event_time", timestamp_micros(col("ts_micros")))
       .withWatermark("event_time", delay)
       .as[FunnelEvent]

@@ -1001,12 +1001,16 @@ class StreamingOpsSpec extends SparkSpec {
         // flushers advance the watermark in stages: the first brings the
         // watermark past user 1's events; the second fires the commit
         // timeout (folding the buffer into the minima, arming the idle
-        // expiry); the third fires the idle-expiry timeout itself
-        input.addData(FunnelEvent(99L, 10 * H + 60 * M, "view"))
+        // expiry); the third fires the idle-expiry timeout itself.
+        // NON-funnel type on purpose: the type filter must sit AFTER the
+        // watermark node, so ongoing non-funnel traffic still advances
+        // the watermark (filtering before it would stall commits and
+        // expiries forever — this spec then hangs on the kept-state leg)
+        input.addData(FunnelEvent(99L, 10 * H + 60 * M, "scroll"))
         query.processAllAvailable()
-        input.addData(FunnelEvent(99L, 12 * H, "view"))
+        input.addData(FunnelEvent(99L, 12 * H, "scroll"))
         query.processAllAvailable()
-        input.addData(FunnelEvent(99L, 13 * H, "view"))
+        input.addData(FunnelEvent(99L, 13 * H, "scroll"))
         query.processAllAvailable()
         // user 1 returns with a purchase (above the current watermark)
         input.addData(FunnelEvent(1L, 13 * H + M, "purchase"))
