@@ -27,8 +27,8 @@ object VectorQueries {
     * has near-zero recall; OR-ing tables restores it). Fixed seed — same
     * planes every run.
     */
-  private val nTables = 4
-  private val nBits   = 8
+  private[queries] val nTables = 4
+  private[queries] val nBits   = 8
   private[queries] val planes: Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(42)
     Array.fill(nTables, nBits, 64)(rnd.nextGaussian())
@@ -41,6 +41,10 @@ object VectorQueries {
     }
     bits.reduce(_ + _)
   }
+
+  /** (vec_id, table, bucket) home assignments — the spec's recount handle. */
+  private[queries] def bucketsOf(df: DataFrame): DataFrame =
+    withBuckets(df).select("vec_id", "table", "bucket")
 
   private def withBuckets(df: DataFrame): DataFrame =
     df.select(
@@ -84,6 +88,51 @@ object VectorQueries {
       .filter(col("vec_id") < col("probe_id"))
       .select(col("vec_id").as("id_a"), col("probe_id").as("id_b"))
       .distinct()
+  }
+
+  /** Candidate-volume forecast for the embedding LSH family — the
+    * [[graft.queries.TextQueries.lshBucketStats]] analogue for the
+    * multiprobe path. Per table: the largest home bucket, the in-bucket
+    * pair cost Σ sz·(sz−1)/2, the cross-bucket multiprobe pair cost
+    * (Σ over Hamming-1 bucket neighbor pairs of sz_B·sz_B′ — each
+    * unordered candidate survives the `vec_id < probe_id` filter exactly
+    * once, so `candidate_pairs` IS the pre-`distinct` candidate row count
+    * as long as no bucket exceeds the cap; over-cap buckets are dropped
+    * from both sides by the expansion, so when `buckets_over_cap` > 0 the
+    * true count is lower — this view reports the UNCAPPED worst case,
+    * like its minhash sibling), and how
+    * many buckets the hot-bucket cap would skip. Everything derives from
+    * the (table, bucket, sz) aggregate — ≤ nTables·2^nBits rows — so an
+    * operator prices the expansion's memory/spill BEFORE running it: the
+    * 100× replication probe (ScaleProbe, SCALE.md §2b) measured the
+    * candidate dedup spilling ~80 GB at a flood point this view predicts
+    * from a seconds-cheap aggregate.
+    */
+  def embLshBucketStats(s: SparkSession, d: String): DataFrame =
+    embLshBucketStatsOf(Tables.embeddings(s, d))
+
+  private[queries] def embLshBucketStatsOf(emb: DataFrame): DataFrame = {
+    val sizes = withBuckets(emb)
+      .groupBy("table", "bucket").agg(count(lit(1)).as("sz"))
+    // neighbor cost via a self-join of the SIZE table on the 1-bit flips
+    // (tiny × tiny — never the embedding table); each unordered neighbor
+    // pair (B, B′) appears in both probe directions, hence the /2
+    val flips = sizes.select(col("table"),
+      explode(array((0 until nBits).map(j =>
+        col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"),
+      col("sz").as("nsz"))
+    val probeCost = sizes.join(flips, Seq("table", "bucket"))
+      .groupBy("table")
+      .agg((sum(col("sz") * col("nsz")) / 2).cast("long").as("probe_pairs"))
+    sizes.groupBy("table")
+      .agg(
+        max(col("sz")).as("max_bucket"),
+        sum(col("sz") * (col("sz") - 1) / 2).cast("long").as("home_pairs"),
+        count(when(col("sz") > TextQueries.defaultMaxBucket, 1))
+          .as("buckets_over_cap"))
+      .join(probeCost, Seq("table"), "left")
+      .withColumn("candidate_pairs",
+        col("home_pairs") + coalesce(col("probe_pairs"), lit(0L)))
   }
 
   /** The q35 pair stage as a reusable frame: multiprobe sign-LSH candidate
