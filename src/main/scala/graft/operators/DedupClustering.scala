@@ -7,11 +7,30 @@ import org.apache.spark.sql.functions._
   * CLUSTERS via connected components, so each group keeps one canonical
   * document. Min-label propagation: every node's label is the smallest
   * doc_id reachable from it; iterate label = min(label, neighbors' labels)
-  * to fixpoint. Each iteration is one shuffle join + one aggregation;
-  * iteration count is the graph diameter (tiny for dup clusters, which are
-  * near-cliques — LSH emits most intra-cluster edges directly).
+  * to fixpoint. Iteration count is the graph diameter (tiny for dup
+  * clusters, which are near-cliques — LSH emits most intra-cluster edges
+  * directly).
+  *
+  * DELTA iteration: only a label that DECREASED last round can lower a
+  * neighbor this round (an unchanged neighbor's value was already offered
+  * the round it last changed, and at round 0 every node offers its label),
+  * so each round joins the edge table against the CHANGED labels only —
+  * not the full label table. Labels produced are identical round-for-round
+  * to the dense recurrence, but the join's build side collapses
+  * geometrically (measured on the 10× replication probe: changed counts
+  * 67 → 166 → 11 → 0 over 270k pairs), and because the changed count is
+  * known exactly when the round starts, the small side is broadcast
+  * outright — the materialized edge blocks are SCANNED, never re-shuffled,
+  * after round 0. At 100× (29.2M pairs, 58M mirrored edge rows) the dense
+  * recurrence re-shuffled all 58M rows every round. Deltas wider than
+  * `spark.graft.cc.broadcastRows` (default 1M — ~tens of MB hashed) fall
+  * back to the dense shuffle join, so a billion-node round 0 on a real
+  * cluster never tries to broadcast the world.
   */
 object DedupClustering {
+
+  private val BroadcastRowsConf = "spark.graft.cc.broadcastRows"
+  private val DefaultBroadcastRows = 1L << 20
 
   /** pairs(doc_a, doc_b) → (doc_id, cluster_id) where cluster_id is the
     * minimum doc_id of the component. Only documents that appear in at
@@ -100,28 +119,49 @@ object DedupClustering {
       edges.groupBy(col("src").as("doc_id"))
         .agg(least(min(col("dst")), first(col("src"))).as("cluster_id")))
 
+    // Per-iteration observability, off by default: the iterative loop is
+    // the cost center of every dedup-apply query, and "how many rounds,
+    // how long each" is the first question at a new data scale. Gated on
+    // session conf so production plans carry zero overhead.
+    val conf = pairs.sparkSession.conf
+    val debug = conf.getOption("spark.graft.cc.debug").contains("true")
+    val broadcastRows = conf.getOption(BroadcastRowsConf)
+      .map(_.toLong).getOrElse(DefaultBroadcastRows)
+
+    // Round 0's delta is the whole label table: every node's initial label
+    // is a fresh offer to its neighbors. The count is one cheap action over
+    // the just-materialized partitions and buys the broadcast decision.
+    var delta = labels
+    var deltaRows = labels.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // neighbor labels: for each node, the smallest label among neighbors
+      val t0 = if (debug) System.nanoTime() else 0L
+      // smallest CHANGED neighbor label per node (unchanged neighbors were
+      // incorporated the round they last changed — see scaladoc)
+      val offers = delta.withColumnRenamed("doc_id", "dst")
       val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .join(if (deltaRows <= broadcastRows) broadcast(offers) else offers, "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("cluster_id")).as("n_label"))
       // carry old + new label through the checkpoint: the convergence probe
-      // then filters the MATERIALIZED partitions instead of re-joining next
-      // against labels (which would cost an extra shuffle join per round)
+      // AND the next round's delta then filter the MATERIALIZED partitions
+      // instead of re-joining (which would cost a shuffle join per round)
       val (next, nextDirs) = persist(
         labels.join(viaNeighbors, Seq("doc_id"), "left")
           .select(col("doc_id"), col("cluster_id").as("old_id"),
             least(col("cluster_id"), coalesce(col("n_label"), col("cluster_id")))
               .as("cluster_id")))
       // labels only ever decrease, so "changed" is new < old
-      val changed = next.filter(col("cluster_id") < col("old_id")).count()
+      delta = next.filter(col("cluster_id") < col("old_id"))
+        .select("doc_id", "cluster_id")
+      deltaRows = delta.count()
       delete(labelDirs) // next is materialized — the old labels are dead state
       labels = next.select("doc_id", "cluster_id")
       labelDirs = nextDirs
-      converged = changed == 0
+      converged = deltaRows == 0
+      if (debug) System.err.println(
+        f"[graft.cc] iter=$i changed=$deltaRows sec=${(System.nanoTime() - t0) / 1e9}%.3f")
       i += 1
     }
     if (converged) delete(edgeDirs) // the result references only labelDirs

@@ -72,4 +72,56 @@ class DedupClusteringSpec extends SparkSpec {
       .map[String](_.toString).toArray
     assert(rddDirs.length === 1, s"expected 1 surviving checkpoint, got: ${rddDirs.toSeq}")
   }
+
+  /** Driver-side union-find ground truth for the equivalence tests. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // roots are not guaranteed minimal under rank-less union — normalize to
+    // the component MIN, which is the operator's contract
+    val byRoot = parent.keys.groupBy(find)
+    byRoot.flatMap { case (_, members) =>
+      val m = members.min
+      members.map(_ -> m)
+    }.toMap
+  }
+
+  // Random-topology equivalence: the delta-iteration recurrence must label
+  // every component with its minimum on ARBITRARY graphs (mixed cliques,
+  // chains, hubs, singles), not just the handcrafted shapes above.
+  test("random graph labels match driver-side union-find ground truth") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val pairs = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    val expected = unionFind(pairs)
+    val cc = DedupClustering.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(cc === expected)
+  }
+
+  // The changed-labels build side is broadcast when its count is under
+  // spark.graft.cc.broadcastRows and falls back to a shuffle join above it;
+  // both paths must produce identical labels (bit-for-bit, same rounds).
+  test("broadcast delta path and shuffle fallback produce identical labels") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val pairs = Seq.fill(150)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.toDF("doc_a", "doc_b")
+    val viaBroadcast = DedupClustering.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    spark.conf.set("spark.graft.cc.broadcastRows", "0")
+    try {
+      val viaShuffle = DedupClustering.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(viaShuffle === viaBroadcast)
+    } finally spark.conf.unset("spark.graft.cc.broadcastRows")
+  }
 }
