@@ -1205,11 +1205,14 @@ object TextQueries {
     *
     * Target set = docs with qualityScore ≥ `minQuality` (the pipeline's
     * own quality gate), so the scorer needs no external target corpus.
-    * Plan shape: one narrow tokenize+bucket pass, a 256-row aggregate
+    * Plan shape: one narrow tokenize+bucket pass into a 256-row aggregate
     * carrying BOTH distributions (target counts filtered inside the same
-    * groupBy — one pass, not two), a 1-row totals aggregate, and a
-    * broadcast of the 256-row weight table back onto the token stream —
-    * the only corpus-scale shuffle is the final per-doc sum.
+    * groupBy — one pass, not two) plus a 1-row totals aggregate — that IS
+    * the trained model, so it is collected (≤256 rows, the documented
+    * codebook class) and scoring is a second, pure narrow projection per
+    * doc ([[importanceScoreCol]]): no explode, no join, no per-doc
+    * shuffle. This is also exactly the frozen-weights shape the streaming
+    * twin deploys, so batch and stream share one scoring kernel.
     */
   private def tokenBuckets(docs: DataFrame, minQuality: Double): DataFrame =
     docs
@@ -1237,23 +1240,33 @@ object TextQueries {
   }
 
   private[graft] def importanceScoresOf(
-      docs: DataFrame, minQuality: Double = 0.5): DataFrame =
-    tokenBuckets(docs, minQuality)
-      .join(broadcast(importanceWeightsOf(docs, minQuality)), Seq("bucket"))
-      .groupBy("doc_id")
-      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_tokens"))
+      docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    // The weight table is the whole trained model; its 256-row + 1-row
+    // aggregates (an Exchange SinglePartition on ≤256 pre-aggregated rows)
+    // run HERE, at construction, not in the returned plan.
+    val w = importanceWeightsOf(docs, minQuality)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        importanceScoreCol(col("text"), w).as("score"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+  }
 
   /** Per-row importance score against a FIXED weight map (bucket → w):
-    * bucket each token, look the weight up in the map literal, sum
+    * bucket each token, index the weight in a dense 256-slot array
+    * literal (buckets are two md5 hex digits, so the domain is exactly
+    * 0..255 — O(1) per token, vs a map literal's linear key scan), sum
     * left-to-right — a pure narrow projection, so it is streaming-safe
     * and costs zero shuffles. Buckets absent from the map score 0.
     */
   private[graft] def importanceScoreCol(
       text: Column, weights: Map[Long, Long]): Column = {
-    val m = typedlit(weights)
+    require(weights.keys.forall(b => 0L <= b && b < 256L),
+      s"importance buckets must be 0..255, got: ${weights.keys.filterNot(b => 0L <= b && b < 256L).take(3)}")
+    val table = typedlit((0L until 256L).map(weights.getOrElse(_, 0L)))
     aggregate(
       transform(TextOps.tokens(TextOps.normalized(text)),
-        t => coalesce(element_at(m, termBucketCol(t)), lit(0L))),
+        t => element_at(table, (termBucketCol(t) + lit(1L)).cast("int"))),
       lit(0L), (acc, x) => acc + x)
   }
 

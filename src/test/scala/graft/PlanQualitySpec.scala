@@ -183,10 +183,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("q89: the weight table broadcasts back onto the token stream") {
+  test("q89: scoring against the collected weight table is one narrow projection") {
+    // the ≤256-row weight model is trained at construction and embedded as
+    // an array literal — the registered plan must be join-free and
+    // exchange-free: score + n_tokens compute per row over the scan, with
+    // the null-text filter pushed into the parquet scan
     val p = plan("q89_importance_weight", "simple")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange"), p)
+    val f = plan("q89_importance_weight")
+    assert(f.contains("PushedFilters: [IsNotNull(text)]"), f)
   }
 
   test("q91: funnel is ONE exchange end-to-end; step filter reaches the scan") {

@@ -60,8 +60,10 @@ class QueriesSmokeSpec extends SparkSpec {
       "q87_token_budget" -> Set("Exchange SinglePartition"),
       // merged Misra–Gries sketch (one row) + threshold scalar join
       "q88_heavy_hitters" -> Set("Exchange SinglePartition", "BroadcastNestedLoopJoin"),
-      // 256-row weight table build + corpus-total scalar join
-      "q89_importance_weight" -> Set("Exchange SinglePartition", "BroadcastNestedLoopJoin"),
+      // q89 has no entry: its 256-row weight-table build (which carries a
+      // SinglePartition totals aggregate) runs at query CONSTRUCTION — the
+      // registered plan is the narrow frozen-weights scoring projection
+      // (importanceScoresOf scaladoc documents the construction-time job)
       // the profile IS a global one-row aggregate (that's the operator);
       // partial aggregation happens map-side, the single partition merges
       // #partitions pre-aggregated rows
