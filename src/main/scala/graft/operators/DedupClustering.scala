@@ -26,11 +26,48 @@ import org.apache.spark.sql.functions._
   * `spark.graft.cc.broadcastRows` (default 1M — ~tens of MB hashed) fall
   * back to the dense shuffle join, so a billion-node round 0 on a real
   * cluster never tries to broadcast the world.
+  *
+  * SMALL-GRAPH FAST PATH: a graph whose exact (materialized) edge count
+  * is under `spark.graft.cc.collectEdges` (default 2^20 canonical edges —
+  * a ≤16 MB collect, the bounded-driver-state discipline of the codebook
+  * collects) skips the loop entirely: union-find on the driver, labels
+  * identical (union-by-min makes every root its component's minimum;
+  * spec'd equal to the loop on random graphs). The per-round fixed cost
+  * of the loop — join + aggregate + checkpoint + convergence count, ~3
+  * jobs per diameter round — dwarfs the actual work at that size.
   */
 object DedupClustering {
 
   private val BroadcastRowsConf = "spark.graft.cc.broadcastRows"
   private val DefaultBroadcastRows = 1L << 20
+  private val CollectEdgesConf = "spark.graft.cc.collectEdges"
+  private val DefaultCollectEdges = 1L << 20
+
+  /** Driver-side union-find over the canonical (src<dst) edge list, used
+    * by the small-graph fast path. Union attaches the larger root under
+    * the smaller, so each tree's root is the minimum element of its set —
+    * the same labels the distributed recurrence converges to (spec'd
+    * equal on random graphs). Find is iterative (a pathological chain
+    * must not overflow the stack before path compression kicks in).
+    */
+  private def driverUnionFind(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var root = x0
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var x = x0
+      while (parent.getOrElse(x, x) != x) { val nxt = parent(x); parent(x) = root; x = nxt }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keysIterator.map(k => k -> find(k)).toArray
+  }
 
   /** pairs(doc_a, doc_b) → (doc_id, cluster_id) where cluster_id is the
     * minimum doc_id of the component. Only documents that appear in at
@@ -115,18 +152,54 @@ object DedupClustering {
     val (edges, edgeDirs) = persist(
       canon.unionByName(canon.select(col("dst").as("src"), col("src").as("dst"))))
 
-    var (labels, labelDirs) = persist(
-      edges.groupBy(col("src").as("doc_id"))
-        .agg(least(min(col("dst")), first(col("src"))).as("cluster_id")))
-
     // Per-iteration observability, off by default: the iterative loop is
     // the cost center of every dedup-apply query, and "how many rounds,
     // how long each" is the first question at a new data scale. Gated on
     // session conf so production plans carry zero overhead.
-    val conf = pairs.sparkSession.conf
+    val spark = pairs.sparkSession
+    val conf = spark.conf
     val debug = conf.getOption("spark.graft.cc.debug").contains("true")
     val broadcastRows = conf.getOption(BroadcastRowsConf)
       .map(_.toLong).getOrElse(DefaultBroadcastRows)
+    val collectEdges = conf.getOption(CollectEdgesConf)
+      .map(_.toLong).getOrElse(DefaultCollectEdges)
+
+    // SMALL-GRAPH FAST PATH: the mirrored edge table is already
+    // materialized, so its exact size is one cheap action away. A graph
+    // under `spark.graft.cc.collectEdges` canonical edges (default 2^20 —
+    // a ≤16 MB collect, the same bounded-driver-state discipline as the
+    // codebook/centroid collects) is solved by union-find on the driver:
+    // the iterative loop's per-round fixed cost (join + aggregate +
+    // checkpoint + convergence count, ~3 jobs/round for diameter rounds)
+    // dwarfs the actual work at this size. Labels are identical to the
+    // distributed recurrence (union-by-min ⇒ every root is its component's
+    // minimum; spec'd equal on random graphs and against the oracle).
+    // Above the threshold the delta-iteration loop below is the path —
+    // it is what the 100× replication probe exercises (29.2M pairs).
+    val edgeRows = edges.count()
+    if (edgeRows <= 2 * collectEdges) {
+      val arr = driverUnionFind(
+        edges.filter(col("src") < col("dst"))
+          .select(col("src"), col("dst"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+      delete(edgeDirs)
+      if (debug) System.err.println(
+        s"[graft.cc] fast path: ${edgeRows / 2} edges, ${arr.length} nodes union-found on the driver")
+      val rdd = spark.sparkContext
+        .parallelize(arr.toSeq.map { case (d, c) =>
+          org.apache.spark.sql.Row(d, c) },
+          math.max(1, arr.length / (1 << 17)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      return spark.createDataFrame(rdd, schema)
+    }
+
+    var (labels, labelDirs) = persist(
+      edges.groupBy(col("src").as("doc_id"))
+        .agg(least(min(col("dst")), first(col("src"))).as("cluster_id")))
 
     // Round 0's delta is the whole label table: every node's initial label
     // is a fresh offer to its neighbors. The count is one cheap action over
