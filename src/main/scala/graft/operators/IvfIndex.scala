@@ -73,6 +73,58 @@ object IvfIndex {
       .limit(k * 8) // TakeOrderedAndProject: per-partition top-8k, no shuffle
   }
 
+  /** Bit-replayable Lloyd training — the verification twin of [[train]]
+    * (q39b vs q39, the q60-vs-q29 relationship): same algorithm, but every
+    * float accumulation has a DETERMINISTIC, SQL-replayable order, so the
+    * trained codebook — and therefore the whole ANN answer — can be
+    * hash-checked against a DuckDB replay (the one thing the Summarizer
+    * scale path can't offer, its partial sums being partition-ordered).
+    *
+    *  - seeding orders by `md5(vec_id || ':ivfseed')` (the repo's salted-md5
+    *    determinism discipline) instead of xxhash64, which DuckDB lacks;
+    *  - each Lloyd update is the q60 sorted fold: per (cluster, dim), values
+    *    summed left-to-right in vec_id order (`array_sort(collect_list)` →
+    *    HOF fold), then reassembled into the centroid array in dim order.
+    *
+    * This is the VERIFICATION-scale shape: the update explodes dim× the
+    * rows and materializes per-group lists, so [[train]] remains the plan
+    * for 100 TB — CentroidDriftSpec-style bounds tie the two paths, and the
+    * assignment/search machinery ([[knn]], [[assign]]) is shared verbatim.
+    */
+  def trainDet(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val seedHash = md5(concat(col("vec_id").cast("string"), lit(":ivfseed")))
+    var centroids = emb
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(seedHash.asc, col("vec_id").asc)
+      .limit(k * 8) // TakeOrderedAndProject, like seedSample
+      .groupBy("embedding").agg(min("vec_id").as("vec_id"))
+      .orderBy(seedHash.asc, col("vec_id").asc).limit(k)
+      .select(
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(seedHash.asc, col("vec_id").asc)) - 1)
+          .as("cluster_id"),
+        col("embedding").cast("array<double>").as("centroid"))
+    for (_ <- 1 to iters) {
+      val cents = collectCodebook(centroids) // ≤ k tiny rows per iteration
+      centroids = emb
+        .select(col("vec_id"),
+          nearestCol(col("embedding"), cents).as("cluster_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+        .groupBy("cluster_id", "dim")
+        .agg(
+          (aggregate(
+            transform(
+              array_sort(collect_list(struct(col("vec_id"), col("v")))),
+              x => x.getField("v")),
+            lit(0.0), (acc, x) => acc + x) / count(lit(1))).as("cv"))
+        .groupBy("cluster_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cv")))),
+          x => x.getField("cv")).as("centroid"))
+    }
+    centroids
+  }
+
   def train(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val sampleHash = xxhash64(col("vec_id"))
     var centroids = seedSample(emb, k)

@@ -22,6 +22,12 @@ object VectorQueries {
   private val nQueries = 10
   private val topK     = 5
 
+  // IVF family constants, shared by q39 (scale path) and q39b (bit-oracled
+  // deterministic-training twin) so the two stay comparable.
+  private val ivfK      = 16
+  private val ivfIters  = 2
+  private val ivfNprobe = 4
+
   /** Deterministic hyperplanes for sign-LSH: `nTables` independent tables
     * of `nBits` planes each (multi-table LSH — one 2^nBits bucketing alone
     * has near-zero recall; OR-ing tables restores it). Fixed seed — same
@@ -387,10 +393,27 @@ object VectorQueries {
     // IvfIndexSpec bounds recall against the exact q26 answers.
     "q39_knn_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val centroids = IvfIndex.train(emb, k = 16, iters = 2)
+      val centroids = IvfIndex.train(emb, k = ivfK, iters = ivfIters)
       val qs = emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      IvfIndex.knn(emb, centroids, qs, topK, nprobe = 4)
+      IvfIndex.knn(emb, centroids, qs, topK, nprobe = ivfNprobe)
+    }),
+
+    // q39's bit-oracled verification twin (the q60-vs-q29 relationship,
+    // applied to TRAINING): identical IVF search, but Lloyd runs with
+    // md5-salted seeding and q60-style sorted-fold centroid updates, so
+    // every float in the codebook — and therefore the entire approximate
+    // ANN answer, probes included — replays bit-exactly in DuckDB. This
+    // refutes "k-means isn't SQL-replayable" for the IVF family: only the
+    // PARTITION-ORDERED Summarizer mean isn't; the algorithm is. q39 stays
+    // registered as the scale path (one shuffle of whole-vector partial
+    // sums per iteration vs this twin's dim× explode).
+    "q39b_knn_ivf_det" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = IvfIndex.trainDet(emb, k = ivfK, iters = ivfIters)
+      val qs = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      IvfIndex.knn(emb, centroids, qs, topK, nprobe = ivfNprobe)
     }),
 
     // Product-quantized kNN (Jégou TPAMI'11): 8 sub-codebooks × 32 codes
@@ -629,7 +652,80 @@ object VectorQueries {
        |WHERE em.vec_id % $m <> 0 AND h.vec_id IS NULL""".stripMargin
   }
 
+  // ---- q39b oracle: replay deterministic-Lloyd IVF in DuckDB -----------
+  // The whole training loop unrolls into CTEs: seeding is the salted-md5
+  // order (DuckDB md5 ≡ Spark md5 on the same string), each assignment is
+  // the same ‖c‖²−2a·c argmin with (score, cluster_id) tie order, and each
+  // centroid update replays the q60 sorted fold (list(v ORDER BY vec_id) →
+  // list_sum is the established left-to-right 0.0-start fold). Every float
+  // both engines produce is therefore bit-identical, and the final ANN
+  // answer — probes, candidates, cosines, ranks — hash-checks end to end.
+  private def ivfScoreSql(v: String, c: String): String =
+    s"(list_sum(list_transform($c, x -> x * x)) - " +
+      s"2.0 * list_sum(list_transform(list_zip($v, $c), p -> p[1] * p[2])))"
+
+  private lazy val knnIvfDetSql = {
+    val seedKey = "md5(concat(CAST(vec_id AS VARCHAR), ':ivfseed'))"
+    val iterCtes = (1 to ivfIters).map { i =>
+      s"""a$i AS (
+         |  SELECT vec_id, v, cluster_id FROM (
+         |    SELECT e.vec_id, e.v, c.cluster_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${ivfScoreSql("e.v", "c.c")} ASC, c.cluster_id ASC) AS rn
+         |    FROM e, c${i - 1} c) WHERE rn = 1),
+         |c$i AS (
+         |  SELECT cluster_id, list(cv ORDER BY dim) AS c FROM (
+         |    SELECT cluster_id, dim,
+         |      list_sum(list_transform(list(vv ORDER BY vec_id), x -> x)) / count(*) AS cv
+         |    FROM (SELECT cluster_id, vec_id, generate_subscripts(v, 1) AS dim,
+         |            unnest(v) AS vv FROM a$i)
+         |    GROUP BY cluster_id, dim)
+         |  GROUP BY cluster_id)""".stripMargin
+    }.mkString(",\n")
+    val cFinal = s"c$ivfIters"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |samp AS (
+       |  SELECT vec_id, v FROM (
+       |    SELECT vec_id, v,
+       |      row_number() OVER (ORDER BY $seedKey ASC, vec_id ASC) AS rn FROM e)
+       |  WHERE rn <= ${ivfK * 8}),
+       |sdd AS (SELECT min(vec_id) AS vec_id, v FROM samp GROUP BY v),
+       |c0 AS (
+       |  SELECT CAST(rn - 1 AS INT) AS cluster_id, v AS c FROM (
+       |    SELECT vec_id, v,
+       |      row_number() OVER (ORDER BY $seedKey ASC, vec_id ASC) AS rn FROM sdd)
+       |  WHERE rn <= $ivfK),
+       |$iterCtes,
+       |q AS (SELECT vec_id AS q_id, v AS qe FROM e WHERE vec_id < $nQueries),
+       |probes AS (
+       |  SELECT q_id, qe, cluster_id FROM (
+       |    SELECT q.q_id, q.qe, c.cluster_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${ivfScoreSql("q.qe", "c.c")} ASC, c.cluster_id ASC) AS rn
+       |    FROM q, $cFinal c) WHERE rn <= $ivfNprobe),
+       |af AS (
+       |  SELECT vec_id, v, cluster_id FROM (
+       |    SELECT e.vec_id, e.v, c.cluster_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${ivfScoreSql("e.v", "c.c")} ASC, c.cluster_id ASC) AS rn
+       |    FROM e, $cFinal c) WHERE rn = 1),
+       |s AS (
+       |  SELECT p.q_id, a.vec_id AS neighbor_id,
+       |    CASE WHEN sqrt(list_sum(list_transform(p.qe, x -> x * x)))
+       |           * sqrt(list_sum(list_transform(a.v, x -> x * x))) <> 0.0
+       |      THEN list_sum(list_transform(list_zip(p.qe, a.v), z -> z[1] * z[2]))
+       |           / (sqrt(list_sum(list_transform(p.qe, x -> x * x)))
+       |              * sqrt(list_sum(list_transform(a.v, x -> x * x))))
+       |    END AS cosine
+       |  FROM probes p JOIN af a USING (cluster_id)
+       |  WHERE a.vec_id <> p.q_id),
+       |r AS (SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM s)
+       |SELECT q_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= $topK""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q39b_knn_ivf_det" -> knnIvfDetSql,
     "q85_embed_decontam" -> embedDecontamSql,
     "q90_embed_dedup_apply" -> embedDedupApplySql,
     "q26_knn_brute" ->
