@@ -77,12 +77,52 @@ object PqIndex {
     */
   def train(
       emb: DataFrame, m: Int, k: Int, iters: Int,
-      sampleSize: Int = 2048): Codebooks = {
-    val sample = emb
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      sampleSize: Int = 2048): Codebooks =
+    trainFromSample(
+      sampleBy(emb, xxhash64(col("vec_id")), _.getLong(2), sampleSize),
+      m, k, iters)
+
+  /** Bit-replayable PQ training — q56b's half of the q39b-vs-q39
+    * relationship: [[localKmeans]] is ALREADY deterministic given its
+    * sample order (init = first-k-distinct in sample order, sums
+    * accumulate point-by-point in sample order, one division per dim), so
+    * the only non-SQL-replayable ingredient in [[train]] is the xxhash64
+    * sample key, which DuckDB lacks. This twin keys the sample by the
+    * repo's salted-md5 discipline instead; everything downstream —
+    * [[localKmeans]], [[encode]], the ADC search — is shared verbatim,
+    * and every float in the codebooks (hence the whole approximate ANN
+    * answer) replays bit-exactly as sorted-list folds in DuckDB.
+    */
+  def trainDet(
+      emb: DataFrame, m: Int, k: Int, iters: Int,
+      sampleSize: Int = 2048): Codebooks =
+    trainFromSample(
+      sampleBy(
+        emb, md5(concat(col("vec_id").cast("string"), lit(":pqseed"))),
+        _.getString(2), sampleSize),
+      m, k, iters)
+
+  /** The `sampleSize` vectors with the smallest (key, vec_id), in that
+    * order. The orderBy+limit plans as TakeOrderedAndProject (per-partition
+    * top-N, driver merge — no shuffle); the driver-side re-sort pins the
+    * COLLECTED order to the same key rather than trusting the plan to
+    * deliver rows sorted, because [[localKmeans]]'s float sums depend on
+    * iteration order.
+    */
+  private def sampleBy[K: Ordering](
+      emb: DataFrame, key: Column, getKey: org.apache.spark.sql.Row => K,
+      sampleSize: Int): Array[Array[Double]] =
+    emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        key.as("k"))
+      .orderBy(col("k").asc, col("vec_id").asc)
       .limit(sampleSize)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
+      .collect()
+      .sortBy(r => (getKey(r), r.getLong(0)))
+      .map(_.getSeq[Double](1).toArray)
+
+  private def trainFromSample(
+      sample: Array[Array[Double]], m: Int, k: Int, iters: Int): Codebooks = {
     require(sample.nonEmpty, "PQ training sample is empty (empty corpus?)")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")

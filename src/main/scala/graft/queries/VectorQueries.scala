@@ -28,6 +28,16 @@ object VectorQueries {
   private val ivfIters  = 2
   private val ivfNprobe = 4
 
+  // PQ family constants, shared the same way by q56/q57 (xxhash64-sampled
+  // scale path) and q56b/q57b (md5-sampled bit-oracled twins).
+  private val embDim     = 64
+  private val pqM        = 8
+  private val pqK        = 32
+  private val pqIters    = 4
+  private val pqDs       = embDim / pqM
+  private val pqSample   = 2048
+  private val ivfpqProbe = 8
+
   /** Deterministic hyperplanes for sign-LSH: `nTables` independent tables
     * of `nBits` planes each (multi-table LSH — one 2^nBits bucketing alone
     * has near-zero recall; OR-ing tables restores it). Fixed seed — same
@@ -425,7 +435,23 @@ object VectorQueries {
     // planted-duplicate retrieval.
     "q56_knn_pq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val books = PqIndex.train(emb, m = 8, k = 32, iters = 4)
+      val books = PqIndex.train(emb, m = pqM, k = pqK, iters = pqIters)
+      val qs = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      PqIndex.knn(PqIndex.encode(emb, books), qs, books, topK)
+    }),
+
+    // q56's bit-oracled verification twin (the q39b relationship, applied
+    // to PQ): identical encode + ADC search, but the codebooks come from
+    // PqIndex.trainDet — the SAME local Lloyd loop over a salted-md5-keyed
+    // sample instead of xxhash64, so the sample order (the only
+    // non-SQL-replayable ingredient; the loop's float sums accumulate in
+    // sample order, init is first-k-distinct) replays in DuckDB and the
+    // whole quantized ANN answer hash-checks end to end. q56 stays
+    // registered as the production twin on the standard hash key.
+    "q56b_knn_pq_det" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val books = PqIndex.trainDet(emb, m = pqM, k = pqK, iters = pqIters)
       val qs = emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
       PqIndex.knn(PqIndex.encode(emb, books), qs, books, topK)
@@ -438,11 +464,26 @@ object VectorQueries {
     // bounds recall.
     "q57_knn_ivfpq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val centroids = IvfIndex.train(emb, k = 16, iters = 2)
-      val books = PqIndex.train(emb, m = 8, k = 32, iters = 4)
+      val centroids = IvfIndex.train(emb, k = ivfK, iters = ivfIters)
+      val books = PqIndex.train(emb, m = pqM, k = pqK, iters = pqIters)
       val qs = emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      PqIndex.knnIvfPq(emb, centroids, qs, books, topK, nprobe = 8)
+      PqIndex.knnIvfPq(emb, centroids, qs, books, topK, nprobe = ivfpqProbe)
+    }),
+
+    // q57's bit-oracled twin: BOTH trainings deterministic (IvfIndex
+    // .trainDet coarse quantizer + PqIndex.trainDet codebooks), search
+    // machinery (knnIvfPq — one-pass encode+assign, probe join, ADC)
+    // shared verbatim. With q39b/q56b/q57b, every codebook-based ANN
+    // family carries a DuckDB hash check; only the xxhash64-sampled scale
+    // paths and the sketch query remain rows-only, each with a spec.
+    "q57b_knn_ivfpq_det" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = IvfIndex.trainDet(emb, k = ivfK, iters = ivfIters)
+      val books = PqIndex.trainDet(emb, m = pqM, k = pqK, iters = pqIters)
+      val qs = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      PqIndex.knnIvfPq(emb, centroids, qs, books, topK, nprobe = ivfpqProbe)
     }),
 
     // Int8 scalar quantization — the standard embedding-compression step
@@ -664,7 +705,21 @@ object VectorQueries {
     s"(list_sum(list_transform($c, x -> x * x)) - " +
       s"2.0 * list_sum(list_transform(list_zip($v, $c), p -> p[1] * p[2])))"
 
-  private lazy val knnIvfDetSql = {
+  // PqIndex.localKmeans's assignment metric, replayed: plain squared L2,
+  // (d·d) accumulated left-to-right over dims from 0.0 — unlike the encode
+  // kernel's rank-equivalent ‖c‖²−2a·c (ivfScoreSql), which rounds
+  // differently and could flip a near-tie, so each oracle stage must use
+  // exactly the formula its Spark stage uses.
+  private def l2ScoreSql(v: String, c: String): String =
+    s"list_sum(list_transform(list_zip($v, $c), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+
+  /** The deterministic-Lloyd IVF codebook replay (IvfIndex.trainDet),
+    * unrolled into CTEs: md5-salted seeding order, ‖c‖²−2a·c argmin with
+    * (score, cluster_id) tie order, q60 sorted-fold centroid updates.
+    * Requires `e(vec_id, v)` upstream; ends with `c{ivfIters}(cluster_id,
+    * c)`. Shared by the q39b and q57b oracles.
+    */
+  private lazy val ivfCentroidCtesSql = {
     val seedKey = "md5(concat(CAST(vec_id AS VARCHAR), ':ivfseed'))"
     val iterCtes = (1 to ivfIters).map { i =>
       s"""a$i AS (
@@ -682,9 +737,7 @@ object VectorQueries {
          |    GROUP BY cluster_id, dim)
          |  GROUP BY cluster_id)""".stripMargin
     }.mkString(",\n")
-    val cFinal = s"c$ivfIters"
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |samp AS (
+    s"""samp AS (
        |  SELECT vec_id, v FROM (
        |    SELECT vec_id, v,
        |      row_number() OVER (ORDER BY $seedKey ASC, vec_id ASC) AS rn FROM e)
@@ -695,7 +748,134 @@ object VectorQueries {
        |    SELECT vec_id, v,
        |      row_number() OVER (ORDER BY $seedKey ASC, vec_id ASC) AS rn FROM sdd)
        |  WHERE rn <= $ivfK),
+       |$iterCtes""".stripMargin
+  }
+
+  /** The deterministic PQ replay (PqIndex.trainDet + encode), unrolled:
+    * subspace j is a grouping column, so all m sub-codebooks train in ONE
+    * CTE chain — md5-salted sample order (the driver loop's iteration
+    * order), first-k-distinct init, l2-argmin assignment with first-min
+    * ties, per-(j, ci, dim) sorted folds in sample order, empty clusters
+    * keeping their previous centroid (the LEFT JOIN + COALESCE). Requires
+    * `e(vec_id, v)` upstream; ends with `pc{pqIters}(j, ci, c)` — the
+    * final codebooks — and `pcodes(vec_id, j, ci)` — the corpus encoded
+    * with the kernel's ‖c‖²−2a·c argmin. Shared by q56b and q57b.
+    */
+  private lazy val pqCodesCtesSql = {
+    val seedKey = "md5(concat(CAST(vec_id AS VARCHAR), ':pqseed'))"
+    val jList = (0 until pqM).mkString("[", ", ", "]")
+    val iterCtes = (1 to pqIters).map { i =>
+      s"""pa$i AS (
+         |  SELECT rn, j, sv, ci FROM (
+         |    SELECT s.rn, s.j, s.sv, c.ci,
+         |      row_number() OVER (PARTITION BY s.rn, s.j
+         |        ORDER BY ${l2ScoreSql("s.sv", "c.c")} ASC, c.ci ASC) AS arn
+         |    FROM psub s JOIN pc${i - 1} c ON c.j = s.j) WHERE arn = 1),
+         |pm$i AS (
+         |  SELECT j, ci, list(cv ORDER BY t) AS c FROM (
+         |    SELECT j, ci, t,
+         |      list_sum(list_transform(list(vv ORDER BY rn), x -> x)) / count(*) AS cv
+         |    FROM (SELECT rn, j, ci, generate_subscripts(sv, 1) AS t,
+         |            unnest(sv) AS vv FROM pa$i)
+         |    GROUP BY j, ci, t)
+         |  GROUP BY j, ci),
+         |pc$i AS (
+         |  SELECT p.j, p.ci, COALESCE(m.c, p.c) AS c
+         |  FROM pc${i - 1} p LEFT JOIN pm$i m ON m.j = p.j AND m.ci = p.ci)""".stripMargin
+    }.mkString(",\n")
+    s"""js AS (SELECT unnest($jList) AS j),
+       |psamp AS (
+       |  SELECT v, rn FROM (
+       |    SELECT v,
+       |      row_number() OVER (ORDER BY $seedKey ASC, vec_id ASC) AS rn FROM e)
+       |  WHERE rn <= $pqSample),
+       |psub AS (
+       |  SELECT p.rn, js.j,
+       |    list_slice(p.v, js.j * $pqDs + 1, (js.j + 1) * $pqDs) AS sv
+       |  FROM psamp p, js),
+       |pc0 AS (
+       |  SELECT j, CAST(rnn - 1 AS INT) AS ci, sv AS c FROM (
+       |    SELECT j, sv, row_number() OVER (PARTITION BY j ORDER BY frn ASC) AS rnn
+       |    FROM (SELECT j, sv, min(rn) AS frn FROM psub GROUP BY j, sv))
+       |  WHERE rnn <= $pqK),
        |$iterCtes,
+       |esub AS (
+       |  SELECT e.vec_id, js.j,
+       |    list_slice(e.v, js.j * $pqDs + 1, (js.j + 1) * $pqDs) AS sv
+       |  FROM e, js),
+       |pcodes AS (
+       |  SELECT vec_id, j, ci FROM (
+       |    SELECT s.vec_id, s.j, c.ci,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.j
+       |        ORDER BY ${ivfScoreSql("s.sv", "c.c")} ASC, c.ci ASC) AS crn
+       |    FROM esub s JOIN pc$pqIters c ON c.j = s.j) WHERE crn = 1)""".stripMargin
+  }
+
+  /** The ADC search replay shared by q56b/q57b: per-query LUT partials
+    * (the kernel's ‖c‖²−2q_j·c per (j, ci)) from the final codebooks +
+    * query subvectors, then — given a `pairs(q_id, vec_id)` CTE of
+    * candidate pairs — the j-ordered fold to adc_dist and the (dist asc,
+    * id asc) top-k.
+    */
+  private lazy val adcSearchSql =
+    s"""qsub AS (
+       |  SELECT q.q_id, js.j,
+       |    list_slice(q.qe, js.j * $pqDs + 1, (js.j + 1) * $pqDs) AS sv
+       |  FROM q, js),
+       |plut AS (
+       |  SELECT q.q_id, c.j, c.ci, ${ivfScoreSql("q.sv", "c.c")} AS part
+       |  FROM qsub q JOIN pc$pqIters c ON c.j = q.j),
+       |s AS (
+       |  SELECT l.q_id, cd.vec_id AS neighbor_id,
+       |    list_sum(list_transform(list(l.part ORDER BY l.j), x -> x)) AS adc_dist
+       |  FROM pairs pr
+       |  JOIN pcodes cd ON cd.vec_id = pr.vec_id
+       |  JOIN plut l ON l.q_id = pr.q_id AND l.j = cd.j AND l.ci = cd.ci
+       |  GROUP BY l.q_id, cd.vec_id),
+       |r AS (SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk FROM s)
+       |SELECT q_id, neighbor_id, adc_dist, rnk FROM r WHERE rnk <= $topK""".stripMargin
+
+  // q56b: flat ADC — every (query, corpus) pair except self is a candidate.
+  private lazy val knnPqDetSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$pqCodesCtesSql,
+       |q AS (SELECT vec_id AS q_id, v AS qe FROM e WHERE vec_id < $nQueries),
+       |pairs AS (
+       |  SELECT q.q_id, e.vec_id FROM q, e WHERE e.vec_id <> q.q_id),
+       |$adcSearchSql""".stripMargin
+
+  // q57b: IVF-PQ — candidates restricted to each query's nprobe nearest
+  // clusters (deterministic coarse quantizer from the shared ivf chain),
+  // assignment and probe selection both the ‖c‖²−2a·c argmin/top-n with
+  // (score, cluster_id) tie order, exactly PqIndex.knnIvfPq's plan.
+  private lazy val knnIvfPqDetSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$ivfCentroidCtesSql,
+       |$pqCodesCtesSql,
+       |q AS (SELECT vec_id AS q_id, v AS qe FROM e WHERE vec_id < $nQueries),
+       |aclu AS (
+       |  SELECT vec_id, cluster_id FROM (
+       |    SELECT e.vec_id, c.cluster_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${ivfScoreSql("e.v", "c.c")} ASC, c.cluster_id ASC) AS rn
+       |    FROM e, c$ivfIters c) WHERE rn = 1),
+       |qprobes AS (
+       |  SELECT q_id, cluster_id FROM (
+       |    SELECT q.q_id, c.cluster_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${ivfScoreSql("q.qe", "c.c")} ASC, c.cluster_id ASC) AS rn
+       |    FROM q, c$ivfIters c) WHERE rn <= $ivfpqProbe),
+       |pairs AS (
+       |  SELECT p.q_id, a.vec_id
+       |  FROM qprobes p JOIN aclu a ON a.cluster_id = p.cluster_id
+       |  WHERE a.vec_id <> p.q_id),
+       |$adcSearchSql""".stripMargin
+
+  private lazy val knnIvfDetSql = {
+    val cFinal = s"c$ivfIters"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$ivfCentroidCtesSql,
        |q AS (SELECT vec_id AS q_id, v AS qe FROM e WHERE vec_id < $nQueries),
        |probes AS (
        |  SELECT q_id, qe, cluster_id FROM (
@@ -726,6 +906,8 @@ object VectorQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q39b_knn_ivf_det" -> knnIvfDetSql,
+    "q56b_knn_pq_det" -> knnPqDetSql,
+    "q57b_knn_ivfpq_det" -> knnIvfPqDetSql,
     "q85_embed_decontam" -> embedDecontamSql,
     "q90_embed_dedup_apply" -> embedDedupApplySql,
     "q26_knn_brute" ->

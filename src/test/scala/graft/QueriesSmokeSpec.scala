@@ -56,6 +56,8 @@ class QueriesSmokeSpec extends SparkSpec {
       "q46_range_join" -> Set("BroadcastNestedLoopJoin"),
       // ADC scoring: tiny query/codebook side broadcast across codes
       "q56_knn_pq" -> Set("BroadcastNestedLoopJoin"),
+      // same plan as q56 (deterministic-training twin, search shared)
+      "q56b_knn_pq_det" -> Set("BroadcastNestedLoopJoin"),
       // the ≤10001-row band table's cumulative window (documented in q87)
       "q87_token_budget" -> Set("Exchange SinglePartition"),
       // merged Misra–Gries sketch (one row) + threshold scalar join

@@ -130,6 +130,81 @@ class PqIndexSpec extends SparkSpec {
     assert(pairs.distinct.length === pairs.length)
   }
 
+  test("trainDet is bit-identical across invocations AND repartitionings") {
+    val emb = Tables.embeddings(spark, sf)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      PqIndex.trainDet(df, m = 8, k = 32, iters = 2)
+        .map(_.map(_.toList).toList).toList
+    val base = snap(emb)
+    assert(base === snap(emb)) // re-invocation
+    // the driver-side sample re-sort makes the codebooks
+    // partitioning-INDEPENDENT — the property that lets the q56b/q57b
+    // oracles replay training bit-exactly
+    assert(base === snap(emb.repartition(7)))
+    assert(base === snap(emb.repartition(1)))
+  }
+
+  test("trainDet one-step codebooks are the exact sample-order Lloyd result") {
+    val emb = Tables.embeddings(spark, sf)
+    // recompute one Lloyd step independently: the md5-ordered sample, the
+    // first-k-distinct init, l2 argmin with first-min ties, and the
+    // mean as a left-to-right fold in SAMPLE order — the exact accumulation
+    // contract the q56b oracle replays — then compare bit-for-bit
+    val (m, k, ds) = (8, 32, 8)
+    val sample = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        md5(concat(col("vec_id").cast("string"), lit(":pqseed"))).as("key"))
+      .collect()
+      .map(r => (r.getString(2), r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(t => (t._1, t._2)).take(2048).map(_._3)
+    val step = PqIndex.trainDet(emb, m = m, k = k, iters = 1)
+    for (j <- 0 until m) {
+      val pts   = sample.map(_.slice(j * ds, (j + 1) * ds))
+      val seeds = pts.map(_.toSeq).distinct.take(k).map(_.toArray)
+      val assigned = pts.map { p =>
+        seeds.zipWithIndex.minBy { case (c, ci) =>
+          (p.zip(c).foldLeft(0.0)((a, t) => a + (t._1 - t._2) * (t._1 - t._2)), ci)
+        }._2
+      }
+      val expect = seeds.indices.map { ci =>
+        val members = pts.zip(assigned).collect { case (p, a) if a == ci => p }
+        if (members.isEmpty) seeds(ci).toSeq
+        else (0 until ds).map(t =>
+          members.foldLeft(0.0)((acc, p) => acc + p(t)) / members.length)
+      }
+      assert(step(j).map(_.toSeq).toSeq === expect, s"subspace $j")
+    }
+  }
+
+  test("deterministic-training PQ (q56b) reaches the same recall class as q56") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = emb
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))),
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.VectorOps.l2Sq(col("qe"), col("embedding")).as("d"))
+    val truth = RelationalOps.topKPerGroup(
+        exact, Seq("q_id"), Seq(col("d").asc, col("neighbor_id").asc), 5)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val det = graft.queries.VectorQueries.queries("q56b_knn_pq_det")(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(det).size.toDouble / truth.size
+    info(s"deterministic PQ ADC recall@5 vs exact L2 = $recall")
+    assert(recall >= 0.2, s"recall $recall")
+  }
+
+  test("deterministic IVF-PQ (q57b) returns full deduplicated top-k") {
+    val r = graft.queries.VectorQueries.queries("q57b_knn_ivfpq_det")(spark, sf)
+      .collect()
+    assert(r.length === 50) // 10 queries × top-5
+    val pairs = r.map(x => (x.getLong(0), x.getLong(1)))
+    assert(pairs.distinct.length === pairs.length)
+  }
+
   test("planted duplicates encode to the same codes and rank first") {
     val corpus = graft.TestFixtures.plantedCopies(spark, sf, noise = 0.02)
     val books = PqIndex.train(corpus, m = 8, k = 32, iters = 4)
