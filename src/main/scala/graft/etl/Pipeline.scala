@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions.col
 /** End-to-end pipeline (reference `run_etl`, `etl_weekly_trades.py:270-281`).
   *
   * Sinks (offline container, SURVEY.md §7.3.8): the SQLite `append` sink
-  * (S2) becomes parquet `append` by default (real JDBC append behind
-  * `jdbcUrl`, see below); the Excel report sink (S3) writes CSV by default
-  * or a real `.xlsx` with `reportFormat = "xlsx"` ([[Xlsx]] — no
+  * (S2) is REAL behind `sqlitePath` — [[graft.sources.SqliteIO]] writes the
+  * database file directly (public file format, no sqlite-jdbc jar), with
+  * the reference's `to_sql(if_exists="append")` semantics; default stays
+  * parquet `append` (the distributed layout), and a JDBC database sink is
+  * available behind `jdbcUrl`. The Excel report sink (S3) writes CSV by
+  * default or a real `.xlsx` with `reportFormat = "xlsx"` ([[Xlsx]] — no
   * spreadsheet jar needed). Full reference API parity:
   *   - `tableName` — the reference's `load(df, path, table_name)`
   *     (`etl_weekly_trades.py:134`): names the aggregate table (the parquet
@@ -41,11 +44,14 @@ object Pipeline {
       partitionByWeek: Boolean = false,
       tableName: String = "agg_trades_weekly",
       jdbcUrl: Option[String] = None,
+      sqlitePath: Option[String] = None,
       addTimestamp: Boolean = false,
       reportFormat: String = "csv",
       charts: Boolean = false): EtlResult = {
     require(reportFormat == "csv" || reportFormat == "xlsx",
       s"reportFormat must be csv or xlsx, got $reportFormat")
+    require(jdbcUrl.isEmpty || sqlitePath.isEmpty,
+      "jdbcUrl and sqlitePath both set — pick ONE aggregate sink")
 
     val raw   = TradesEtl.extract(spark, inputCsv)
     val clean = TradesEtl.clean(raw)
@@ -56,7 +62,11 @@ object Pipeline {
     // `partitionByWeek` switches the parquet layout to the scale path:
     // hive-partitioned by week so time-bounded reads prune partitions.
     val sorted = agg.orderBy(Transform.groupKeys.map(col): _*)
+    // the reference's ACTUAL sink: a real SQLite file, appended in place
+    // (graft.sources.SqliteIO — pure-JVM writer, no sqlite-jdbc jar)
+    sqlitePath.foreach(p => graft.sources.SqliteIO.append(sorted, p, tableName))
     jdbcUrl match {
+      case _ if sqlitePath.isDefined => () // handled above
       case Some(url) =>
         sorted.write.mode(SaveMode.Append)
           .format("jdbc")

@@ -7,13 +7,17 @@ package graft.etl
   *
   * Usage: runMain graft.etl.RunEtl <input.csv> <outDir>
   *          [--no-pnl] [--add-timestamp] [--table-name=NAME] [--jdbc-url=URL]
-  *          [--xlsx] [--charts]
+  *          [--sqlite | --sqlite-path=PATH] [--xlsx] [--charts]
+  *
+  * `--sqlite` appends the aggregate to `<outDir>/agg_result.db` — the
+  * reference's own sink and filename — via the pure-JVM writer.
   */
 object RunEtl {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: RunEtl <input.csv> <outDir> [--no-pnl] [--add-timestamp] " +
-        "[--table-name=NAME] [--jdbc-url=URL] [--xlsx] [--charts]")
+        "[--table-name=NAME] [--jdbc-url=URL] [--sqlite | --sqlite-path=PATH] " +
+        "[--xlsx] [--charts]")
     val Array(inputCsv, outDir) = args.take(2)
     val flags = args.drop(2)
     def opt(name: String): Option[String] =
@@ -26,6 +30,8 @@ object RunEtl {
       computePnl = !flags.contains("--no-pnl"),
       tableName = opt("table-name").getOrElse("agg_trades_weekly"),
       jdbcUrl = opt("jdbc-url"),
+      sqlitePath = opt("sqlite-path").orElse(
+        if (flags.contains("--sqlite")) Some(s"$outDir/agg_result.db") else None),
       addTimestamp = flags.contains("--add-timestamp"),
       reportFormat = if (flags.contains("--xlsx")) "xlsx" else "csv",
       charts = flags.contains("--charts"))

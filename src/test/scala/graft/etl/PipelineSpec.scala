@@ -76,6 +76,32 @@ class PipelineSpec extends SparkSpec {
     assert(e2.getMessage.contains("partition-layout mismatch"), e2.getMessage)
   }
 
+  test("sqlitePath writes a REAL sqlite db with reference append semantics") {
+    val out = tmpDir()
+    val db  = s"$out/agg_result.db"
+    Pipeline.runEtl(spark, csv, out, sqlitePath = Some(db))
+    // sqlite replaces parquet as the aggregate sink (like jdbcUrl)
+    assert(!new java.io.File(s"$out/agg_trades_weekly").exists)
+    val t = graft.sources.SqliteIO.readTable(db, "agg_trades_weekly")
+    assert(t.rows.length === 545)
+    // key-sorted like pandas groupby(sort=True) → golden row order
+    assert(t.rows.head.take(4) === Seq("2022-12-26", "bronze", 3002L, "GOOGL"))
+    // re-run appends (reference if_exists="append"): rows double, the
+    // first 545 untouched
+    Pipeline.runEtl(spark, csv, out, sqlitePath = Some(db))
+    val twice = graft.sources.SqliteIO.readTable(db, "agg_trades_weekly")
+    assert(twice.rows.length === 1090)
+    assert(twice.rows.take(545) === t.rows)
+    // schema mismatch (pnl vs no-pnl) fails actionably, db untouched
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.runEtl(spark, csv, out, computePnl = false,
+        sqlitePath = Some(db))
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+    assert(graft.sources.SqliteIO.readTable(db, "agg_trades_weekly")
+      .rows.length === 1090)
+  }
+
   test("jdbcUrl routes the aggregate to the JDBC sink (no driver offline)") {
     val out = tmpDir()
     // No sqlite JDBC driver jar exists in this container, so the write

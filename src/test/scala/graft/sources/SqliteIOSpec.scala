@@ -1,0 +1,200 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** The pure-JVM SQLite sink (S2). The JVM side proves write→read identity,
+  * page structure (multi-leaf, interior, overflow), and append semantics;
+  * `tools/check_sqlite.py` closes the loop with stock sqlite3
+  * (`PRAGMA integrity_check` + row compare vs the reference golden).
+  */
+class SqliteIOSpec extends SparkSpec {
+
+  private def tmpDb(): String =
+    new File(Files.createTempDirectory("sqlite").toFile, "t.db").getPath
+
+  /** Blobs (Array[Byte]) compare by reference inside nested Seqs — map
+    * them to Seq for value equality.
+    */
+  private def deep(rows: Seq[Seq[Any]]): Seq[Seq[Any]] =
+    rows.map(_.map { case a: Array[Byte] => a.toSeq; case v => v })
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("score", DoubleType), StructField("flag", BooleanType),
+    StructField("day", DateType), StructField("payload", BinaryType)))
+
+  private def mkDf(n: Int, offset: Long = 0L) = {
+    val rows = (0 until n).map { i =>
+      Row(i + offset, s"name_$i", i * 1.5, i % 2 == 0,
+        java.sql.Date.valueOf("2024-01-01"), Array[Byte](i.toByte, -1, 0))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 2), schema)
+  }
+
+  test("varints and records round-trip edge values") {
+    for (v <- Seq(0L, 1L, 127L, 128L, 16383L, 16384L, -1L, Long.MaxValue,
+        Long.MinValue, 72057594037927935L, 72057594037927936L)) {
+      val b = SqliteIO.varintBytes(v)
+      assert(SqliteIO.readVarint(b, 0) === ((v, b.length)), s"varint $v")
+    }
+    val vals: Seq[SqliteIO.SqlValue] = Seq(null, 0L, 1L, -1L, 255L, -129L,
+      32767L, -32769L, 8388607L, 2147483647L, 140737488355327L, Long.MinValue,
+      3.14159, -0.0, Double.NaN, "", "héllo wörld ünïcode", "a" * 300,
+      Array[Byte](), Array[Byte](1, 2, -3))
+    val back = SqliteIO.decodeRecord(SqliteIO.recordBytes(vals))
+    vals.zip(back).foreach {
+      case (a: Array[Byte], b: Array[Byte]) => assert(a.toSeq === b.toSeq)
+      case (a: Double, b: Double) if a.isNaN => assert(b.isNaN)
+      case (a, b) => assert(a === b)
+    }
+  }
+
+  test("write→read identity for a typed frame, insertion order kept") {
+    val db = tmpDb()
+    val df = mkDf(100)
+    SqliteIO.append(df, db, "t")
+    val t = SqliteIO.readTable(db, "t")
+    assert(t.createSql === SqliteIO.createTableSql("t", schema))
+    assert(t.rows.length === 100)
+    val expect = df.collect().toSeq.map(r => SqliteIO.toSqlValues(r, schema))
+    t.rows.zip(expect).foreach { case (got, exp) =>
+      got.zip(exp).foreach {
+        case (g: Array[Byte], e: Array[Byte]) => assert(g.toSeq === e.toSeq)
+        case (g, e) => assert(g === e)
+      }
+    }
+  }
+
+  test("nulls in every column survive the round trip") {
+    val db = tmpDb()
+    val rows = Seq(Row(null, null, null, null, null, null),
+      Row(7L, "x", 1.0, true, java.sql.Date.valueOf("2020-02-29"),
+        Array[Byte](9)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    SqliteIO.append(df, db, "t")
+    val got = SqliteIO.readTable(db, "t").rows
+    assert(got.head === Seq(null, null, null, null, null, null))
+    assert(got(1).take(5) === Seq(7L, "x", 1.0, 1L, "2020-02-29"))
+  }
+
+  test("multi-leaf + interior pages: 20k rows in rowid order") {
+    val db = tmpDb()
+    SqliteIO.append(mkDf(20000), db, "t")
+    val rows = SqliteIO.readTable(db, "t").rows
+    assert(rows.length === 20000)
+    // rowid walk preserves insertion order end to end
+    assert(rows.map(_.head.asInstanceOf[Long]) === (0L until 20000L))
+  }
+
+  test("overflow chains: >1-page and multi-page payloads round-trip") {
+    val db = tmpDb()
+    val big1 = "x" * 5000          // one overflow page
+    val big2 = "y" * 70000         // many overflow pages
+    val s = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(Row(1L, big1), Row(2L, "small"), Row(3L, big2)), 1), s)
+    SqliteIO.append(df, db, "t")
+    val rows = SqliteIO.readTable(db, "t").rows
+    assert(rows.map(_(1).asInstanceOf[String].length) === Seq(5000, 5, 70000))
+    assert(rows(0)(1) === big1)
+    assert(rows(2)(1) === big2)
+  }
+
+  test("append preserves existing rows, doubles count, bumps change counter") {
+    val db = tmpDb()
+    SqliteIO.append(mkDf(50), db, "t")
+    val first = SqliteIO.readTable(db, "t")
+    SqliteIO.append(mkDf(50, offset = 1000L), db, "t")
+    val second = SqliteIO.readTable(db, "t")
+    assert(second.rows.length === 100)
+    assert(deep(second.rows.take(50)) === deep(first.rows))
+    assert(second.rows(50).head === 1000L)
+    assert(second.changeCounter === first.changeCounter + 1)
+    assert(second.cookie === first.cookie)
+    assert(second.createSql === first.createSql)
+  }
+
+  test("append with a different column set fails loudly") {
+    val db = tmpDb()
+    SqliteIO.append(mkDf(3), db, "t")
+    val other = mkDf(3).withColumnRenamed("score", "points")
+    val e = intercept[IllegalArgumentException] {
+      SqliteIO.append(other, db, "t")
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+    assert(SqliteIO.readTable(db, "t").rows.length === 3) // untouched
+  }
+
+  test("empty frame creates a valid empty table pandas-style") {
+    val db = tmpDb()
+    SqliteIO.append(mkDf(0), db, "t")
+    val t = SqliteIO.readTable(db, "t")
+    assert(t.rows.isEmpty)
+    assert(SqliteIO.columnNamesFromSql(t.createSql) ===
+      schema.fieldNames.toSeq)
+    SqliteIO.append(mkDf(2), db, "t")
+    assert(SqliteIO.readTable(db, "t").rows.length === 2)
+  }
+
+  test("non-sqlite and missing-table inputs fail loudly") {
+    val dir = Files.createTempDirectory("sqlite").toFile
+    val junk = new File(dir, "junk.db")
+    Files.write(junk.toPath, Array.fill[Byte](600)(42))
+    assert(intercept[IllegalArgumentException] {
+      SqliteIO.readTable(junk.getPath, "t")
+    }.getMessage.contains("bad magic"))
+    val db = tmpDb()
+    SqliteIO.append(mkDf(1), db, "t")
+    assert(intercept[IllegalArgumentException] {
+      SqliteIO.readTable(db, "other")
+    }.getMessage.contains("not found"))
+  }
+
+  test("reads the reference's pandas-written golden database") {
+    // written by real sqlite via pandas to_sql — proves the reader handles
+    // a foreign producer's pages, not just our own writer's
+    val golden = "/root/reference/agg_result.db"
+    assume(new File(golden).exists(), "reference golden not present")
+    val t = SqliteIO.readTable(golden, "agg_trades_weekly")
+    assert(t.rows.length === 545)
+    val names = SqliteIO.columnNamesFromSql(t.createSql)
+    assert(names.take(4) === Seq("week_start_date", "client_type", "user_id", "symbol"))
+    val head = t.rows.head
+    assert(head(0) === "2022-12-26")
+    assert(head(1) === "bronze")
+    assert(head(2) === 3002L)
+    assert(head(3) === "GOOGL")
+    assert(head(4) === 8.12)
+  }
+
+  test("appending onto the pandas-written golden keeps its rows byte-true") {
+    val golden = "/root/reference/agg_result.db"
+    assume(new File(golden).exists(), "reference golden not present")
+    val db = tmpDb()
+    Files.copy(new File(golden).toPath, new File(db).toPath)
+    val before = SqliteIO.readTable(db, "agg_trades_weekly")
+    val s = StructType(SqliteIO.columnNamesFromSql(before.createSql).map {
+      case n @ ("week_start_date" | "client_type" | "symbol") => StructField(n, StringType)
+      case n @ ("user_id" | "trade_count") => StructField(n, LongType)
+      case n => StructField(n, DoubleType)
+    })
+    val row = Row("2099-01-01", "gold", 1L, "ZZZ", 1.0, 1.0, 1.0, 1.0, 1.0,
+      2L, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(row), 1), s)
+    SqliteIO.append(df, db, "agg_trades_weekly")
+    val after = SqliteIO.readTable(db, "agg_trades_weekly")
+    assert(after.rows.length === 546)
+    assert(after.rows.take(545) === before.rows)
+    assert(after.createSql === before.createSql) // pandas' DDL text kept
+    assert(after.rows.last.head === "2099-01-01")
+  }
+}
