@@ -99,6 +99,51 @@ object SqliteIO {
   case class Table(createSql: String, rows: Seq[Seq[SqlValue]],
       cookie: Int, changeCounter: Int)
 
+  /** Read a table into a DataFrame — the migration path for a reference
+    * user's EXISTING `agg_result.db` history. Spark types come from the
+    * declared column types (pandas' own mapping, [[declType]] inverted);
+    * sqlite's per-value dynamic typing is reconciled to the declared
+    * column type, loudly: an INTEGER value in a REAL column widens (sqlite
+    * itself stores 1.0 as the integer 1), anything else mismatched throws
+    * rather than silently nulling.
+    */
+  def readDataFrame(spark: org.apache.spark.sql.SparkSession, path: String,
+      tableName: String): DataFrame = {
+    val t     = readTable(path, tableName)
+    val names = columnNamesFromSql(t.createSql)
+    val declared = "\"[^\"]+\"\\s+([A-Za-z]+)".r
+      .findAllMatchIn(t.createSql.dropWhile(_ != '(').drop(1))
+      .map(_.group(1).toUpperCase).toSeq
+    val sparkTypes: Seq[DataType] = declared.map {
+      case "INTEGER" | "INT" | "BIGINT"         => LongType
+      case "REAL" | "FLOAT" | "DOUBLE"          => DoubleType
+      case "BOOLEAN"                            => BooleanType
+      case "TEXT" | "DATE" | "TIMESTAMP" | "VARCHAR" => StringType // ISO text, cast downstream
+      case "BLOB"                               => BinaryType
+      case other => throw new IllegalArgumentException(
+        s"SqliteIO: unsupported declared type $other in: ${t.createSql}")
+    }
+    val schema = StructType(names.zip(sparkTypes).map {
+      case (n, dt) => StructField(n, dt)
+    })
+    val rows = t.rows.map { r =>
+      Row.fromSeq(r.zip(sparkTypes).zip(names).map {
+        case ((null, _), _)                  => null
+        case ((v: Long, LongType), _)        => v
+        case ((v: Long, DoubleType), _)      => v.toDouble // sqlite stores 1.0 as int 1
+        case ((v: Long, BooleanType), _)     => v != 0L
+        case ((v: Double, DoubleType), _)    => v
+        case ((v: String, StringType), _)    => v
+        case ((v: Array[Byte], BinaryType), _) => v
+        case ((v, dt), n) => throw new IllegalArgumentException(
+          s"SqliteIO: column '$n' declared $dt holds a ${v.getClass.getSimpleName}")
+      })
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.length / 10000)),
+      schema)
+  }
+
   /** Read `tableName` from a (single-table scope, see scaladoc) database. */
   def readTable(path: String, tableName: String): Table = {
     val bytes = Files.readAllBytes(new File(path).toPath)

@@ -176,6 +176,26 @@ class SqliteIOSpec extends SparkSpec {
     assert(head(4) === 8.12)
   }
 
+  test("readDataFrame ingests the golden history with declared-type schema") {
+    val golden = "/root/reference/agg_result.db"
+    assume(new File(golden).exists(), "reference golden not present")
+    val df = SqliteIO.readDataFrame(spark, golden, "agg_trades_weekly")
+    assert(df.count() === 545)
+    assert(df.schema("user_id").dataType === LongType)
+    assert(df.schema("total_volume").dataType === DoubleType)
+    assert(df.schema("week_start_date").dataType === StringType)
+    // usable as a regular frame: weekly volume over the ingested history
+    val weekly = df.groupBy("week_start_date")
+      .agg(sum("total_volume").as("v")).orderBy("week_start_date")
+    assert(weekly.count() === 14)
+    val first = df.filter(col("week_start_date") === "2022-12-26" &&
+      col("user_id") === 3002L && col("symbol") === "GOOGL").head
+    assert(first.getAs[Double]("buy_qty") === 8.12)
+    // sqlite's dynamic typing reconciled: trade_count INTEGER column is
+    // LongType even though avg_buy_price REAL has NULLs mixed in
+    assert(df.filter(col("avg_buy_price").isNull).count() > 0)
+  }
+
   test("appending onto the pandas-written golden keeps its rows byte-true") {
     val golden = "/root/reference/agg_result.db"
     assume(new File(golden).exists(), "reference golden not present")
