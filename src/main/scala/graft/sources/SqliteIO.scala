@@ -166,8 +166,10 @@ object SqliteIO {
     }
     def readOverflow(first: Int, need: Int): Array[Byte] = {
       val out = ByteBuffer.allocate(need)
+      val seen = scala.collection.mutable.Set[Int]()
       var p = first
       while (p != 0 && out.hasRemaining) {
+        require(seen.add(p), s"$path: circular overflow chain at page $p")
         val pg   = page(p)
         val next = ByteBuffer.wrap(pg).order(ByteOrder.BIG_ENDIAN).getInt(0)
         val take = math.min(usable - 4, out.remaining())
@@ -180,7 +182,9 @@ object SqliteIO {
     // generic table b-tree walk: leaves in key order
     def walk(root: Int): Seq[(Long, Seq[SqlValue])] = {
       val acc = ArrayBuffer[(Long, Seq[SqlValue])]()
+      val seen = scala.collection.mutable.Set[Int]()
       def visit(n: Int): Unit = {
+        require(seen.add(n), s"$path: cyclic b-tree pointer to page $n")
         val pg        = page(n)
         val headerOff = if (n == 1) 100 else 0
         val buf       = ByteBuffer.wrap(pg).order(ByteOrder.BIG_ENDIAN)
