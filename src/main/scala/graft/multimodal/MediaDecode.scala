@@ -1,0 +1,245 @@
+package graft.multimodal
+
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.operators.RelationalOps
+
+/** REAL media decode with the JDK alone — upgrading [[Multimodal]]'s
+  * documented byte-level stand-in for the two modalities the platform can
+  * actually decode without external libraries:
+  *
+  *   - **Images**: `javax.imageio` ships PNG/JPEG/BMP/GIF/WBMP readers in
+  *     every JDK (the same headless stack [[graft.etl.Charts]] already
+  *     writes PNGs with). Decode → dimensions, mean luma, an 8×8 grayscale
+  *     thumbnail (the "resize" stage), and a 64-bit **dHash** (gradient
+  *     difference hash, the standard perceptual fingerprint: bit =
+  *     left-pixel < right-pixel on a 9×8 gray downscale). dHash is
+  *     brightness-shift INVARIANT (a constant offset preserves every
+  *     gradient sign), which is what makes it a near-dup key rather than a
+  *     checksum.
+  *   - **Audio**: WAV/RIFF PCM is a public byte layout — parse fmt/data
+  *     chunks directly → sample rate, channels, bit depth, frame count,
+  *     duration, RMS and peak amplitude (the quality-filter features).
+  *
+  * Video containers stay out of scope (no MP4/Matroska demuxer in the
+  * JDK); [[Multimodal.extractFeatures]]'s strided-byte sampling remains
+  * the documented stand-in for frame sampling.
+  *
+  * Scale shape: decode runs per partition over the opaque binary column
+  * ([[Multimodal]]'s `mapPartitions` discipline — decoder state per
+  * partition, streaming, no partition materialization); a failed or
+  * unsupported decode yields None features, never a killed job (corrupt
+  * media WILL exist in 100 TB of crawled bytes). Image near-dup reuses the
+  * q64 banding discipline: ONE shuffle on (band, key) over the dHash,
+  * in-bucket pair expansion with the hot-bucket cap, per-pair Hamming
+  * verify with no join back to the corpus.
+  */
+object MediaDecode {
+
+  // ======================================================== image decode
+
+  /** None fields = decode failed / null bytes. `thumb` is the 8×8 gray
+    * resize (row-major bytes); `dhash` the 64-bit gradient hash.
+    */
+  case class ImageFeatures(
+      doc_id: Long,
+      width: Option[Int],
+      height: Option[Int],
+      mean_luma: Option[Double],
+      dhash: Option[Long],
+      thumb: Option[Array[Byte]])
+
+  /** Decode + fingerprint one image. Deterministic for a given JDK:
+    * ImageIO's PNG path is exact (lossless), and the gray downscale is the
+    * fixed bilinear Graphics2D pipeline.
+    */
+  private[multimodal] def decodeImage(
+      bytes: Array[Byte]): Option[(Int, Int, Double, Long, Array[Byte])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None // no registered reader claimed the bytes
+      else {
+        def gray(w: Int, h: Int): Array[Int] = {
+          val g  = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+          val gr = g.createGraphics()
+          gr.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+            RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          gr.drawImage(img, 0, 0, w, h, null)
+          gr.dispose()
+          val r = g.getRaster
+          Array.tabulate(w * h)(i => r.getSample(i % w, i / w, 0))
+        }
+        // dHash: 9×8 gray, bit (y*8+x) set when p[y][x] < p[y][x+1]
+        val d9 = gray(9, 8)
+        var dhash = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (d9(y * 9 + x) < d9(y * 9 + x + 1))
+              dhash |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        val t8    = gray(8, 8)
+        val thumb = t8.map(_.toByte)
+        val luma  = t8.sum.toDouble / 64.0
+        Some((img.getWidth, img.getHeight, luma, dhash, thumb))
+      }
+    } catch { case NonFatal(_) => None } // corrupt/truncated media
+
+  /** Batch image decode: the [[Multimodal.extractFeatures]] stage with a
+    * REAL codec in the per-partition slot.
+    */
+  def decodeImages(media: DataFrame): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "mime", "bytes").as[Multimodal.MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val dec = Option(r.bytes).flatMap(decodeImage)
+          dec match {
+            case Some((w, h, luma, dh, thumb)) =>
+              ImageFeatures(r.doc_id, Some(w), Some(h), Some(luma),
+                Some(dh), Some(thumb))
+            case None =>
+              ImageFeatures(r.doc_id, None, None, None, None, None)
+          }
+        }
+      }
+  }
+
+  /** Image near-dup candidate pairs over the dHash — the q64 simhash
+    * discipline verbatim (16-bit bands, pigeonhole-complete for
+    * `maxHamming` ≤ 3, ONE (band,key) shuffle, hot-bucket cap, per-pair
+    * `bit_count(xor)` verify with the hash riding in the bucket struct).
+    * dHash's brightness invariance means re-encoded / gamma-shifted
+    * copies of one crawled image land at Hamming 0-2.
+    */
+  def imageNearDupPairs(feats: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val banded = feats
+      .filter(col("dhash").isNotNull)
+      .select(
+        posexplode(array((0 to 3).map(j =>
+          shiftright(col("dhash"), 16 * j).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "key")),
+        struct(col("doc_id"), col("dhash")).as("ds"))
+    RelationalOps
+      .inBucketPairs(banded, Seq("band", "key"), "ds", "a", "b", maxBucket)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ======================================================== audio decode
+
+  /** None fields = not a decodable PCM WAV. */
+  case class AudioFeatures(
+      doc_id: Long,
+      sample_rate: Option[Int],
+      channels: Option[Int],
+      bits_per_sample: Option[Int],
+      n_frames: Option[Long],
+      duration_s: Option[Double],
+      rms: Option[Double],
+      peak: Option[Double])
+
+  /** Parse a RIFF/WAVE file with integer PCM samples (format code 1, or
+    * WAVE_FORMAT_EXTENSIBLE wrapping PCM): the byte layout is public
+    * (chunked RIFF; fmt = code/channels/rate/block-align/bits; data =
+    * little-endian frames). Samples normalize to [-1, 1] for RMS/peak.
+    */
+  private[multimodal] def decodeWav(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Long, Double, Double, Double)] =
+    try {
+      if (bytes.length < 44) return None
+      def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+      if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+      def u16(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+      def u32(o: Int) = (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+        ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+      // chunk scan: fmt may precede or follow LIST/fact chunks
+      var off = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // code, channels, rate, bits
+      var data: Option[(Int, Int)] = None          // offset, length
+      while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+        val id   = ascii(off, 4)
+        val size = u32(off + 4).toInt
+        if (size < 0 || off + 8 + size > bytes.length) {
+          // tolerate a final data chunk truncated by a partial download
+          if (id == "data" && off + 8 < bytes.length)
+            data = Some((off + 8, bytes.length - off - 8))
+          else return None
+        } else id match {
+          case "fmt " =>
+            val code = u16(off + 8)
+            fmt = Some((code, u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
+          case "data" => data = Some((off + 8, size))
+          case _      => () // LIST, fact, cue … skipped
+        }
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      (fmt, data) match {
+        case (Some((code, ch, rate, bits)), Some((dOff, dLen)))
+            if (code == 1 || code == 0xFFFE) && ch > 0 && rate > 0 &&
+              (bits == 8 || bits == 16 || bits == 24 || bits == 32) =>
+          val bytesPer = bits / 8
+          val nSamples = dLen / bytesPer
+          val nFrames  = nSamples.toLong / ch
+          var sumSq = 0.0
+          var peak  = 0.0
+          var i = 0
+          while (i < nSamples * bytesPer) {
+            val v = bits match {
+              case 8  => ((bytes(dOff + i) & 0xFF) - 128) / 128.0 // unsigned
+              case 16 =>
+                val s = (bytes(dOff + i) & 0xFF) | (bytes(dOff + i + 1) << 8)
+                s / 32768.0
+              case 24 =>
+                val s = (bytes(dOff + i) & 0xFF) | ((bytes(dOff + i + 1) & 0xFF) << 8) |
+                  (bytes(dOff + i + 2) << 16)
+                s / 8388608.0
+              case 32 =>
+                val s = (bytes(dOff + i) & 0xFF) | ((bytes(dOff + i + 1) & 0xFF) << 8) |
+                  ((bytes(dOff + i + 2) & 0xFF) << 16) | (bytes(dOff + i + 3) << 24)
+                s / 2147483648.0
+            }
+            sumSq += v * v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            i += bytesPer
+          }
+          val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+          Some((rate, ch, bits, nFrames, nFrames.toDouble / rate, rms, peak))
+        case _ => None // compressed / float / malformed
+      }
+    } catch { case NonFatal(_) => None }
+
+  /** Batch audio decode, same per-partition stage shape. */
+  def decodeAudio(media: DataFrame): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "mime", "bytes").as[Multimodal.MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Option(r.bytes).flatMap(decodeWav) match {
+            case Some((rate, ch, bits, frames, dur, rms, peak)) =>
+              AudioFeatures(r.doc_id, Some(rate), Some(ch), Some(bits),
+                Some(frames), Some(dur), Some(rms), Some(peak))
+            case None =>
+              AudioFeatures(r.doc_id, None, None, None, None, None, None, None)
+          }
+        }
+      }
+  }
+}

@@ -14,11 +14,13 @@ import org.apache.spark.sql.types._
   * The Spark-side shape is real — schema, partitioning, per-partition batch
   * iteration (the Scala analogue of `mapInPandas`: `mapPartitions` over a
   * typed `Dataset`, one decoder instantiation per partition, streaming
-  * through rows without materializing the partition). The codec itself is a
-  * clearly-marked deterministic stand-in (this container ships no
-  * image/audio libraries): "decoding" computes byte-level features
-  * (entropy, histogram mode, strided samples) that stand where pixel/PCM
-  * features would.
+  * through rows without materializing the partition). This module's codec
+  * is a deterministic byte-level stand-in (entropy, histogram mode,
+  * strided samples); [[MediaDecode]] carries the REAL decoders the JDK can
+  * host — ImageIO images (dims/luma/thumbnail/dHash + banded near-dup) and
+  * WAV PCM audio (rate/duration/RMS/peak). Only video frame-sampling
+  * remains represented by the strided-byte stand-in here (no demuxer in
+  * the JDK).
   */
 object Multimodal {
 

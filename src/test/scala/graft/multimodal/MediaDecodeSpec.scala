@@ -1,0 +1,187 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Real JDK media decode: images (ImageIO), WAV PCM, dHash near-dup.
+  * Fixtures are synthesized in-test with the same JDK encoders (PNG/JPEG
+  * write, raw WAV bytes) — no external files.
+  */
+class MediaDecodeSpec extends SparkSpec {
+
+  // ------------------------------------------------------------- fixtures
+
+  /** Deterministic RGB test image: smooth horizontal gradient + a block. */
+  private def testImage(w: Int, h: Int, shift: Int = 0): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = math.min(255, (x * 255) / w + shift)
+      val v    = if (x > w / 2 && y > h / 2) math.min(255, base + 60) else base
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  /** 16-bit little-endian PCM WAV with a sine tone. */
+  private def sineWav(rate: Int, channels: Int, seconds: Double,
+      amplitude: Double, freq: Double = 440.0): Array[Byte] = {
+    val frames   = (rate * seconds).toInt
+    val dataLen  = frames * channels * 2
+    val out      = new ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+    out.write("RIFF".getBytes); le32(36 + dataLen); out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); le32(16)
+    le16(1); le16(channels); le32(rate)
+    le32(rate * channels * 2); le16(channels * 2); le16(16)
+    out.write("data".getBytes); le32(dataLen)
+    for (i <- 0 until frames; _ <- 0 until channels) {
+      val s = (amplitude * math.sin(2 * math.Pi * freq * i / rate) * 32767).toInt
+      le16(s & 0xFFFF)
+    }
+    out.toByteArray
+  }
+
+  // --------------------------------------------------------------- images
+
+  test("PNG decode: dimensions, luma, deterministic dhash") {
+    val bytes = encode(testImage(64, 48), "png")
+    val Some((w, h, luma, dhash, thumb)) = MediaDecode.decodeImage(bytes)
+    assert(w === 64 && h === 48)
+    assert(luma > 0 && luma < 255)
+    assert(thumb.length === 64)
+    // deterministic across calls and across re-encodes of the same pixels
+    assert(MediaDecode.decodeImage(bytes).get._4 === dhash)
+    assert(MediaDecode.decodeImage(encode(testImage(64, 48), "png")).get._4 === dhash)
+  }
+
+  test("dHash is brightness-shift invariant and discriminates content") {
+    val base     = MediaDecode.decodeImage(encode(testImage(64, 64), "png")).get
+    val brighter = MediaDecode.decodeImage(encode(testImage(64, 64, shift = 25), "png")).get
+    // constant offset preserves every gradient sign (up to clipping at 255
+    // in the saturated corner) → tiny Hamming distance
+    val drift = java.lang.Long.bitCount(base._4 ^ brighter._4)
+    assert(drift <= 6, s"brightness drift moved $drift dhash bits")
+    // different content → far hash
+    val noise = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    val rnd   = new scala.util.Random(7)
+    for (y <- 0 until 64; x <- 0 until 64)
+      noise.setRGB(x, y, rnd.nextInt(1 << 24))
+    val other = MediaDecode.decodeImage(encode(noise, "png")).get
+    assert(java.lang.Long.bitCount(base._4 ^ other._4) > 10)
+  }
+
+  test("JPEG decodes (lossy) with near-identical dhash to its PNG source") {
+    val img  = testImage(80, 60)
+    val png  = MediaDecode.decodeImage(encode(img, "png")).get
+    val jpeg = MediaDecode.decodeImage(encode(img, "jpg")).get
+    assert(jpeg._1 === 80 && jpeg._2 === 60)
+    // same content through a lossy codec → perceptual hash agrees
+    assert(java.lang.Long.bitCount(png._4 ^ jpeg._4) <= 6)
+  }
+
+  test("corrupt, truncated and non-image bytes yield None, never throw") {
+    assert(MediaDecode.decodeImage("not an image".getBytes) === None)
+    assert(MediaDecode.decodeImage(Array[Byte]()) === None)
+    val png = encode(testImage(32, 32), "png")
+    assert(MediaDecode.decodeImage(png.take(20)) === None)
+  }
+
+  test("decodeImages stage: per-partition decode, None rows for failures") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "image/png", encode(testImage(40, 30), "png")),
+      (2L, "image/jpeg", encode(testImage(40, 30), "jpg")),
+      (3L, "image/png", "garbage".getBytes),
+      (4L, "image/png", null))
+    val media = rows.toDF("doc_id", "mime", "bytes").repartition(3)
+    val f = MediaDecode.decodeImages(media).collect().sortBy(_.doc_id)
+    assert(f.map(_.doc_id).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(f(0).width === Some(40) && f(0).height === Some(30))
+    assert(f(1).dhash.isDefined)
+    assert(f(2) === MediaDecode.ImageFeatures(3L, None, None, None, None, None))
+    assert(f(3).width === None)
+  }
+
+  test("imageNearDupPairs: banded dhash finds the re-encoded twin only") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "image/png", encode(testImage(64, 64), "png")),
+      (2L, "image/jpeg", encode(testImage(64, 64), "jpg")), // same content, lossy twin
+      (3L, "image/png", {
+        val noise = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+        val rnd = new scala.util.Random(11)
+        for (y <- 0 until 64; x <- 0 until 64) noise.setRGB(x, y, rnd.nextInt(1 << 24))
+        encode(noise, "png")
+      }),
+      (4L, "image/png", "corrupt".getBytes)) // must not crash the pair stage
+    val feats = MediaDecode.decodeImages(rows.toDF("doc_id", "mime", "bytes"))
+      .toDF()
+    val pairs = MediaDecode.imageNearDupPairs(feats, maxHamming = 6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  // ---------------------------------------------------------------- audio
+
+  test("WAV decode: rate, frames, duration, RMS ≈ A/√2, peak ≈ A") {
+    val wav = sineWav(rate = 8000, channels = 1, seconds = 0.5, amplitude = 0.8)
+    val Some((rate, ch, bits, frames, dur, rms, peak)) = MediaDecode.decodeWav(wav)
+    assert(rate === 8000 && ch === 1 && bits === 16)
+    assert(frames === 4000L)
+    assert(math.abs(dur - 0.5) < 1e-9)
+    assert(math.abs(rms - 0.8 / math.sqrt(2)) < 0.01, s"rms $rms")
+    assert(math.abs(peak - 0.8) < 0.01, s"peak $peak")
+  }
+
+  test("stereo WAV: channels and per-frame accounting") {
+    val wav = sineWav(rate = 16000, channels = 2, seconds = 0.25, amplitude = 0.5)
+    val Some((rate, ch, _, frames, dur, _, _)) = MediaDecode.decodeWav(wav)
+    assert(rate === 16000 && ch === 2)
+    assert(frames === 4000L)
+    assert(math.abs(dur - 0.25) < 1e-9)
+  }
+
+  test("silence has zero RMS; garbage and compressed formats yield None") {
+    val silent = sineWav(8000, 1, 0.1, amplitude = 0.0)
+    assert(MediaDecode.decodeWav(silent).get._6 === 0.0)
+    assert(MediaDecode.decodeWav("RIFFxxxxWAVEnope".getBytes) === None)
+    assert(MediaDecode.decodeWav(Array[Byte](1, 2, 3)) === None)
+    // format code 85 (mp3-in-wav) must be rejected, not misparsed
+    val mp3ish = sineWav(8000, 1, 0.1, 0.5)
+    mp3ish(20) = 85 // fmt code low byte
+    assert(MediaDecode.decodeWav(mp3ish) === None)
+  }
+
+  test("truncated data chunk (partial download) still parses the prefix") {
+    val wav  = sineWav(8000, 1, 0.5, 0.8)
+    val cut  = wav.take(wav.length - 1000) // header intact, data short
+    val dec  = MediaDecode.decodeWav(cut)
+    assert(dec.isDefined)
+    assert(dec.get._4 < 4000L && dec.get._4 > 3000L)
+  }
+
+  test("decodeAudio stage mirrors the image stage's None discipline") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "audio/wav", sineWav(8000, 1, 0.1, 0.5)),
+      (2L, "audio/wav", "junk".getBytes),
+      (3L, "audio/wav", null))
+    val f = MediaDecode.decodeAudio(rows.toDF("doc_id", "mime", "bytes"))
+      .collect().sortBy(_.doc_id)
+    assert(f(0).sample_rate === Some(8000))
+    assert(f(1).sample_rate === None)
+    assert(f(2).sample_rate === None)
+  }
+}
