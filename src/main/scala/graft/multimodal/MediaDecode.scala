@@ -60,7 +60,7 @@ object MediaDecode {
     * ImageIO's PNG path is exact (lossless), and the gray downscale is the
     * fixed bilinear Graphics2D pipeline.
     */
-  private[multimodal] def decodeImage(
+  private[graft] def decodeImage(
       bytes: Array[Byte]): Option[(Int, Int, Double, Long, Array[Byte])] =
     try {
       val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))

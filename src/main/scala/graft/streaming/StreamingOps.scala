@@ -336,6 +336,39 @@ object StreamingOps {
       delay: String = "1 hour"): DataFrame =
     dedupStream(docs, graft.queries.TextQueries.simhashCol, eventTime, delay)
 
+  /** Streaming image near-dup candidates over the 64-bit dHash
+    * ([[graft.multimodal.MediaDecode]]): each micro-batch decodes its
+    * images in a narrow per-partition stage (undecodable media drops out,
+    * never fails the query), and the hash's 4×16-bit bands feed the SAME
+    * bucket-state machinery as the MinHash/simhash twins — re-encoded or
+    * gamma-shifted copies of a crawled image surface as candidates within
+    * the watermark horizon. Downstream verify = per-pair `bit_count(xor)`
+    * exactly like the batch
+    * [[graft.multimodal.MediaDecode.imageNearDupPairs]].
+    */
+  def imageNeardupCandidates(
+      media: DataFrame, // doc_id, bytes, event_time
+      eventTime: String = "event_time",
+      delay: String = "1 hour",
+      maxBucket: Int = 1000): Dataset[NeardupCandidate] = {
+    import media.sparkSession.implicits._
+    val hashed = media
+      .select(col("doc_id"), col(eventTime).as("__t"), col("bytes"))
+      .as[(Long, java.sql.Timestamp, Array[Byte])]
+      .mapPartitions(_.map { case (id, t, b) =>
+        (id, t, Option(b).flatMap(graft.multimodal.MediaDecode.decodeImage)
+          .map(_._4))
+      })
+      .toDF("doc_id", eventTime, "dhash")
+      .filter(col("dhash").isNotNull)
+    candidatesFromBanded(
+      hashed.select(col("doc_id"), col(eventTime),
+        posexplode(array((0 to 3).map(j =>
+          format_string("%04x", shiftright(col("dhash"), 16 * j)
+            .bitwiseAND(lit(0xFFFFL)))): _*)).as(Seq("band", "key"))),
+      eventTime, delay, maxBucket)
+  }
+
   /** Streaming twin of the q72 duplicated-passage detector: each arriving
     * document's DISTINCT word 10-gram hashes probe bucket state keyed by
     * the gram hash itself (band constant — the passage hash is the only

@@ -133,6 +133,44 @@ class MediaDecodeSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("streaming dHash candidates equal the batch banded pair set") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val imgs = Seq(
+      (1L, encode(testImage(64, 64), "png")),
+      (2L, encode(testImage(64, 64), "jpg")), // lossy twin of 1
+      (3L, {
+        val noise = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+        val rnd = new scala.util.Random(11)
+        for (y <- 0 until 64; x <- 0 until 64) noise.setRGB(x, y, rnd.nextInt(1 << 24))
+        encode(noise, "png")
+      }),
+      (4L, "corrupt".getBytes))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val query = graft.streaming.StreamingOps.imageNeardupCandidates(
+        input.toDF().toDF("doc_id", "bytes", "event_time"))
+      .writeStream.format("memory").queryName("img_neardup")
+      .outputMode("append").start()
+    try {
+      input.addData(imgs.map { case (id, b) => (id, b, ts(s"2023-01-01 10:0$id:00")) })
+      query.processAllAvailable()
+      val stream = spark.table("img_neardup")
+        .select("doc_a", "doc_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // maxHamming = 64 disables the verify → the raw banded candidate set
+      val batch = MediaDecode.imageNearDupPairs(
+          MediaDecode.decodeImages(
+            imgs.toDF("doc_id", "bytes").withColumn("mime", lit("image/*"))).toDF(),
+          maxHamming = 64)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.contains((1L, 2L))) // sanity: the perceptual twin banded together
+      assert(stream === batch)
+    } finally query.stop()
+  }
+
   // ---------------------------------------------------------------- audio
 
   test("WAV decode: rate, frames, duration, RMS ≈ A/√2, peak ≈ A") {
