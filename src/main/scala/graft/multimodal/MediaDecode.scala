@@ -60,41 +60,79 @@ object MediaDecode {
     * ImageIO's PNG path is exact (lossless), and the gray downscale is the
     * fixed bilinear Graphics2D pipeline.
     */
+  /** Decompression-bomb guard: a tiny file can DECLARE enormous dimensions
+    * (pixel flood) and make a naive `ImageIO.read` allocate gigabytes —
+    * an OutOfMemoryError no `NonFatal` catch survives. Dimensions are read
+    * from the header alone (`ImageReader.getWidth/getHeight` parse
+    * metadata, not pixels) and over-cap images return None before any
+    * pixel allocation. 64 MPix ≈ a 256 MB ARGB raster — beyond any
+    * legitimate crawled thumbnail-able image.
+    */
+  val maxPixels: Long = 64L * 1024 * 1024
+
+  /** Header-checked decode, or None (no reader / over cap / corrupt). */
+  private def readBounded(bytes: Array[Byte]): Option[BufferedImage] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val w = reader.getWidth(0).toLong
+        val h = reader.getHeight(0).toLong
+        if (w <= 0 || h <= 0 || w * h > maxPixels) None
+        else Option(reader.read(0))
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  private def gray(img: BufferedImage, w: Int, h: Int): Array[Int] = {
+    val g  = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val gr = g.createGraphics()
+    gr.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+      RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    gr.drawImage(img, 0, 0, w, h, null)
+    gr.dispose()
+    val r = g.getRaster
+    Array.tabulate(w * h)(i => r.getSample(i % w, i / w, 0))
+  }
+
+  // dHash: 9×8 gray, bit (y*8+x) set when p[y][x] < p[y][x+1]
+  private def dhashOf(img: BufferedImage): Long = {
+    val d9 = gray(img, 9, 8)
+    var dhash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (d9(y * 9 + x) < d9(y * 9 + x + 1))
+          dhash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    dhash
+  }
+
   private[graft] def decodeImage(
       bytes: Array[Byte]): Option[(Int, Int, Double, Long, Array[Byte])] =
     try {
-      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
-      if (img == null) None // no registered reader claimed the bytes
-      else {
-        def gray(w: Int, h: Int): Array[Int] = {
-          val g  = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
-          val gr = g.createGraphics()
-          gr.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
-            RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-          gr.drawImage(img, 0, 0, w, h, null)
-          gr.dispose()
-          val r = g.getRaster
-          Array.tabulate(w * h)(i => r.getSample(i % w, i / w, 0))
-        }
-        // dHash: 9×8 gray, bit (y*8+x) set when p[y][x] < p[y][x+1]
-        val d9 = gray(9, 8)
-        var dhash = 0L
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            if (d9(y * 9 + x) < d9(y * 9 + x + 1))
-              dhash |= 1L << (y * 8 + x)
-            x += 1
-          }
-          y += 1
-        }
-        val t8    = gray(8, 8)
+      readBounded(bytes).map { img =>
+        val t8    = gray(img, 8, 8)
         val thumb = t8.map(_.toByte)
         val luma  = t8.sum.toDouble / 64.0
-        Some((img.getWidth, img.getHeight, luma, dhash, thumb))
+        (img.getWidth, img.getHeight, luma, dhashOf(img), thumb)
       }
     } catch { case NonFatal(_) => None } // corrupt/truncated media
+
+  /** Hash-only decode for the streaming candidate path — skips the
+    * thumbnail/luma render the stream would discard.
+    */
+  private[graft] def dhash64(bytes: Array[Byte]): Option[Long] =
+    try readBounded(bytes).map(dhashOf)
+    catch { case NonFatal(_) => None }
 
   /** Batch image decode: the [[Multimodal.extractFeatures]] stage with a
     * REAL codec in the per-partition slot.
@@ -172,26 +210,41 @@ object MediaDecode {
       var off = 12
       var fmt: Option[(Int, Int, Int, Int)] = None // code, channels, rate, bits
       var data: Option[(Int, Int)] = None          // offset, length
-      while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      var truncated = false
+      // for WAVE_FORMAT_EXTENSIBLE: the wrapped format tag (SubFormat GUID
+      // bytes 0-1 at fmt offset 24) — float/A-law payloads must NOT be
+      // misparsed as integer PCM
+      var subFormat = 1
+      while (!truncated && off + 8 <= bytes.length &&
+          (fmt.isEmpty || data.isEmpty)) {
         val id   = ascii(off, 4)
         val size = u32(off + 4).toInt
         if (size < 0 || off + 8 + size > bytes.length) {
-          // tolerate a final data chunk truncated by a partial download
+          // tolerate a FINAL data chunk truncated by a partial download;
+          // any other over-running / negative size is malformed. Either
+          // way the scan STOPS — a negative size must not move `off`
+          // backwards (crafted bytes would loop the task forever).
           if (id == "data" && off + 8 < bytes.length)
             data = Some((off + 8, bytes.length - off - 8))
           else return None
-        } else id match {
-          case "fmt " =>
-            val code = u16(off + 8)
-            fmt = Some((code, u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
-          case "data" => data = Some((off + 8, size))
-          case _      => () // LIST, fact, cue … skipped
+          truncated = true
+        } else {
+          id match {
+            case "fmt " =>
+              val code = u16(off + 8)
+              fmt = Some((code, u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
+              if (code == 0xFFFE)
+                subFormat = if (size >= 26) u16(off + 8 + 24) else 0
+            case "data" => data = Some((off + 8, size))
+            case _      => () // LIST, fact, cue … skipped
+          }
+          off += 8 + size + (size & 1) // chunks are word-aligned
         }
-        off += 8 + size + (size & 1) // chunks are word-aligned
       }
       (fmt, data) match {
         case (Some((code, ch, rate, bits)), Some((dOff, dLen)))
-            if (code == 1 || code == 0xFFFE) && ch > 0 && rate > 0 &&
+            if (code == 1 || (code == 0xFFFE && subFormat == 1)) &&
+              ch > 0 && rate > 0 &&
               (bits == 8 || bits == 16 || bits == 24 || bits == 32) =>
           val bytesPer = bits / 8
           val nSamples = dLen / bytesPer

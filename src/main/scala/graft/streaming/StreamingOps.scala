@@ -356,8 +356,7 @@ object StreamingOps {
       .select(col("doc_id"), col(eventTime).as("__t"), col("bytes"))
       .as[(Long, java.sql.Timestamp, Array[Byte])]
       .mapPartitions(_.map { case (id, t, b) =>
-        (id, t, Option(b).flatMap(graft.multimodal.MediaDecode.decodeImage)
-          .map(_._4))
+        (id, t, Option(b).flatMap(graft.multimodal.MediaDecode.dhash64))
       })
       .toDF("doc_id", eventTime, "dhash")
       .filter(col("dhash").isNotNull)

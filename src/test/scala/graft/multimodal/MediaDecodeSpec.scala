@@ -96,6 +96,31 @@ class MediaDecodeSpec extends SparkSpec {
     assert(MediaDecode.decodeImage(png.take(20)) === None)
   }
 
+  test("pixel-flood bomb is rejected from the header, before allocation") {
+    // a tiny file DECLARING huge dimensions: craft a valid PNG IHDR with
+    // width/height 60000×60000 by patching a real 8×8 PNG's header (fix
+    // the IHDR CRC so the reader accepts the chunk)
+    val png  = encode(testImage(8, 8), "png")
+    val bomb = png.clone()
+    def be32(off: Int, v: Int): Unit = {
+      bomb(off) = (v >> 24).toByte; bomb(off + 1) = (v >> 16).toByte
+      bomb(off + 2) = (v >> 8).toByte; bomb(off + 3) = v.toByte
+    }
+    be32(16, 60000); be32(20, 60000) // IHDR width, height
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 17) // "IHDR" + 13 data bytes
+    be32(29, crc.getValue.toInt)
+    // header parse alone must reject it — no multi-GB raster allocation
+    assert(MediaDecode.decodeImage(bomb) === None)
+    assert(MediaDecode.dhash64(bomb) === None)
+  }
+
+  test("dhash64 fast path equals the full decode's hash") {
+    val bytes = encode(testImage(48, 48), "png")
+    assert(MediaDecode.dhash64(bytes) ===
+      MediaDecode.decodeImage(bytes).map(_._4))
+  }
+
   test("decodeImages stage: per-partition decode, None rows for failures") {
     import spark.implicits._
     val rows = Seq(
@@ -200,6 +225,46 @@ class MediaDecodeSpec extends SparkSpec {
     val mp3ish = sineWav(8000, 1, 0.1, 0.5)
     mp3ish(20) = 85 // fmt code low byte
     assert(MediaDecode.decodeWav(mp3ish) === None)
+  }
+
+  test("negative chunk size terminates the scan instead of spinning") {
+    // "RIFF" len "WAVE" "data" size=-8 + one byte: a crafted negative size
+    // must not move the scan backwards into an infinite loop (the task
+    // would hang, which no exception handler can save)
+    val out = new ByteArrayOutputStream()
+    out.write("RIFF".getBytes); out.write(Array[Byte](16, 0, 0, 0))
+    out.write("WAVE".getBytes)
+    out.write("data".getBytes); out.write(Array[Byte](-8, -1, -1, -1))
+    out.write(99)
+    val decoded = MediaDecode.decodeWav(out.toByteArray) // must return
+    assert(decoded === None) // data prefix recorded but no fmt chunk
+  }
+
+  test("extensible WAV wrapping IEEE float is rejected, PCM accepted") {
+    // rewrite the fixture's fmt chunk as WAVE_FORMAT_EXTENSIBLE (code
+    // 0xFFFE, cbSize 22, SubFormat tag in the GUID): float subformat (3)
+    // must NOT be misparsed as integer PCM; PCM subformat (1) must parse
+    def extensible(sub: Int): Array[Byte] = {
+      val base = sineWav(8000, 1, 0.1, 0.5)
+      val out  = new ByteArrayOutputStream()
+      out.write(base, 0, 12)                       // RIFF/WAVE header
+      out.write("fmt ".getBytes)
+      out.write(Array[Byte](40, 0, 0, 0))          // fmt size 40
+      // fmt body from the fixture: code, ch, rate, byteRate, blockAlign, bits
+      val body = java.util.Arrays.copyOfRange(base, 20, 36)
+      body(0) = 0xFE.toByte; body(1) = 0xFF.toByte // code 0xFFFE
+      out.write(body)
+      out.write(Array[Byte](22, 0))                // cbSize
+      out.write(Array[Byte](16, 0))                // validBits
+      out.write(Array[Byte](0, 0, 0, 0))           // channelMask
+      out.write(Array[Byte](sub.toByte, 0))        // SubFormat tag
+      out.write(new Array[Byte](14))               // GUID remainder
+      out.write(base, 36, base.length - 36)        // data chunk
+      out.toByteArray
+    }
+    assert(MediaDecode.decodeWav(extensible(3)) === None)
+    val pcm = MediaDecode.decodeWav(extensible(1))
+    assert(pcm.isDefined && pcm.get._1 === 8000)
   }
 
   test("truncated data chunk (partial download) still parses the prefix") {
