@@ -62,18 +62,18 @@ object Pipeline {
     // `partitionByWeek` switches the parquet layout to the scale path:
     // hive-partitioned by week so time-bounded reads prune partitions.
     val sorted = agg.orderBy(Transform.groupKeys.map(col): _*)
-    // the reference's ACTUAL sink: a real SQLite file, appended in place
-    // (graft.sources.SqliteIO — pure-JVM writer, no sqlite-jdbc jar)
-    sqlitePath.foreach(p => graft.sources.SqliteIO.append(sorted, p, tableName))
-    jdbcUrl match {
-      case _ if sqlitePath.isDefined => () // handled above
-      case Some(url) =>
+    (sqlitePath, jdbcUrl) match {
+      case (Some(p), _) =>
+        // the reference's ACTUAL sink: a real SQLite file, appended in
+        // place (graft.sources.SqliteIO — pure-JVM writer, no jdbc jar)
+        graft.sources.SqliteIO.append(sorted, p, tableName)
+      case (None, Some(url)) =>
         sorted.write.mode(SaveMode.Append)
           .format("jdbc")
           .option("url", url)
           .option("dbtable", tableName)
           .save()
-      case None =>
+      case (None, None) =>
         val target = s"$outDir/$tableName"
         guardAppendSchema(spark, target, sorted, partitionByWeek)
         val writer = sorted.write.mode(SaveMode.Append)

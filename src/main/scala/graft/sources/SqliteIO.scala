@@ -78,13 +78,24 @@ object SqliteIO {
         cookie = 1, changeCounter = 1)
     } else {
       val existing = readTable(path, tableName)
-      val names    = columnNamesFromSql(existing.createSql)
-      require(names == schema.fieldNames.toSeq,
+      val cols     = columnsFromSql(existing.createSql)
+      require(cols.map(_._1) == schema.fieldNames.toSeq,
         s"schema mismatch appending to $path table '$tableName': existing " +
-          s"columns ${names.mkString("[", ", ", "]")} but this run produces " +
+          s"columns ${cols.map(_._1).mkString("[", ", ", "]")} but this run produces " +
           s"${schema.fieldNames.mkString("[", ", ", "]")} (did computePnl " +
           "change between runs?). Write elsewhere, delete the db, or rerun " +
           "with the original settings.")
+      // declared TYPES must agree too (by storage class): a same-named
+      // frame with e.g. user_id as STRING would append text under an
+      // INTEGER declaration — the loud failure would otherwise land on a
+      // much-later reader instead of the offending writer
+      cols.zip(schema.fields).foreach { case ((n, declared), f) =>
+        val want = declType(f.dataType)
+        val sc   = storageClass(declared)
+        require(sc == "ANY" || sc == storageClass(want),
+          s"type mismatch appending to $path table '$tableName': column " +
+            s"'$n' is declared $declared but this run produces $want")
+      }
       val all = existing.rows ++ incoming
       require(all.length <= maxRows,
         s"append would exceed the $maxRows-row sink cap (${all.length} rows)")
@@ -109,19 +120,21 @@ object SqliteIO {
     */
   def readDataFrame(spark: org.apache.spark.sql.SparkSession, path: String,
       tableName: String): DataFrame = {
-    val t     = readTable(path, tableName)
-    val names = columnNamesFromSql(t.createSql)
-    val declared = "\"[^\"]+\"\\s+([A-Za-z]+)".r
-      .findAllMatchIn(t.createSql.dropWhile(_ != '(').drop(1))
-      .map(_.group(1).toUpperCase).toSeq
-    val sparkTypes: Seq[DataType] = declared.map {
-      case "INTEGER" | "INT" | "BIGINT"         => LongType
-      case "REAL" | "FLOAT" | "DOUBLE"          => DoubleType
-      case "BOOLEAN"                            => BooleanType
-      case "TEXT" | "DATE" | "TIMESTAMP" | "VARCHAR" => StringType // ISO text, cast downstream
-      case "BLOB"                               => BinaryType
-      case other => throw new IllegalArgumentException(
-        s"SqliteIO: unsupported declared type $other in: ${t.createSql}")
+    val t    = readTable(path, tableName)
+    val cols = columnsFromSql(t.createSql) // ONE parse: (name, declared type)
+    val names = cols.map(_._1)
+    val sparkTypes: Seq[DataType] = cols.map {
+      case (_, dt) => dt.toUpperCase.takeWhile(c => c != '(' && c != ' ') match {
+        case "INTEGER" | "INT" | "BIGINT" | "SMALLINT" | "TINYINT" => LongType
+        case "REAL" | "FLOAT" | "DOUBLE"               => DoubleType
+        case "BOOLEAN"                                 => BooleanType
+        case "TEXT" | "DATE" | "TIMESTAMP" | "VARCHAR" | "CHAR" | "DATETIME" =>
+          StringType // ISO text, cast downstream
+        case "BLOB"                                    => BinaryType
+        case other => throw new IllegalArgumentException(
+          s"SqliteIO: unsupported declared type '$other' in: ${t.createSql} — " +
+            "untyped/exotic columns need an explicit migration query")
+      }
     }
     val schema = StructType(names.zip(sparkTypes).map {
       case (n, dt) => StructField(n, dt)
@@ -232,10 +245,18 @@ object SqliteIO {
     val Seq(typ, name, _, rootpage, sql) = master.head
     require(typ == "table" && name == tableName,
       s"$path: table '$tableName' not found (has ${typ} '${name}')")
-    val ncols = columnNamesFromSql(sql.asInstanceOf[String]).length
-    val rows = walk(rootpage.asInstanceOf[Long].toInt).map { case (_, r) =>
+    val ncols = columnsFromSql(sql.asInstanceOf[String]).length
+    val raw   = walk(rootpage.asInstanceOf[Long].toInt)
+    // a record WIDER than the parsed DDL means the parse missed columns —
+    // truncating would silently destroy that data on the next append
+    raw.foreach { case (rid, r) =>
+      require(r.length <= ncols,
+        s"$path: rowid $rid has ${r.length} values but the parsed CREATE " +
+          s"TABLE has $ncols columns — DDL this reader cannot represent: $sql")
+    }
+    val rows = raw.map { case (_, r) =>
       // sqlite permits records with fewer trailing columns than the schema
-      if (r.length >= ncols) r.take(ncols) else r ++ Seq.fill(ncols - r.length)(null)
+      if (r.length >= ncols) r else r ++ Seq.fill(ncols - r.length)(null)
     }
     Table(sql.asInstanceOf[String], rows, h.getInt(40), h.getInt(24))
   }
@@ -270,19 +291,84 @@ object SqliteIO {
     * reference golden byte-for-byte.
     */
   def createTableSql(tableName: String, schema: StructType): String = {
-    val cols = schema.fields.map(f => s""""${f.name}" ${declType(f.dataType)}""")
-    s"""CREATE TABLE "$tableName" (\n""" + cols.mkString(",\n  ") + "\n)"
+    def q(n: String) = "\"" + n.replace("\"", "\"\"") + "\"" // SQL-escape
+    val cols = schema.fields.map(f => s"${q(f.name)} ${declType(f.dataType)}")
+    s"CREATE TABLE ${q(tableName)} (\n" + cols.mkString(",\n  ") + "\n)"
   }
 
-  /** Column names in declaration order, parsed back out of a stored CREATE
-    * TABLE text (ours or pandas' — both quote every name).
+  /** (name, declared type) pairs in declaration order, parsed back out of
+    * a stored CREATE TABLE text — ours or a foreign producer's. A real
+    * tokenizer, not a regex: splits the parenthesized body on TOP-LEVEL
+    * commas (so `DECIMAL(10,2)` survives), unescapes doubled quotes in
+    * identifiers, accepts unquoted and UNTYPED columns (both legal
+    * sqlite), and skips trailing table-constraint clauses. Anything it
+    * cannot represent fails loudly — [[readTable]] cross-checks record
+    * arity so a misparse can never silently truncate data.
     */
-  def columnNamesFromSql(sql: String): Seq[String] = {
-    val body = sql.dropWhile(_ != '(').drop(1)
-    val names = "\"([^\"]+)\"\\s+[A-Za-z]".r
-      .findAllMatchIn(body).map(_.group(1)).toSeq
-    require(names.nonEmpty, s"SqliteIO: cannot parse column names from: $sql")
-    names
+  def columnsFromSql(sql: String): Seq[(String, String)] = {
+    val open = sql.indexOf('(')
+    require(open >= 0 && sql.trim.endsWith(")"),
+      s"SqliteIO: cannot parse CREATE TABLE text: $sql")
+    val body = sql.substring(open + 1, sql.lastIndexOf(')'))
+    // top-level comma split, quote- and paren-aware
+    val segs = ArrayBuffer[String]()
+    val cur  = new StringBuilder
+    var depth = 0
+    var inQ   = false
+    body.foreach { c =>
+      if (inQ) { cur += c; if (c == '"') inQ = false }
+      else c match {
+        case '"'              => inQ = true; cur += c
+        case '(' | '['        => depth += 1; cur += c
+        case ')' | ']'        => depth -= 1; cur += c
+        case ',' if depth == 0 => segs += cur.toString; cur.clear()
+        case _                => cur += c
+      }
+    }
+    if (cur.toString.trim.nonEmpty) segs += cur.toString
+    val constraintKw = Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
+    val cols = segs.map(_.trim).filter(_.nonEmpty).flatMap { seg =>
+      val (name, rest) =
+        if (seg.startsWith("\"")) {
+          // quoted identifier: scan to the closing quote, "" = literal "
+          val sb = new StringBuilder
+          var i = 1
+          var done = false
+          while (!done && i < seg.length) {
+            if (seg(i) == '"') {
+              if (i + 1 < seg.length && seg(i + 1) == '"') { sb += '"'; i += 2 }
+              else { done = true; i += 1 }
+            } else { sb += seg(i); i += 1 }
+          }
+          require(done, s"SqliteIO: unterminated quoted name in: $seg")
+          (sb.toString, seg.substring(i).trim)
+        } else {
+          val tok = seg.takeWhile(!_.isWhitespace)
+          (tok, seg.drop(tok.length).trim)
+        }
+      if (!seg.startsWith("\"") &&
+          constraintKw.contains(name.toUpperCase)) None // table constraint
+      else Some((name, rest)) // rest = declared type ("" for untyped)
+    }.toSeq
+    require(cols.nonEmpty, s"SqliteIO: no columns parsed from: $sql")
+    cols
+  }
+
+  /** Column names in declaration order (see [[columnsFromSql]]). */
+  def columnNamesFromSql(sql: String): Seq[String] =
+    columnsFromSql(sql).map(_._1)
+
+  /** sqlite type-affinity storage class of a declared type — the level at
+    * which append type-compat is enforced (INTEGER vs INT vs BIGINT all
+    * store integers; TEXT vs DATE both store ISO text here).
+    */
+  private def storageClass(declared: String): String = {
+    val t = declared.toUpperCase
+    if (t.isEmpty) "ANY" // untyped sqlite column: stores anything
+    else if (t.contains("INT") || t == "BOOLEAN") "INTEGER"
+    else if (t.contains("REAL") || t.contains("FLOA") || t.contains("DOUB")) "REAL"
+    else if (t.contains("BLOB")) "BLOB"
+    else "TEXT" // TEXT/CHAR/DATE/TIMESTAMP → text affinity here
   }
 
   /** Declared column type, pandas `to_sql` mapping — the golden's CREATE
@@ -609,6 +695,13 @@ object SqliteIO {
     h.putInt(92, changeCounter)              // version-valid-for
     h.putInt(96, VersionNumber)
 
+    // the format reserves the page spanning byte offset 1 GiB (the
+    // lock-byte page) — a writer that reaches it must skip it, which this
+    // sequential allocator does not do. Cap loudly below it; a database
+    // that large has outgrown a report-scale sink anyway.
+    require(pages.length < (1073741824 / PageSize) + 1,
+      s"database would span the 1 GiB lock-byte page (${pages.length} pages) — " +
+        "use the distributed parquet/JSONL sinks for tables this large")
     AtomicFiles.write(path) { tmp =>
       val out = Files.newOutputStream(tmp.toPath)
       try pages.foreach(out.write)

@@ -145,6 +145,51 @@ class SqliteIOSpec extends SparkSpec {
     assert(SqliteIO.readTable(db, "t").rows.length === 2)
   }
 
+  test("DDL parser: quoted/unquoted/untyped columns, nested parens, escapes") {
+    assert(SqliteIO.columnsFromSql(
+      """CREATE TABLE "t" ("a" INTEGER,
+        |  "b" DECIMAL(10,2),
+        |  c TEXT,
+        |  "d",
+        |  "e""f" REAL,
+        |  PRIMARY KEY ("a")
+        |)""".stripMargin) ===
+      Seq(("a", "INTEGER"), ("b", "DECIMAL(10,2)"), ("c", "TEXT"),
+        ("d", ""), ("e\"f", "REAL")))
+    // round trip through our own generator incl. a quote in the name
+    val s = StructType(Seq(StructField("x\"y", LongType),
+      StructField("plain", StringType)))
+    val ddl = SqliteIO.createTableSql("ta\"ble", s)
+    assert(SqliteIO.columnsFromSql(ddl) ===
+      Seq(("x\"y", "INTEGER"), ("plain", "TEXT")))
+  }
+
+  test("quoted identifiers survive a full write→sqlite_master→read cycle") {
+    val db = tmpDb()
+    val s  = StructType(Seq(StructField("we\"ird", LongType),
+      StructField("v", DoubleType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, 2.5)), 1), s)
+    SqliteIO.append(df, db, "t")
+    SqliteIO.append(df, db, "t") // append re-parses the stored DDL
+    val t = SqliteIO.readTable(db, "t")
+    assert(SqliteIO.columnNamesFromSql(t.createSql) === Seq("we\"ird", "v"))
+    assert(t.rows.length === 2)
+  }
+
+  test("append with matching names but different types fails at the writer") {
+    val db = tmpDb()
+    SqliteIO.append(mkDf(3), db, "t")
+    // same column names, but `score` becomes a string
+    val asString = mkDf(3).withColumn("score", expr("cast(score as string)"))
+    val e = intercept[IllegalArgumentException] {
+      SqliteIO.append(asString, db, "t")
+    }
+    assert(e.getMessage.contains("type mismatch") &&
+      e.getMessage.contains("score"))
+    assert(SqliteIO.readTable(db, "t").rows.length === 3) // untouched
+  }
+
   test("non-sqlite and missing-table inputs fail loudly") {
     val dir = Files.createTempDirectory("sqlite").toFile
     val junk = new File(dir, "junk.db")

@@ -16,6 +16,9 @@ import sys
 
 
 def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
     produced = sys.argv[1]
     golden = sys.argv[2] if len(sys.argv) > 2 else None
 
