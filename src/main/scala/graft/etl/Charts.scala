@@ -118,7 +118,7 @@ object Charts {
           }
         }
       }
-      legend(g, types.map(t => t -> hex(colorMap.getOrElse(t, fallbackColor))),
+      legend(g, types.toSeq.map(t => t -> hex(colorMap.getOrElse(t, fallbackColor))),
         "client_type")
     }
   }

@@ -145,7 +145,7 @@ object TrainingPipeline {
     * [[graft.queries.TextQueries.decontaminate]]), so dedup never elects
     * a contaminated doc as a cluster's canonical survivor.
     */
-  def export(
+  def `export`( // backticked: `export` becomes a keyword in Scala 3
       docs: DataFrame,
       embeddings: Option[DataFrame] = None,
       cfg: Config = Config(),
