@@ -9,17 +9,16 @@ object Verify {
     val spark = GraftSession.create("graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Single-file output keeps the driver's per-query compare simple at
-    // verification scale (sf≤0.1). For large dumps the one-writer funnel
-    // becomes the bottleneck: set GRAFT_VERIFY_SINGLE_FILE=0 to write with
-    // the query's natural partitioning instead.
-    val singleFile = sys.env.getOrElse("GRAFT_VERIFY_SINGLE_FILE", "1") != "0"
+    // Each query writes with its natural partitioning — the compare reads
+    // the whole output directory, and its hash is row-order-insensitive,
+    // so a multi-file dump is equivalent. A repartition(1) here would be a
+    // driver-side funnel at real dump sizes (every result row through one
+    // writer task). GRAFT_VERIFY_SINGLE_FILE=1 opts back into the
+    // single-file form (repartition(1), NOT coalesce(1): coalesce would
+    // collapse the final stage back to the last shuffle boundary into one
+    // task, running narrow queries fully single-threaded).
+    val singleFile = sys.env.getOrElse("GRAFT_VERIFY_SINGLE_FILE", "0") == "1"
     SparkEntry.queries.foreach { case (name, fn) =>
-      // repartition(1), NOT coalesce(1): coalesce collapses the FINAL
-      // stage (back to the last shuffle boundary) into one task — narrow
-      // queries would run fully single-threaded; repartition keeps every
-      // stage parallel and only funnels the result into one output file
-      // for the driver's compare.
       // construction INSIDE the try: queries do eager work at build time
       // (Tables.load analysis, materialize()'s localCheckpoint job,
       // argument require()s) — outside it, one failing query would abort

@@ -12,11 +12,16 @@ object AtomicFiles {
 
   /** Run `body` against the temp file, then publish it at `path`. The temp
     * file is removed on failure so a crashed write leaves nothing behind.
+    * The temp name is unique per process+call — two concurrent writers of
+    * the SAME path race only at the final atomic rename (last one wins,
+    * both files complete), never by clobbering each other's half-written
+    * temp file as a fixed ".tmp" suffix would.
     */
   def write(path: String)(body: File => Unit): Unit = {
     val f = new File(path)
     Option(f.getParentFile).foreach(_.mkdirs())
-    val tmp = new File(path + ".tmp")
+    val tmp = new File(path + ".tmp." +
+      ProcessHandle.current().pid() + "." + java.util.UUID.randomUUID())
     try body(tmp)
     catch { case e: Throwable => tmp.delete(); throw e }
     java.nio.file.Files.move(tmp.toPath, f.toPath,

@@ -230,11 +230,17 @@ object MediaDecode {
           truncated = true
         } else {
           id match {
-            case "fmt " =>
+            case "fmt " if size >= 16 =>
+              // size >= 16 gate: the base fmt fields read up to off+24
+              // (bits at +22); a malformed smaller chunk (e.g. size 4)
+              // would otherwise read the NEXT chunk's bytes as
+              // channels/rate/bits and yield garbage features instead of
+              // None whenever those reads stay in-bounds
               val code = u16(off + 8)
               fmt = Some((code, u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
               if (code == 0xFFFE)
                 subFormat = if (size >= 26) u16(off + 8 + 24) else 0
+            case "fmt " => return None // declared fmt too small to hold PCM fields
             case "data" => data = Some((off + 8, size))
             case _      => () // LIST, fact, cue … skipped
           }

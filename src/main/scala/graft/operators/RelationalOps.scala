@@ -409,11 +409,19 @@ object RelationalOps {
     * Scale shape: ONE aggregate over the corpus computes every statistic
     * (the per-column melt runs on the single result row). The exact
     * multi-column distinct expands the aggregate input #columns-fold —
-    * the price of exactness; swap `count_distinct` for
-    * `approx_count_distinct` on very wide tables (same single-pass shape,
-    * HLL state instead of expand).
+    * the price of exactness. Session conf
+    * `spark.graft.profile.approxDistinct=true` swaps `count_distinct` for
+    * `approx_count_distinct` (HLL++, default 5% rsd): same single-pass
+    * shape but the expand disappears, the right trade on very wide
+    * tables. Exact stays the default — the registered q95 (and its
+    * oracle) use it.
     */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val approxDistinct = df.sparkSession.conf
+      .getOption("spark.graft.profile.approxDistinct").contains("true")
+    def distinctAgg(c: String): Column =
+      if (approxDistinct) approx_count_distinct(col(c)).as(s"__dist_$c")
+      else countDistinct(col(c)).as(s"__dist_$c")
     import org.apache.spark.sql.types._
     // fail fast with a readable message — an empty list dies on star-
     // expanding array<null>, a duplicate on an ambiguous __nulls_<c> ref
@@ -428,7 +436,7 @@ object RelationalOps {
     val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        countDistinct(col(c)).as(s"__dist_$c")) ++
+        distinctAgg(c)) ++
         numeric(c).toSeq.flatMap(n =>
           Seq(min(n).as(s"__min_$c"), max(n).as(s"__max_$c")))
     }

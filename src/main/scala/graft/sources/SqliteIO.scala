@@ -64,6 +64,17 @@ object SqliteIO {
     * the file (pandas `to_sql(if_exists="append")` semantics). Column
     * names must match an existing table in order — a silent partial insert
     * is the reference README's own documented trap.
+    *
+    * Concurrency: append is a read-modify-rewrite, serialized against
+    * OTHER `SqliteIO.append` callers (any JVM on this host) by an
+    * exclusive `FileLock` on the `<path>.lock` sidecar — without it two
+    * concurrent appends would both read the same base and the loser's
+    * rows would silently vanish at the final rename. The sidecar is NOT
+    * sqlite's own locking protocol: an external `sqlite3` process writing
+    * the file concurrently is still undetected (real sqlite serializes
+    * via locks on the db file itself, which this from-scratch writer does
+    * not speak). Treat the file as single-application-owned while
+    * appending — the reference's CI pipeline semantics.
     */
   def append(df: DataFrame, path: String, tableName: String): Unit = {
     val rows = df.take(maxRows + 1)
@@ -72,6 +83,27 @@ object SqliteIO {
         s"> $maxRows rows. Use the distributed parquet/JSONL sinks for large tables.")
     val schema   = df.schema
     val incoming = rows.toSeq.map(r => toSqlValues(r, schema))
+    withFileLock(path)(appendLocked(path, tableName, schema, incoming))
+  }
+
+  /** Exclusive inter-process lock on `<path>.lock` held for `body`.
+    * FileLocks are per-JVM-process: two threads of ONE JVM contending on
+    * the same path would throw OverlappingFileLockException rather than
+    * deadlock or silently interleave — loud beats lost rows; the sidecar
+    * (unlike a lock on the db file itself) never trips a reader.
+    */
+  private def withFileLock[A](path: String)(body: => A): A = {
+    val lockFile = new File(path + ".lock")
+    Option(lockFile.getParentFile).foreach(_.mkdirs())
+    val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try { val lk = ch.lock(); try body finally lk.release() }
+    finally ch.close()
+  }
+
+  private def appendLocked(path: String, tableName: String,
+      schema: StructType, incoming: Seq[Seq[SqlValue]]): Unit = {
     val f = new File(path)
     if (!f.exists()) {
       writeTable(path, tableName, createTableSql(tableName, schema), incoming,
@@ -629,24 +661,33 @@ object SqliteIO {
       (p, if (cs.isEmpty) 0L else cs.last.rowid)
     }.toSeq
     while (level.length > 1) {
-      val next  = ArrayBuffer[(Int, Long)]()
-      var group = ArrayBuffer[(Int, Long)]()
-      var gUsed = 12
-      def flush(): Unit = if (group.nonEmpty) {
-        val p = newPage()
-        writeInterior(pages(p - 1), group.toSeq)
-        next += ((p, group.last._2))
-        group = ArrayBuffer(); gUsed = 12
-      }
+      val groups = ArrayBuffer[ArrayBuffer[(Int, Long)]]()
+      var group  = ArrayBuffer[(Int, Long)]()
+      var gUsed  = 12
       level.foreach { child =>
         val need = 2 + 4 + varintBytes(child._2).length
         // keep ≥2 children per interior page (a 1-child interior is legal
-        // but degenerate); page capacity ~340 cells so this rarely trips
-        if (group.length >= 2 && gUsed + need > Usable) flush()
+        // but degenerate); page capacity ~500 cells so this rarely trips
+        if (group.length >= 2 && gUsed + need > Usable) {
+          groups += group; group = ArrayBuffer(); gUsed = 12
+        }
         group += child; gUsed += need
       }
-      flush()
-      level = next.toSeq
+      if (group.nonEmpty) groups += group
+      // a TRAILING 1-child group (level size ≡ 1 mod page capacity) would
+      // become a zero-cell interior page holding only the right-most
+      // pointer — degenerate; steal the previous group's last child so
+      // every interior page carries ≥1 cell (the donor had ≥2 and stays
+      // ≥1; the 2-child receiver trivially fits a fresh page)
+      if (groups.length >= 2 && groups.last.length == 1) {
+        val donor = groups(groups.length - 2)
+        groups.last.prepend(donor.remove(donor.length - 1))
+      }
+      level = groups.map { g =>
+        val p = newPage()
+        writeInterior(pages(p - 1), g.toSeq)
+        (p, g.last._2)
+      }.toSeq
     }
     val dataRoot = level.head._1
 

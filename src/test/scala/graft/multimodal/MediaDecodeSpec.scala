@@ -240,6 +240,23 @@ class MediaDecodeSpec extends SparkSpec {
     assert(decoded === None) // data prefix recorded but no fmt chunk
   }
 
+  test("undersized fmt chunk is rejected, not parsed into the next chunk") {
+    // fmt declares size 4 (only code+channels): the rate/bits fields live
+    // at +12/+22, i.e. inside the FOLLOWING chunk — parsing them would
+    // yield in-bounds garbage features instead of None
+    val out = new ByteArrayOutputStream()
+    out.write("RIFF".getBytes); out.write(Array[Byte](60, 0, 0, 0))
+    out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); out.write(Array[Byte](4, 0, 0, 0))
+    out.write(Array[Byte](1, 0, 1, 0))             // code=1 PCM, channels=1
+    out.write("data".getBytes); out.write(Array[Byte](16, 0, 0, 0))
+    // bytes that, misread as rate/bits, would look plausible (rate>0,
+    // bits=16) — exactly the case the size gate must catch
+    out.write(Array[Byte](0x40, 0x1F, 0, 0, 2, 0, 16, 0))
+    out.write(new Array[Byte](8))
+    assert(MediaDecode.decodeWav(out.toByteArray) === None)
+  }
+
   test("extensible WAV wrapping IEEE float is rejected, PCM accepted") {
     // rewrite the fixture's fmt chunk as WAVE_FORMAT_EXTENSIBLE (code
     // 0xFFFE, cbSize 22, SubFormat tag in the GUID): float subformat (3)

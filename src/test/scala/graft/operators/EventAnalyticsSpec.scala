@@ -163,6 +163,34 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got("s") === ((4L, 1L, 2L, None, None))) // string: no numeric range
   }
 
+  test("profileColumns: approxDistinct conf swaps HLL in, drops the expand") {
+    import spark.implicits._
+    // low-cardinality columns: HLL++ at the default 5% rsd is EXACT for
+    // tiny distinct counts, so the approx path must return the same rows
+    // as exact here while planning no Expand node
+    val df = (1 to 200).map(i => (i.toLong % 7, s"s${i % 3}")).toDF("k", "s")
+    val exact = RelationalOps.profileColumns(df, Seq("k", "s")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    spark.conf.set("spark.graft.profile.approxDistinct", "true")
+    try {
+      val ap = RelationalOps.profileColumns(df, Seq("k", "s"))
+      val approx = ap.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(approx === exact)
+      assert(exact.map(_._1) === Set("k", "s"))
+      assert(exact.find(_._1 == "k").get._4 === 7L)
+      // the multi-column exact distinct plans an Expand (#cols-fold input
+      // blow-up); the HLL path must not
+      val approxPlan = RelationalOps.profileColumns(df, Seq("k", "s"))
+        .queryExecution.executedPlan.toString
+      spark.conf.unset("spark.graft.profile.approxDistinct")
+      val exactPlan = RelationalOps.profileColumns(df, Seq("k", "s"))
+        .queryExecution.executedPlan.toString
+      assert(!approxPlan.contains("Expand"), "approx path must not Expand")
+      assert(exactPlan.contains("Expand"), "exact path expands by design")
+    } finally spark.conf.unset("spark.graft.profile.approxDistinct")
+  }
+
   test("durationUsSaturating: exact micros, saturates instead of overflowing") {
     import java.time.Duration
     assert(RelationalOps.durationUsSaturating(Duration.ofMillis(1)) === 1000L)

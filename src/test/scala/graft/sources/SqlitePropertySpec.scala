@@ -88,6 +88,51 @@ class SqlitePropertySpec extends SparkSpec {
     }
   }
 
+  test("two interior levels with a trailing single child: no zero-cell interior page") {
+    // One ~2500-byte string per row → exactly one cell per leaf, so
+    // #leaves = #rows and the first interior level's grouping is driven
+    // directly by the row count. An interior page holds ~510-526 children
+    // (2+4+varint(rowid) per cell), so counts around 1037 include the
+    // level-size ≡ 1 (mod capacity) case where the last leaf lands right
+    // after a flush — pre-fix that emitted a zero-cell interior page with
+    // only a right-most pointer. Assert over the whole band: every
+    // interior page carries ≥1 cell, two interior levels actually formed,
+    // and the rows round-trip.
+    val schema = StructType(Seq(StructField("s", StringType)))
+    val dir = Files.createTempDirectory("sqinterior").toFile
+    for (n <- 1033 to 1041) {
+      val rows = (1 to n).map(i => Row(f"$i%06d" + "x" * 2494))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema)
+      val db = new File(dir, s"t$n.db").getPath
+      SqliteIO.append(df, db, "t")
+      val bytes = Files.readAllBytes(new File(db).toPath)
+      val pageCount = bytes.length / 4096
+      var interiors = 0
+      for (p <- 0 until pageCount) {
+        val hdr = if (p == 0) 100 else 0
+        if (bytes(p * 4096 + hdr) == 5) {
+          interiors += 1
+          val cells = ((bytes(p * 4096 + hdr + 3) & 0xFF) << 8) |
+            (bytes(p * 4096 + hdr + 4) & 0xFF)
+          assert(cells >= 1, s"n=$n: zero-cell interior page ${p + 1}")
+        }
+      }
+      // ≥3 interior pages = two level-1 pages plus a level-2 root
+      assert(interiors >= 3, s"n=$n: expected two interior levels, got $interiors interior pages")
+      val got = SqliteIO.readTable(db, "t").rows
+      assert(got.length === n)
+      assert(got.head.head === rows.head.getString(0))
+      assert(got.last.head === rows.last.getString(0))
+    }
+    // keep one boundary db for tools/check_sqlite.py (stock-sqlite3 close
+    // of the loop, run outside sbt)
+    val keep = new File("target/tmp/sqlite_interior_boundary.db")
+    keep.getParentFile.mkdirs()
+    Files.copy(new File(dir, "t1037.db").toPath, keep.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   test("full file: 8 random tables round-trip through write → read") {
     val schema = StructType(Seq(
       StructField("i", LongType), StructField("d", DoubleType),

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Bench-regression gate: diff two rounds' bench artifacts per query and
+flag >THRESHOLD regressions, so harness pollution (round 7: accumulated
+pinned localCheckpoint blocks degraded the late alphabet up to 45×) can
+never ship silently again.
+
+Usage: check_bench.py <BENCH_prev.json|bench_detail.json> <BENCH_new.json|bench_detail.json> [threshold]
+
+Accepts either the driver's wrapper artifact (whose `tail` field holds the
+LAST ~2000 chars of the bench stdout line — the front of the queries object
+may be truncated, so only the per-query keys that survived are compared) or
+the full one-line JSON / bench_detail.json written by graft.Bench (reps
+arrays are reduced to their min).
+
+Exit code: number of flagged regressions (0 = clean). A flagged query means
+"re-measure it standalone in a fresh session before believing either
+number" — the round-7 lesson is that the artifact, not the code, can be the
+thing that regressed.
+"""
+import json, re, sys
+
+
+def extract_queries(path: str) -> dict:
+    """Return {query_name: seconds} from any of the three artifact shapes."""
+    raw = open(path).read()
+    try:
+        doc = json.loads(raw)
+    except json.JSONDecodeError:
+        doc = {}
+    if isinstance(doc, dict):
+        if isinstance(doc.get("queries"), dict):      # full bench line
+            return {k: float(v) for k, v in doc["queries"].items()}
+        if isinstance(doc.get("reps"), dict):          # bench_detail.json
+            return {k: min(v) for k, v in doc["reps"].items()
+                    if [x for x in v if x >= 0]}
+        if isinstance(doc.get("tail"), str):           # driver wrapper
+            raw = doc["tail"]
+    # regex fallback over (possibly front-truncated) tail text
+    out = {}
+    for m in re.finditer(r'"(q[0-9]+[a-z]?_[a-z0-9_]+)":(-?[0-9.]+)', raw):
+        out[m.group(1)] = float(m.group(2))
+    return out
+
+
+def main(prev_path: str, new_path: str, threshold: float = 2.0) -> int:
+    prev, new = extract_queries(prev_path), extract_queries(new_path)
+    common = sorted(set(prev) & set(new))
+    if not common:
+        print("no common query keys between the two artifacts")
+        return 1
+    flagged = 0
+    # floor of 0.25 s: at sub-quarter-second scale a 2x ratio is scheduler
+    # noise, not a regression worth a standalone re-measure
+    for k in common:
+        a, b = prev[k], new[k]
+        if a <= 0 or b <= 0:
+            continue
+        if b > threshold * a and b > 0.25:
+            print(f"REGRESSION {k}: {a:.3f}s -> {b:.3f}s ({b / a:.1f}x)")
+            flagged += 1
+    both = [(k, prev[k], new[k]) for k in common if prev[k] > 0 and new[k] > 0]
+    tp = sum(a for _, a, _ in both)
+    tn = sum(b for _, _, b in both)
+    print(f"compared {len(common)} queries; common-key totals "
+          f"{tp:.1f}s -> {tn:.1f}s ({tn / tp:.2f}x); flagged {flagged} "
+          f"(> {threshold}x and > 0.25s)")
+    only_prev = sorted(set(prev) - set(new))
+    only_new = sorted(set(new) - set(prev))
+    if only_prev:
+        print(f"only in prev ({len(only_prev)}): {', '.join(only_prev[:10])}…"
+              if len(only_prev) > 10 else
+              f"only in prev: {', '.join(only_prev)}")
+    if only_new:
+        print(f"only in new ({len(only_new)}): {', '.join(only_new[:10])}…"
+              if len(only_new) > 10 else
+              f"only in new: {', '.join(only_new)}")
+    return flagged
+
+
+if __name__ == "__main__":
+    t = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    sys.exit(main(sys.argv[1], sys.argv[2], t))
