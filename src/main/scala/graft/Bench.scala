@@ -92,7 +92,11 @@ object Bench {
     val twinSpecs = Seq(
       ("q44_trades_etl_80k", "/root/repo/bench_data/trades_80k.csv", 80000, 3),
       ("q44_trades_etl_800k", "/root/repo/bench_data/trades_800k.csv", 800000, 3),
-      ("q44_trades_etl_8m", "/root/repo/bench_data/trades_8m.csv", 8000000, 2))
+      // 3 reps for the 8M twin too (was 2): this host's ambient load comes
+      // in minutes-long ~2× windows, and the longest-running measurement
+      // is the most likely to sit entirely inside one — a third rep
+      // stretches the sampling window for the min to escape through
+      ("q44_trades_etl_8m", "/root/repo/bench_data/trades_8m.csv", 8000000, 3))
     def twinRun(path: String) = (s: SparkSession, _: String) =>
       graft.etl.Transform(
         graft.etl.TradesEtl.clean(graft.etl.TradesEtl.extract(s, path)),

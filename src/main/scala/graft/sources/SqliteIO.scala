@@ -66,10 +66,11 @@ object SqliteIO {
     * is the reference README's own documented trap.
     *
     * Concurrency: append is a read-modify-rewrite, serialized against
-    * OTHER `SqliteIO.append` callers (any JVM on this host) by an
-    * exclusive `FileLock` on the `<path>.lock` sidecar — without it two
-    * concurrent appends would both read the same base and the loser's
-    * rows would silently vanish at the final rename. The sidecar is NOT
+    * OTHER `SqliteIO.append` callers (threads of this JVM via a per-path
+    * monitor; other processes via an exclusive `FileLock`) on the
+    * `<path>.lock` sidecar — without it two concurrent appends would both
+    * read the same base and the loser's rows would silently vanish at the
+    * final rename. The sidecar is NOT
     * sqlite's own locking protocol: an external `sqlite3` process writing
     * the file concurrently is still undetected (real sqlite serializes
     * via locks on the db file itself, which this from-scratch writer does
@@ -86,20 +87,27 @@ object SqliteIO {
     withFileLock(path)(appendLocked(path, tableName, schema, incoming))
   }
 
-  /** Exclusive inter-process lock on `<path>.lock` held for `body`.
-    * FileLocks are per-JVM-process: two threads of ONE JVM contending on
-    * the same path would throw OverlappingFileLockException rather than
-    * deadlock or silently interleave — loud beats lost rows; the sidecar
-    * (unlike a lock on the db file itself) never trips a reader.
+  /** Exclusive lock on `<path>.lock` held for `body`, two layers deep:
+    * a JVM-wide per-path monitor serializes threads of THIS process
+    * (`FileLock` is per-process — without the monitor a second thread
+    * would get OverlappingFileLockException instead of waiting), then the
+    * `FileLock` serializes against other processes. The sidecar (unlike a
+    * lock on the db file itself) never trips a reader.
     */
+  private val lockMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def withFileLock[A](path: String)(body: => A): A = {
     val lockFile = new File(path + ".lock")
     Option(lockFile.getParentFile).foreach(_.mkdirs())
-    val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    try { val lk = ch.lock(); try body finally lk.release() }
-    finally ch.close()
+    val monitor = lockMonitors.computeIfAbsent(
+      lockFile.getCanonicalPath, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try { val lk = ch.lock(); try body finally lk.release() }
+      finally ch.close()
+    }
   }
 
   private def appendLocked(path: String, tableName: String,

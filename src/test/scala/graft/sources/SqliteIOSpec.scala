@@ -123,6 +123,27 @@ class SqliteIOSpec extends SparkSpec {
     assert(second.createSql === first.createSql)
   }
 
+  test("concurrent appends serialize: no thread's rows are lost") {
+    // append is read-modify-rewrite; without the per-path lock two
+    // concurrent appenders read the same base and the rename loser's rows
+    // silently vanish. 8 threads × 1 row each must land as exactly 8 rows.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val s  = StructType(Seq(StructField("tid", LongType)))
+    val db = tmpDb()
+    val fs = (1L to 8L).map { i =>
+      Future {
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(Row(i)), 1), s)
+        SqliteIO.append(df, db, "t")
+      }
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    val got = SqliteIO.readTable(db, "t").rows.map(_.head.asInstanceOf[Long])
+    assert(got.sorted === (1L to 8L))
+  }
+
   test("append with a different column set fails loudly") {
     val db = tmpDb()
     SqliteIO.append(mkDf(3), db, "t")
