@@ -175,9 +175,12 @@ object Bench {
     // 99 rep arrays; the detail file makes every rep auditable).
     val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL",
       "/root/repo/bench_detail.json")
+    val detailMins = (mins ++ twinsRepaired.map { case (n, v, _) => n -> v })
+      .map { case (n, v) => s""""$n":${f3(v)}""" }.mkString("{", ",", "}")
     val detailJson = (results.map { case (n, rs) => s""""$n":${arr(rs)}""" } ++
       twinsRepaired.map { case (n, _, rs) => s""""$n":${arr(rs)}""" })
-      .mkString("{\"reps\":{", ",", s"""},"rdds_after":$rddsAfter,"sf":"$sfDir"}""")
+      .mkString("{\"reps\":{", ",",
+        s"""},"queries":$detailMins,"total":${f3(mins.map(_._2).filter(_ >= 0).sum)},"rdds_after":$rddsAfter,"sf":"$sfDir"}""")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath), detailJson)
     catch { case e: Throwable =>
