@@ -134,7 +134,7 @@ object Bench {
     // every rep, not the engine (observed: reps [13.6, 9.1] in one run
     // whose probe-replayed sequence measured 4.0/3.8 s minutes later).
     // Re-measure once, keep the overall min.
-    val twinsRepaired = {
+    val largestRepaired = {
       val last = twinResults.last
       val prev = twinResults(twinResults.length - 2)
       if (last._2 >= 0 && prev._2 > 0 && last._2 > 7 * prev._2) {
@@ -147,6 +147,21 @@ object Bench {
           ((lName, if (em >= 0) math.min(last._2, em) else last._2,
             last._3 ++ extra))
       } else twinResults
+    }
+    // Re-check monotonicity against the REPAIRED largest value: if the
+    // largest twin came down (it was the polluted one), a smaller twin
+    // that was polluted in the same window may now sit above it — the
+    // first pass compared against the pre-repair value and let it through.
+    // One bounded extra pass; without it the artifact could ship the very
+    // "smaller clone slower than larger" condition it declares implausible.
+    val twinsRepaired = largestRepaired.zipWithIndex.map { case ((name, v, rs), i) =>
+      val nextLarger = largestRepaired.drop(i + 1).map(_._2).filter(_ >= 0)
+      if (v >= 0 && nextLarger.nonEmpty && v > nextLarger.min) {
+        val (_, path, _, reps) = twinSpecs(i)
+        val extra = measureTwin(path, reps, warm = false)
+        val em = minValid(extra)
+        (name, if (em >= 0) math.min(v, em) else v, rs ++ extra)
+      } else (name, v, rs)
     }
 
     // ---- Registered queries ------------------------------------------
@@ -169,38 +184,44 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def arr(rs: Seq[Double]) = rs.map(f3).mkString("[", ",", "]")
+    // the two interpolated strings (env-controlled path + sf dir) must be
+    // JSON-escaped or an unusual value breaks the driver's artifact parse
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+    }
 
-    // Full per-rep table → side file (the driver tail-captures only the
-    // last ~2000 chars of stdout, so the one-line artifact can't carry
-    // 99 rep arrays; the detail file makes every rep auditable).
-    val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL",
-      "/root/repo/bench_detail.json")
-    val detailMins = (mins ++ twinsRepaired.map { case (n, v, _) => n -> v })
-      .map { case (n, v) => s""""$n":${f3(v)}""" }.mkString("{", ",", "}")
-    val detailJson = (results.map { case (n, rs) => s""""$n":${arr(rs)}""" } ++
-      twinsRepaired.map { case (n, _, rs) => s""""$n":${arr(rs)}""" })
-      .mkString("{\"reps\":{", ",",
-        s"""},"queries":$detailMins,"total":${f3(mins.map(_._2).filter(_ >= 0).sum)},"rdds_after":$rddsAfter,"sf":"$sfDir"}""")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(detailPath), detailJson)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-
+    // ONE merged (name → min) list feeds both the stdout line and the
+    // detail file, so the two can never desynchronize. total covers the
+    // REGISTERED queries only: the scaled-ETL twins are reported per-key
+    // but excluded so the headline stays comparable with earlier rounds'
+    // BENCH_rNN.json (and q44's pipeline isn't triple-counted).
     val all = mins ++ twinsRepaired.map { case (n, v, _) => n -> v }
     val qs = all.map { case (k, v) => s""""$k":${f3(v)}""" }
       .mkString("{", ",", "}")
+    val total = mins.map(_._2).filter(_ >= 0).sum
     // twin rep arrays inline AFTER queries: the tail capture keeps the END
     // of the line, so the headline twins' per-rep evidence survives even
     // when the front of the queries object is truncated.
     val twinReps = twinsRepaired.map { case (n, _, rs) => s""""$n":${arr(rs)}""" }
       .mkString("{", ",", "}")
-    // total covers the REGISTERED queries only: the scaled-ETL twins are
-    // reported per-key but excluded so the headline stays comparable with
-    // earlier rounds' BENCH_rNN.json (and q44's pipeline isn't triple-
-    // counted into the total). metric/value go LAST in the object: the
-    // driver tail-captures output, so a front-loaded headline is what gets
-    // truncated first on long lines.
-    val total = mins.map(_._2).filter(_ >= 0).sum
+
+    // Full per-rep table → side file (the driver tail-captures only the
+    // last ~2000 chars of stdout, so the one-line artifact can't carry
+    // 99 rep arrays; the detail file makes every rep auditable and is
+    // self-contained: reps + the same mins/total as the stdout line).
+    val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL",
+      "/root/repo/bench_detail.json")
+    val detailJson = (results.map { case (n, rs) => s""""$n":${arr(rs)}""" } ++
+      twinsRepaired.map { case (n, _, rs) => s""""$n":${arr(rs)}""" })
+      .mkString("{\"reps\":{", ",",
+        s"""},"queries":$qs,"total":${f3(total)},"rdds_after":$rddsAfter,"sf":"${esc(sfDir)}"}""")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(detailPath), detailJson)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    // metric/value go LAST in the object: the driver tail-captures output,
+    // so a front-loaded headline is what gets truncated first on long
+    // lines.
     // failed queries are excluded from `total` — surface WHICH, so two
     // rounds' totals are never silently compared over different query
     // sets. REGISTERED queries only: the scaled twins never enter the
@@ -209,7 +230,7 @@ object Bench {
     val failed = mins.collect { case (k, v) if v < 0 => s""""$k"""" }
       .mkString("[", ",", "]")
     println(
-      s"""{"queries":$qs,"twin_reps":$twinReps,"failed":$failed,"rdds_after":$rddsAfter,"detail":"$detailPath","sf":"$sfDir","unit":"sec","metric":"total_query_sec","value":${f3(total)}}""")
+      s"""{"queries":$qs,"twin_reps":$twinReps,"failed":$failed,"rdds_after":$rddsAfter,"detail":"${esc(detailPath)}","sf":"${esc(sfDir)}","unit":"sec","metric":"total_query_sec","value":${f3(total)}}""")
     spark.stop()
   }
 }

@@ -4,11 +4,20 @@ import java.io.File
 
 /** The one copy of the crash-safe local-file publish discipline shared by
   * every driver-side sink ([[Xlsx]], [[Charts]], [[TradesGen]]): create the
-  * parent directories, write the payload to `<path>.tmp`, then atomically
-  * rename over the published path — an interrupted write never leaves a
-  * truncated artifact where a reader could pick it up.
+  * parent directories, write the payload to a unique `<path>.tmp.<pid>.<uuid>`
+  * temp file, then atomically rename over the published path — an
+  * interrupted write never leaves a truncated artifact where a reader
+  * could pick it up.
   */
 object AtomicFiles {
+
+  /** A killed process (OOM-kill mid-write) orphans its temp file, and
+    * unique names mean no later writer overwrites it — so each write first
+    * sweeps SIBLING temps of the same path older than this. One hour is
+    * ~60× the longest single write here (TradesGen's 420 MB CSV, ~1 min),
+    * so a live concurrent writer's temp is never swept.
+    */
+  private val staleTmpMs = 60L * 60 * 1000
 
   /** Run `body` against the temp file, then publish it at `path`. The temp
     * file is removed on failure so a crashed write leaves nothing behind.
@@ -20,6 +29,7 @@ object AtomicFiles {
   def write(path: String)(body: File => Unit): Unit = {
     val f = new File(path)
     Option(f.getParentFile).foreach(_.mkdirs())
+    sweepStaleTmps(f)
     val tmp = new File(path + ".tmp." +
       ProcessHandle.current().pid() + "." + java.util.UUID.randomUUID())
     try body(tmp)
@@ -27,5 +37,16 @@ object AtomicFiles {
     java.nio.file.Files.move(tmp.toPath, f.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def sweepStaleTmps(published: File): Unit = {
+    val prefix = published.getName + ".tmp."
+    val now    = System.currentTimeMillis()
+    Option(published.getParentFile).filter(_.isDirectory)
+      .flatMap(d => Option(d.listFiles())).getOrElse(Array.empty[File])
+      .foreach { s =>
+        if (s.getName.startsWith(prefix) && now - s.lastModified() > staleTmpMs)
+          s.delete() // best-effort; a failed delete just waits for next sweep
+      }
   }
 }

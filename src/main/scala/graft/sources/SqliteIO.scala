@@ -93,6 +93,11 @@ object SqliteIO {
     * would get OverlappingFileLockException instead of waiting), then the
     * `FileLock` serializes against other processes. The sidecar (unlike a
     * lock on the db file itself) never trips a reader.
+    *
+    * The monitor map retains one bare Object per distinct canonical path
+    * for the JVM's lifetime — accepted: removal-on-release races a waiter
+    * acquiring a replacement monitor (breaking mutual exclusion), and a
+    * report-scale sink sees few distinct paths (~48 bytes each).
     */
   private val lockMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()

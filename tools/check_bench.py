@@ -12,7 +12,8 @@ may be truncated, so only the per-query keys that survived are compared) or
 the full one-line JSON / bench_detail.json written by graft.Bench (reps
 arrays are reduced to their min).
 
-Exit code: number of flagged regressions (0 = clean). A flagged query means
+Exit code: number of flagged regressions (0 = clean; 255 = the artifacts
+share no query keys, i.e. the comparison never happened). A flagged query means
 "re-measure it standalone in a fresh session before believing either
 number" — the round-7 lesson is that the artifact, not the code, can be the
 thing that regressed.
@@ -31,8 +32,12 @@ def extract_queries(path: str) -> dict:
         if isinstance(doc.get("queries"), dict):      # full bench line
             return {k: float(v) for k, v in doc["queries"].items()}
         if isinstance(doc.get("reps"), dict):          # bench_detail.json
-            return {k: min(v) for k, v in doc["reps"].items()
-                    if [x for x in v if x >= 0]}
+            # min over VALID reps only: -1.0 is the failed-rep sentinel,
+            # and min() over the raw array would resolve any query with
+            # one failed rep to -1 — silently excluding it from the gate
+            return {k: min(x for x in v if x >= 0)
+                    for k, v in doc["reps"].items()
+                    if any(x >= 0 for x in v)}
         if isinstance(doc.get("tail"), str):           # driver wrapper
             raw = doc["tail"]
     # regex fallback over (possibly front-truncated) tail text
@@ -46,8 +51,10 @@ def main(prev_path: str, new_path: str, threshold: float = 2.0) -> int:
     prev, new = extract_queries(prev_path), extract_queries(new_path)
     common = sorted(set(prev) & set(new))
     if not common:
+        # 255, not 1: the exit code otherwise means "N regressions", and a
+        # comparison that never happened must not read as "one regression"
         print("no common query keys between the two artifacts")
-        return 1
+        return 255
     flagged = 0
     # floor of 0.25 s: at sub-quarter-second scale a 2x ratio is scheduler
     # noise, not a regression worth a standalone re-measure
@@ -61,8 +68,9 @@ def main(prev_path: str, new_path: str, threshold: float = 2.0) -> int:
     both = [(k, prev[k], new[k]) for k in common if prev[k] > 0 and new[k] > 0]
     tp = sum(a for _, a, _ in both)
     tn = sum(b for _, _, b in both)
+    ratio = f"{tn / tp:.2f}x" if tp > 0 else "n/a (no valid pairs)"
     print(f"compared {len(common)} queries; common-key totals "
-          f"{tp:.1f}s -> {tn:.1f}s ({tn / tp:.2f}x); flagged {flagged} "
+          f"{tp:.1f}s -> {tn:.1f}s ({ratio}); flagged {flagged} "
           f"(> {threshold}x and > 0.25s)")
     only_prev = sorted(set(prev) - set(new))
     only_new = sorted(set(new) - set(prev))
