@@ -24,19 +24,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    import BenchSupport.{arr, f3, minValid, preRead}
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create("graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
-
-    // Drop whatever a query pinned: materialize()'s localCheckpoint blocks
-    // (MEMORY_AND_DISK, only GC-reference-tracked otherwise) and any cached
-    // relations. Without this the round-7 artifact degraded monotonically
-    // through the alphabet — q93 recorded 16.3 s vs 1.2 s standalone.
-    def clearState(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      spark.catalog.clearCache()
-    }
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
@@ -52,19 +43,15 @@ object Bench {
             s"[bench] query failed: ${e.getClass.getName}: ${e.getMessage}")
           -1.0
         }
-      clearState() // outside the timed span; keeps runs independent
+      // outside the timed span; keeps runs independent (see BenchSupport)
+      BenchSupport.clearState(spark)
       elapsed
     }
     // All reps are kept (per-rep visibility); the headline estimator stays
     // min-of-valid-reps — single-run numbers at this scale carry ±20%
-    // scheduler/GC noise, and a transient failure on one rep must not
-    // discard the other's real measurement.
+    // scheduler/GC noise.
     def repsOf(n: Int, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Seq[Double] = Seq.fill(n)(timeOnce(fn, dir))
-    def minValid(reps: Seq[Double]): Double = {
-      val ok = reps.filter(_ >= 0)
-      if (ok.isEmpty) -1.0 else ok.min
-    }
 
     // ---- Scaled baseline twins, FIRST (clean-session condition) --------
     // The full reference pipeline on deterministic 100×/1000×/10000×
@@ -73,29 +60,14 @@ object Bench {
     // q44_trades_etl measures JVM fixed cost, not the engine). Files are
     // derived state, generated on first use (bench_data/ persists).
     // Each twin gets a DEDICATED untimed warmup run (JIT + codegen + cold
-    // page cache), then timed reps.
-    //
-    // preRead: touch the whole CSV untimed before EVERY run. This host's
-    // virtual disk reads ~32 MB/s cold and its memory reclaim can evict
-    // page cache BETWEEN runs of the same process, so without it the
-    // 420 MB file randomly adds a ~13 s cold read to a ~3 s query
-    // (observed back-to-back: 3.2 s vs 16.4 s for identical code). The
-    // pandas baseline (bench_baseline.py) pre-reads the same way, so
-    // warm-cache is the apples-to-apples condition on both sides — the
-    // thing being measured is the engine, not the hypervisor's cold-read
-    // path.
-    def preRead(path: String): Unit = {
-      val in = new java.io.FileInputStream(path)
-      val buf = new Array[Byte](1 << 20)
-      try { while (in.read(buf) != -1) () } finally in.close()
-    }
+    // page cache), then timed reps with an untimed preRead before every
+    // run (see BenchSupport.preRead for why). 3 reps each — individual 8M
+    // runs are heavy-tailed on this host (4.3–18 s measured for identical
+    // code with the file fully page-cached: fine-grained hypervisor
+    // CPU-steal), and min-of-3 usually escapes the tail.
     val twinSpecs = Seq(
       ("q44_trades_etl_80k", "/root/repo/bench_data/trades_80k.csv", 80000, 3),
       ("q44_trades_etl_800k", "/root/repo/bench_data/trades_800k.csv", 800000, 3),
-      // 3 reps for the 8M twin too (was 2): this host's ambient load comes
-      // in minutes-long ~2× windows, and the longest-running measurement
-      // is the most likely to sit entirely inside one — a third rep
-      // stretches the sampling window for the min to escape through
       ("q44_trades_etl_8m", "/root/repo/bench_data/trades_8m.csv", 8000000, 3))
     def twinRun(path: String) = (s: SparkSession, _: String) =>
       graft.etl.Transform(
@@ -108,60 +80,46 @@ object Bench {
     }
     val twinFirst = twinSpecs.map { case (name, path, n, reps) =>
       graft.etl.TradesGen.ensure(path, n)
-      (name, path, reps, measureTwin(path, reps, warm = true))
+      (name, measureTwin(path, reps, warm = true))
     }
-    // Monotonicity repair: the twins run the SAME pipeline on 10×-scaled
-    // clones, so a smaller clone measuring slower in absolute seconds than
-    // the next larger one is physically implausible — it means a
-    // multi-second host stall (hypervisor steal / memory reclaim) polluted
-    // every rep of that twin despite warmup + preRead + min-of-N.
-    // Re-measure the implausible twin once and keep the overall min; one
-    // bounded pass, no warmup (the JVM is hot, preRead still runs per rep).
-    val twinResults = twinFirst.zipWithIndex.map { case ((name, path, reps, rs), i) =>
-      val v = minValid(rs)
-      val nextLarger = twinFirst.drop(i + 1).map(t => minValid(t._4)).filter(_ >= 0)
-      if (v >= 0 && nextLarger.nonEmpty && v > nextLarger.min) {
-        val extra = measureTwin(path, reps, warm = false)
-        val extraMin = minValid(extra)
-        (name, if (extraMin >= 0) math.min(v, extraMin) else v, rs ++ extra)
-      } else (name, v, rs)
+    // Pollution repair. The twins run the SAME pipeline on 10×-scaled
+    // clones, so two readings are physically implausible and mean a host
+    // stall polluted every rep of one twin despite warmup + preRead +
+    // min-of-N:
+    //   (a) a smaller clone slower in absolute seconds than a larger one;
+    //   (b) the LARGEST twin (which has no larger sibling for check (a))
+    //       exceeding 7× the next twin's time — six recorded boots put the
+    //       clean 800k→8M wall ratio at 3.7–5.7×.
+    // An implausible twin is re-measured once (no warmup — the JVM is hot;
+    // preRead still runs per rep) and the overall min kept; the pass
+    // repeats until no twin is implausible or every twin has spent its one
+    // re-measure (bounded: ≤ one extra measureTwin per twin per run).
+    // Iterating matters: repairing the largest twin downward can expose a
+    // smaller twin polluted in the same window that the first comparison
+    // let through.
+    def implausible(mins: Seq[Double], i: Int): Boolean = {
+      val v = mins(i)
+      val larger = mins.drop(i + 1).filter(_ >= 0)
+      if (v < 0) false
+      else if (larger.nonEmpty) v > larger.min
+      else i > 0 && mins(i - 1) > 0 && v > 7 * mins(i - 1)
     }
-    // The LARGEST twin has no larger sibling for that check; its own
-    // implausibility test is super-linearity. The clones grow 10× in rows
-    // and the pipeline is scan-bound with amortized fixed costs — six
-    // recorded boots put the 800k→8M wall ratio at 3.7–5.7×, so >7× the
-    // next twin's time is a host stall (or a concurrent process) polluting
-    // every rep, not the engine (observed: reps [13.6, 9.1] in one run
-    // whose probe-replayed sequence measured 4.0/3.8 s minutes later).
-    // Re-measure once, keep the overall min.
-    val largestRepaired = {
-      val last = twinResults.last
-      val prev = twinResults(twinResults.length - 2)
-      if (last._2 >= 0 && prev._2 > 0 && last._2 > 7 * prev._2) {
-        val (lName, lPath, _, lReps) = twinSpecs.last match {
-          case (n, p, _, r) => (n, p, (), r)
-        }
-        val extra = measureTwin(lPath, lReps, warm = false)
-        val em = minValid(extra)
-        twinResults.init :+
-          ((lName, if (em >= 0) math.min(last._2, em) else last._2,
-            last._3 ++ extra))
-      } else twinResults
+    var twinReps2 = twinFirst.map(_._2)
+    val remeasured = Array.fill(twinSpecs.length)(false)
+    var repairing = true
+    while (repairing) {
+      val minsNow = twinReps2.map(minValid)
+      twinSpecs.indices.find(i => !remeasured(i) && implausible(minsNow, i)) match {
+        case Some(i) =>
+          remeasured(i) = true
+          val (_, path, _, reps) = twinSpecs(i)
+          twinReps2 = twinReps2.updated(i,
+            twinReps2(i) ++ measureTwin(path, reps, warm = false))
+        case None => repairing = false
+      }
     }
-    // Re-check monotonicity against the REPAIRED largest value: if the
-    // largest twin came down (it was the polluted one), a smaller twin
-    // that was polluted in the same window may now sit above it — the
-    // first pass compared against the pre-repair value and let it through.
-    // One bounded extra pass; without it the artifact could ship the very
-    // "smaller clone slower than larger" condition it declares implausible.
-    val twinsRepaired = largestRepaired.zipWithIndex.map { case ((name, v, rs), i) =>
-      val nextLarger = largestRepaired.drop(i + 1).map(_._2).filter(_ >= 0)
-      if (v >= 0 && nextLarger.nonEmpty && v > nextLarger.min) {
-        val (_, path, _, reps) = twinSpecs(i)
-        val extra = measureTwin(path, reps, warm = false)
-        val em = minValid(extra)
-        (name, if (em >= 0) math.min(v, em) else v, rs ++ extra)
-      } else (name, v, rs)
+    val twinsRepaired = twinSpecs.map(_._1).zip(twinReps2).map {
+      case (name, rs) => (name, minValid(rs), rs)
     }
 
     // ---- Registered queries ------------------------------------------
@@ -181,9 +139,6 @@ object Bench {
     // failed to release, i.e. the artifact may be polluted again.
     val rddsAfter = spark.sparkContext.getPersistentRDDs.size
 
-    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
-    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def arr(rs: Seq[Double]) = rs.map(f3).mkString("[", ",", "]")
     // the two interpolated strings (env-controlled path + sf dir) must be
     // JSON-escaped or an unusual value breaks the driver's artifact parse
     def esc(s: String) = s.flatMap {

@@ -12,6 +12,7 @@ package graft
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
+    import BenchSupport.{arr, f3}
     val name  = args(0)
     val reps  = if (args.length > 1) args(1).toInt else 3
     val sfDir = if (args.length > 2) args(2)
@@ -25,16 +26,13 @@ object BenchOne {
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      spark.catalog.clearCache()
+      BenchSupport.clearState(spark)
       dt
     }
     once("/root/testdata/sf0.001") // JIT/codegen warmup
     once(sfDir)                    // scale warmup (page cache, AQE stats)
     val times = Seq.fill(reps)(once(sfDir))
-    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    println(s"""{"query":"$name","sf":"$sfDir","reps":${times.map(f3).mkString("[", ",", "]")},"min":${f3(times.min)}}""")
+    println(s"""{"query":"$name","sf":"$sfDir","reps":${arr(times)},"min":${f3(times.min)}}""")
     spark.stop()
   }
 }
