@@ -82,43 +82,15 @@ object Bench {
       graft.etl.TradesGen.ensure(path, n)
       (name, measureTwin(path, reps, warm = true))
     }
-    // Pollution repair. The twins run the SAME pipeline on 10×-scaled
-    // clones, so two readings are physically implausible and mean a host
-    // stall polluted every rep of one twin despite warmup + preRead +
-    // min-of-N:
-    //   (a) a smaller clone slower in absolute seconds than a larger one;
-    //   (b) the LARGEST twin (which has no larger sibling for check (a))
-    //       exceeding 7× the next twin's time — six recorded boots put the
-    //       clean 800k→8M wall ratio at 3.7–5.7×.
-    // An implausible twin is re-measured once (no warmup — the JVM is hot;
-    // preRead still runs per rep) and the overall min kept; the pass
-    // repeats until no twin is implausible or every twin has spent its one
-    // re-measure (bounded: ≤ one extra measureTwin per twin per run).
-    // Iterating matters: repairing the largest twin downward can expose a
-    // smaller twin polluted in the same window that the first comparison
-    // let through.
-    def implausible(mins: Seq[Double], i: Int): Boolean = {
-      val v = mins(i)
-      val larger = mins.drop(i + 1).filter(_ >= 0)
-      if (v < 0) false
-      else if (larger.nonEmpty) v > larger.min
-      else i > 0 && mins(i - 1) > 0 && v > 7 * mins(i - 1)
+    // Pollution repair — policy in BenchSupport.repairTwins (pure,
+    // unit-tested there); the callback re-measures with no warmup (the
+    // JVM is hot; preRead still runs per rep).
+    val twinRepsFinal = BenchSupport.repairTwins(twinFirst.map(_._2), 7.0) {
+      i =>
+        val (_, path, _, reps) = twinSpecs(i)
+        measureTwin(path, reps, warm = false)
     }
-    var twinReps2 = twinFirst.map(_._2)
-    val remeasured = Array.fill(twinSpecs.length)(false)
-    var repairing = true
-    while (repairing) {
-      val minsNow = twinReps2.map(minValid)
-      twinSpecs.indices.find(i => !remeasured(i) && implausible(minsNow, i)) match {
-        case Some(i) =>
-          remeasured(i) = true
-          val (_, path, _, reps) = twinSpecs(i)
-          twinReps2 = twinReps2.updated(i,
-            twinReps2(i) ++ measureTwin(path, reps, warm = false))
-        case None => repairing = false
-      }
-    }
-    val twinsRepaired = twinSpecs.map(_._1).zip(twinReps2).map {
+    val twinsRepaired = twinSpecs.map(_._1).zip(twinRepsFinal).map {
       case (name, rs) => (name, minValid(rs), rs)
     }
 

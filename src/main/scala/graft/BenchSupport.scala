@@ -47,4 +47,47 @@ object BenchSupport {
     val ok = reps.filter(_ >= 0)
     if (ok.isEmpty) -1.0 else ok.min
   }
+
+  /** Pollution-repair policy for the scaled-twin measurements, pure so it
+    * is unit-testable ([[Bench]] supplies the actual re-measure callback).
+    *
+    * `first` holds each twin's timed reps, ordered smallest→largest input;
+    * the twins run the SAME pipeline on 10×-scaled clones, so two readings
+    * are physically implausible and mean a host stall polluted every rep
+    * of one twin despite warmup + preRead + min-of-N:
+    *   (a) a smaller clone's min slower in absolute seconds than a larger
+    *       one's, and
+    *   (b) the LARGEST twin (which has no larger sibling for check (a))
+    *       exceeding `ratioCap` × the next twin's min — six recorded boots
+    *       put the clean 800k→8M wall ratio at 3.7–5.7×, so the cap is 7.
+    * An implausible twin is re-measured once and its reps appended (the
+    * overall min is what's reported); the pass repeats until no twin is
+    * implausible or every twin has spent its one re-measure. Iterating
+    * matters: repairing the largest twin downward can expose a smaller
+    * twin polluted in the same window that the first comparison let
+    * through.
+    */
+  def repairTwins(first: Seq[Seq[Double]], ratioCap: Double)(
+      remeasure: Int => Seq[Double]): Seq[Seq[Double]] = {
+    def implausible(mins: Seq[Double], i: Int): Boolean = {
+      val v = mins(i)
+      val larger = mins.drop(i + 1).filter(_ >= 0)
+      if (v < 0) false
+      else if (larger.nonEmpty) v > larger.min
+      else i > 0 && mins(i - 1) > 0 && v > ratioCap * mins(i - 1)
+    }
+    var reps = first
+    val spent = Array.fill(first.length)(false)
+    var repairing = true
+    while (repairing) {
+      val mins = reps.map(minValid)
+      first.indices.find(i => !spent(i) && implausible(mins, i)) match {
+        case Some(i) =>
+          spent(i) = true
+          reps = reps.updated(i, reps(i) ++ remeasure(i))
+        case None => repairing = false
+      }
+    }
+    reps
+  }
 }
