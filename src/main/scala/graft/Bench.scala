@@ -9,9 +9,11 @@ import org.apache.spark.sql.SparkSession
   * Measurement-integrity contract (round-8 fix — the round-7 artifact was
   * polluted by the harness itself and recorded 76.5 s for a pipeline that
   * re-measures at 3.7 s in a clean session):
-  *   - the three scaled ETL twins run FIRST, before the 99-query loop, so
-  *     the headline design-for-scale numbers are measured in the same
-  *     clean-session condition as a standalone re-measure;
+  *   - the three scaled ETL twins take one rep in the clean session
+  *     BEFORE the 99-query loop (the standalone re-measure condition) and
+  *     one each midway and at the end, so min-of-3 samples three time
+  *     windows of this host's multi-minute ambient-load bursts instead of
+  *     letting one window cover the whole twin phase;
   *   - after EVERY run (timed or warmup) all persistent RDDs are
   *     unpersisted and the relation cache cleared — `materialize()`'s
   *     localCheckpoints otherwise pin executor memory across all 99
@@ -53,18 +55,27 @@ object Bench {
     def repsOf(n: Int, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Seq[Double] = Seq.fill(n)(timeOnce(fn, dir))
 
-    // ---- Scaled baseline twins, FIRST (clean-session condition) --------
+    // ---- Scaled baseline twins ------------------------------------------
     // The full reference pipeline on deterministic 100×/1000×/10000×
     // versions of the reference's own dirty CSV — the apples-to-apples
     // numbers against the measured pandas baseline (the 800-row
     // q44_trades_etl measures JVM fixed cost, not the engine). Files are
     // derived state, generated on first use (bench_data/ persists).
     // Each twin gets a DEDICATED untimed warmup run (JIT + codegen + cold
-    // page cache), then timed reps with an untimed preRead before every
-    // run (see BenchSupport.preRead for why). 3 reps each — individual 8M
-    // runs are heavy-tailed on this host (4.3–18 s measured for identical
-    // code with the file fully page-cached: fine-grained hypervisor
-    // CPU-steal), and min-of-3 usually escapes the tail.
+    // page cache) at session start, then one timed rep per ROUND, with an
+    // untimed preRead before every run (see BenchSupport.preRead for why).
+    //
+    // The three rounds are SPREAD across the bench run — one in the clean
+    // session before any sf queries, one midway through the query loop,
+    // one at the end — because this host's ambient load arrives in
+    // multi-minute ~2.5× windows that can cover an entire back-to-back
+    // twin phase (observed: every rep of all three twins uniformly
+    // inflated, internally consistent, so no plausibility check can catch
+    // it from inside). Three time points make min-of-3 sample three
+    // windows; state-clearing after every run (rdds_after stays 0) is
+    // what makes the mid-run and end reps as valid as the first — and if
+    // they ever measure systematically worse, that is residual harness
+    // pollution, visible in the artifact's twin_reps.
     val twinSpecs = Seq(
       ("q44_trades_etl_80k", "/root/repo/bench_data/trades_80k.csv", 80000, 3),
       ("q44_trades_etl_800k", "/root/repo/bench_data/trades_800k.csv", 800000, 3),
@@ -73,38 +84,46 @@ object Bench {
       graft.etl.Transform(
         graft.etl.TradesEtl.clean(graft.etl.TradesEtl.extract(s, path)),
         computePnl = true)
-    def measureTwin(path: String, reps: Int, warm: Boolean): Seq[Double] = {
-      val run = twinRun(path)
-      if (warm) { preRead(path); timeOnce(run, sfDir) } // untimed warmup
-      Seq.fill(reps) { preRead(path); timeOnce(run, sfDir) }
+    def twinOnce(path: String): Double = {
+      preRead(path); timeOnce(twinRun(path), sfDir)
     }
-    val twinFirst = twinSpecs.map { case (name, path, n, reps) =>
+    def measureTwin(path: String, reps: Int): Seq[Double] =
+      Seq.fill(reps)(twinOnce(path))
+    twinSpecs.foreach { case (_, path, n, _) =>
       graft.etl.TradesGen.ensure(path, n)
-      (name, measureTwin(path, reps, warm = true))
+      twinOnce(path) // untimed warmup, clean session
     }
-    // Pollution repair — policy in BenchSupport.repairTwins (pure,
-    // unit-tested there); the callback re-measures with no warmup (the
-    // JVM is hot; preRead still runs per rep).
-    val twinRepsFinal = BenchSupport.repairTwins(twinFirst.map(_._2), 7.0) {
-      i =>
-        val (_, path, _, reps) = twinSpecs(i)
-        measureTwin(path, reps, warm = false)
-    }
-    val twinsRepaired = twinSpecs.map(_._1).zip(twinRepsFinal).map {
-      case (name, rs) => (name, minValid(rs), rs)
-    }
+    def twinRound(): Seq[Double] =
+      twinSpecs.map { case (_, path, _, _) => twinOnce(path) }
+    val round1 = twinRound() // clean-session rep, before any sf queries
 
-    // ---- Registered queries ------------------------------------------
+    // ---- Registered queries (twin rounds 2 and 3 interleaved) ---------
     // JVM/codegen warmup on the smallest SF so per-query times measure the
     // query, not JIT compilation of Spark itself. timeOnce clears state
     // after each, so the warmup loop can't pollute the timed loop either.
     SparkEntry.queries.foreach { case (_, fn) =>
       timeOnce(fn, "/root/testdata/sf0.001")
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      (name, repsOf(2, fn, sfDir))
-    }
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val (firstHalf, secondHalf) = sorted.splitAt(sorted.length / 2)
+    val results1 = firstHalf.map { case (name, fn) => (name, repsOf(2, fn, sfDir)) }
+    val round2 = twinRound() // mid-run time window
+    val results2 = secondHalf.map { case (name, fn) => (name, repsOf(2, fn, sfDir)) }
+    val round3 = twinRound() // end-of-run time window
+    val results = results1 ++ results2
     val mins = results.map { case (n, rs) => n -> minValid(rs) }
+
+    // Pollution repair — policy in BenchSupport.repairTwins (pure,
+    // unit-tested there); the callback re-measures with no warmup (the
+    // JVM is hot; preRead still runs per rep).
+    val twinFirst = twinSpecs.indices.map(i => Seq(round1(i), round2(i), round3(i)))
+    val twinRepsFinal = BenchSupport.repairTwins(twinFirst, 7.0) { i =>
+      val (_, path, _, reps) = twinSpecs(i)
+      measureTwin(path, reps)
+    }
+    val twinsRepaired = twinSpecs.map(_._1).zip(twinRepsFinal).map {
+      case (name, rs) => (name, minValid(rs), rs)
+    }
 
     // Post-run pollution probe: after clearState() discipline, this must
     // be ~0; a large number here means a query pinned state the harness
