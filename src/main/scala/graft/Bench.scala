@@ -6,27 +6,38 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line. Results are fully materialized through a `noop`
   * write (count() alone would let Catalyst prune the computed columns).
   *
-  * Measurement-integrity contract (round-8 fix — the round-7 artifact was
-  * polluted by the harness itself and recorded 76.5 s for a pipeline that
-  * re-measures at 3.7 s in a clean session):
+  * Measurement-integrity contract (rounds 8–9; round 7's artifact was
+  * polluted by the harness itself, round 8's by ambient host load):
   *   - the three scaled ETL twins take one rep in the clean session
-  *     BEFORE the 99-query loop (the standalone re-measure condition) and
-  *     one each midway and at the end, so min-of-3 samples three time
-  *     windows of this host's multi-minute ambient-load bursts instead of
-  *     letting one window cover the whole twin phase;
+  *     BEFORE the query passes, one between the passes, and one at the
+  *     end, so min-of-3 samples three time windows of this host's
+  *     multi-minute ambient-load bursts;
+  *   - the registered queries take their two reps as two FULL PASSES over
+  *     the query list (rep-1 for all, then rep-2 for all) instead of
+  *     back-to-back, so one ambient window can't cover both reps of any
+  *     query — the exact fix that worked for the twins in round 8, where
+  *     q34 recorded 16.7 s in the artifact and re-measured at 0.8 s;
+  *   - a bounded end-of-run repair re-measures (worst ratio first, ≤10
+  *     queries) any query whose min still exceeds 2× its previous-round
+  *     artifact value — the same `>2× and >0.25 s` gate as
+  *     `tools/check_bench.py`, applied in-run while the JVM is hot;
+  *   - ambient load is sampled around EVERY timed rep (/proc/loadavg
+  *     before/after + hypervisor steal over the rep) and published in
+  *     `bench_detail.json`, with reps taken at >2× the session-median
+  *     load flagged — a polluted rep is identifiable from the artifact
+  *     alone, no standalone re-measure needed;
   *   - after EVERY run (timed or warmup) all persistent RDDs are
   *     unpersisted and the relation cache cleared — `materialize()`'s
-  *     localCheckpoints otherwise pin executor memory across all 99
-  *     queries × 3 runs and degrade the later alphabet monotonically;
+  *     localCheckpoints otherwise pin executor memory across runs and
+  *     degrade later queries monotonically;
   *   - every rep is recorded, not just the min: the one-line artifact
   *     carries the twins' rep arrays plus a post-run pinned-RDD count,
-  *     and the FULL per-rep table for all queries goes to
-  *     `bench_detail.json`, so a stall is visible in the artifact instead
-  *     of silently becoming the min.
+  *     and the FULL per-rep table (times and loads) for all queries goes
+  *     to `bench_detail.json`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    import BenchSupport.{arr, f3, minValid, preRead}
+    import BenchSupport.{arr, f3, jsonEscape, minValid, preRead}
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create("graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -49,11 +60,24 @@ object Bench {
       BenchSupport.clearState(spark)
       elapsed
     }
-    // All reps are kept (per-rep visibility); the headline estimator stays
-    // min-of-valid-reps — single-run numbers at this scale carry ±20%
-    // scheduler/GC noise.
-    def repsOf(n: Int, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        dir: String): Seq[Double] = Seq.fill(n)(timeOnce(fn, dir))
+
+    // Every TIMED rep is metered: loadavg before/after plus steal% over
+    // the rep, appended to one ordered log keyed by query name. The log's
+    // per-key order matches the rep arrays' order by construction (pass 1,
+    // pass 2, then any repair reps), so `loads` aligns 1:1 with `reps` in
+    // the detail file. Warmups are untimed and unmetered — the flag
+    // median must be over the reps a reader would adjudicate.
+    val loadLog = scala.collection.mutable.ArrayBuffer[
+      (String, Double, Double, Double)]() // (name, la_before, la_after, steal%)
+    def metered(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Double = {
+      val la0 = BenchSupport.loadAvg(); val j0 = BenchSupport.cpuJiffies()
+      val t = timeOnce(fn, dir)
+      val la1 = BenchSupport.loadAvg(); val j1 = BenchSupport.cpuJiffies()
+      loadLog += ((name, la0, la1, BenchSupport.stealPct(j0, j1)))
+      t
+    }
 
     // ---- Scaled baseline twins ------------------------------------------
     // The full reference pipeline on deterministic 100×/1000×/10000×
@@ -64,18 +88,6 @@ object Bench {
     // Each twin gets a DEDICATED untimed warmup run (JIT + codegen + cold
     // page cache) at session start, then one timed rep per ROUND, with an
     // untimed preRead before every run (see BenchSupport.preRead for why).
-    //
-    // The three rounds are SPREAD across the bench run — one in the clean
-    // session before any sf queries, one midway through the query loop,
-    // one at the end — because this host's ambient load arrives in
-    // multi-minute ~2.5× windows that can cover an entire back-to-back
-    // twin phase (observed: every rep of all three twins uniformly
-    // inflated, internally consistent, so no plausibility check can catch
-    // it from inside). Three time points make min-of-3 sample three
-    // windows; state-clearing after every run (rdds_after stays 0) is
-    // what makes the mid-run and end reps as valid as the first — and if
-    // they ever measure systematically worse, that is residual harness
-    // pollution, visible in the artifact's twin_reps.
     val twinSpecs = Seq(
       ("q44_trades_etl_80k", "/root/repo/bench_data/trades_80k.csv", 80000, 3),
       ("q44_trades_etl_800k", "/root/repo/bench_data/trades_800k.csv", 800000, 3),
@@ -84,20 +96,20 @@ object Bench {
       graft.etl.Transform(
         graft.etl.TradesEtl.clean(graft.etl.TradesEtl.extract(s, path)),
         computePnl = true)
-    def twinOnce(path: String): Double = {
-      preRead(path); timeOnce(twinRun(path), sfDir)
+    def twinOnce(name: String, path: String): Double = {
+      preRead(path); metered(name, twinRun(path), sfDir)
     }
-    def measureTwin(path: String, reps: Int): Seq[Double] =
-      Seq.fill(reps)(twinOnce(path))
+    def measureTwin(name: String, path: String, reps: Int): Seq[Double] =
+      Seq.fill(reps)(twinOnce(name, path))
     twinSpecs.foreach { case (_, path, n, _) =>
       graft.etl.TradesGen.ensure(path, n)
-      twinOnce(path) // untimed warmup, clean session
+      preRead(path); timeOnce(twinRun(path), sfDir) // untimed warmup
     }
     def twinRound(): Seq[Double] =
-      twinSpecs.map { case (_, path, _, _) => twinOnce(path) }
+      twinSpecs.map { case (name, path, _, _) => twinOnce(name, path) }
     val round1 = twinRound() // clean-session rep, before any sf queries
 
-    // ---- Registered queries (twin rounds 2 and 3 interleaved) ---------
+    // ---- Registered queries: two spread passes -------------------------
     // JVM/codegen warmup on the smallest SF so per-query times measure the
     // query, not JIT compilation of Spark itself. timeOnce clears state
     // after each, so the warmup loop can't pollute the timed loop either.
@@ -105,21 +117,47 @@ object Bench {
       timeOnce(fn, "/root/testdata/sf0.001")
     }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    val (firstHalf, secondHalf) = sorted.splitAt(sorted.length / 2)
-    val results1 = firstHalf.map { case (name, fn) => (name, repsOf(2, fn, sfDir)) }
+    val pass1 = sorted.map { case (name, fn) => metered(name, fn, sfDir) }
     val round2 = twinRound() // mid-run time window
-    val results2 = secondHalf.map { case (name, fn) => (name, repsOf(2, fn, sfDir)) }
+    val pass2 = sorted.map { case (name, fn) => metered(name, fn, sfDir) }
     val round3 = twinRound() // end-of-run time window
-    val results = results1 ++ results2
+    val firstReps = sorted.map(_._1).zip(pass1.zip(pass2).map {
+      case (a, b) => Seq(a, b) })
+
+    // Bounded end-of-run repair vs the previous round's artifact (policy
+    // in BenchSupport.repairQueries, pure and unit-tested). The reference
+    // is GRAFT_BENCH_PREV if set, else the newest BENCH_r*.json in the
+    // repo; no reference → no repair (first round, or a fresh checkout).
+    val prevPath = sys.env.get("GRAFT_BENCH_PREV").filter(_.nonEmpty)
+      .orElse {
+        val re = "BENCH_r(\\d+)\\.json".r
+        Option(new java.io.File("/root/repo").listFiles())
+          .getOrElse(Array.empty).flatMap { f =>
+            f.getName match {
+              case re(n) => Some((n.toInt, f.getPath)); case _ => None } }
+          .sortBy(_._1).lastOption.map(_._2)
+      }
+    val prev = prevPath.flatMap { p =>
+      try Some(BenchSupport.parseArtifactMins(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(p))))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] prev artifact unreadable: ${e.getMessage}")
+        None }
+    }.getOrElse(Map.empty[String, Double])
+    val (repairedReps, repairedNames) =
+      BenchSupport.repairQueries(firstReps, prev, 2.0, 0.25, 10) { name =>
+        Seq.fill(2)(metered(name, SparkEntry.queries(name), sfDir))
+      }
+    val results = repairedReps
     val mins = results.map { case (n, rs) => n -> minValid(rs) }
 
-    // Pollution repair — policy in BenchSupport.repairTwins (pure,
+    // Twin pollution repair — policy in BenchSupport.repairTwins (pure,
     // unit-tested there); the callback re-measures with no warmup (the
     // JVM is hot; preRead still runs per rep).
     val twinFirst = twinSpecs.indices.map(i => Seq(round1(i), round2(i), round3(i)))
     val twinRepsFinal = BenchSupport.repairTwins(twinFirst, 7.0) { i =>
-      val (_, path, _, reps) = twinSpecs(i)
-      measureTwin(path, reps)
+      val (name, path, _, reps) = twinSpecs(i)
+      measureTwin(name, path, reps)
     }
     val twinsRepaired = twinSpecs.map(_._1).zip(twinRepsFinal).map {
       case (name, rs) => (name, minValid(rs), rs)
@@ -130,11 +168,20 @@ object Bench {
     // failed to release, i.e. the artifact may be polluted again.
     val rddsAfter = spark.sparkContext.getPersistentRDDs.size
 
-    // the two interpolated strings (env-controlled path + sf dir) must be
-    // JSON-escaped or an unusual value breaks the driver's artifact parse
-    def esc(s: String) = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+    // Ambient-load flagging over every timed rep this session: a rep
+    // taken at more than 2× the session-median loadavg (max of its
+    // before/after samples) is storm-suspect — published so pollution is
+    // adjudicable from the artifact alone.
+    val repLoads = loadLog.toSeq
+    val (loadMedian, flaggedIdx) = BenchSupport.flagLoads(
+      repLoads.map { case (_, la0, la1, _) => math.max(la0, la1) }, 2.0)
+    val flagged = flaggedIdx.map { i =>
+      val (name, la0, la1, _) = repLoads(i)
+      val rep = repLoads.take(i).count(_._1 == name)
+      (name, rep, math.max(la0, la1))
     }
+
+    def esc(s: String) = jsonEscape(s)
 
     // ONE merged (name → min) list feeds both the stdout line and the
     // detail file, so the two can never desynchronize. total covers the
@@ -150,17 +197,33 @@ object Bench {
     // when the front of the queries object is truncated.
     val twinReps = twinsRepaired.map { case (n, _, rs) => s""""$n":${arr(rs)}""" }
       .mkString("{", ",", "}")
+    val repairedJson = repairedNames.map(n => s""""${esc(n)}"""")
+      .mkString("[", ",", "]")
+    val flaggedJson = flagged.map { case (n, rep, l) =>
+      s"""{"q":"${esc(n)}","rep":$rep,"load":${f3(l)}}""" }
+      .mkString("[", ",", "]")
 
     // Full per-rep table → side file (the driver tail-captures only the
     // last ~2000 chars of stdout, so the one-line artifact can't carry
-    // 99 rep arrays; the detail file makes every rep auditable and is
-    // self-contained: reps + the same mins/total as the stdout line).
+    // 103 rep arrays; the detail file makes every rep auditable and is
+    // self-contained: reps + per-rep loads + the same mins/total as the
+    // stdout line). `loads` aligns index-for-index with `reps`: each
+    // entry is [loadavg_before, loadavg_after, steal_pct] for that rep.
+    val loadsByName = repLoads.groupBy(_._1)
+    def loadsArr(name: String): String =
+      loadsByName.getOrElse(name, Nil).map { case (_, la0, la1, st) =>
+        s"[${f3(la0)},${f3(la1)},${f3(st)}]" }.mkString("[", ",", "]")
     val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL",
       "/root/repo/bench_detail.json")
+    val allNames = results.map(_._1) ++ twinsRepaired.map(_._1)
     val detailJson = (results.map { case (n, rs) => s""""$n":${arr(rs)}""" } ++
       twinsRepaired.map { case (n, _, rs) => s""""$n":${arr(rs)}""" })
-      .mkString("{\"reps\":{", ",",
-        s"""},"queries":$qs,"total":${f3(total)},"rdds_after":$rddsAfter,"sf":"${esc(sfDir)}"}""")
+      .mkString("{\"reps\":{", ",", "}") +
+      allNames.map(n => s""""$n":${loadsArr(n)}""")
+        .mkString(",\"loads\":{", ",", "}") +
+      s""","load_median":${f3(loadMedian)},"load_flagged":$flaggedJson""" +
+      s""","repaired":$repairedJson,"prev_artifact":"${esc(prevPath.getOrElse(""))}"""" +
+      s""","queries":$qs,"total":${f3(total)},"rdds_after":$rddsAfter,"sf":"${esc(sfDir)}"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath), detailJson)
     catch { case e: Throwable =>
@@ -176,7 +239,7 @@ object Bench {
     val failed = mins.collect { case (k, v) if v < 0 => s""""$k"""" }
       .mkString("[", ",", "]")
     println(
-      s"""{"queries":$qs,"twin_reps":$twinReps,"failed":$failed,"rdds_after":$rddsAfter,"detail":"${esc(detailPath)}","sf":"${esc(sfDir)}","unit":"sec","metric":"total_query_sec","value":${f3(total)}}""")
+      s"""{"queries":$qs,"twin_reps":$twinReps,"failed":$failed,"repaired":$repairedJson,"load_median":${f3(loadMedian)},"load_flagged_n":${flagged.length},"rdds_after":$rddsAfter,"detail":"${esc(detailPath)}","sf":"${esc(sfDir)}","unit":"sec","metric":"total_query_sec","value":${f3(total)}}""")
     spark.stop()
   }
 }

@@ -48,6 +48,112 @@ object BenchSupport {
     if (ok.isEmpty) -1.0 else ok.min
   }
 
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20).
+    * One copy for every hand-built JSON emitter here and in [[Verify]] —
+    * a tab or CR in an env-controlled path (GRAFT_BENCH_DETAIL,
+    * SPARK_GRAFT_SF_DIR) or builder-authored SQL would otherwise emit an
+    * invalid artifact line and silently zero the round.
+    */
+  def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** 1-minute load average from /proc/loadavg; -1.0 where unreadable
+    * (non-Linux, permission). Sampled before/after every timed rep so
+    * ambient-host-load pollution is adjudicable from the artifact alone —
+    * the round-8 official run was inflated ~2.3× by a load storm that a
+    * reader could only infer from rep decay.
+    */
+  def loadAvg(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Cumulative (total, steal) jiffies from /proc/stat's aggregate "cpu"
+    * line; (-1,-1) where unreadable. Steal is field 9 (1-based, after the
+    * "cpu" label): user nice system idle iowait irq softirq STEAL.
+    */
+  def cpuJiffies(): (Long, Long) =
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      (f.sum, if (f.length > 7) f(7) else 0L)
+    } catch { case _: Throwable => (-1L, -1L) }
+
+  /** Hypervisor steal over a rep as a percent of elapsed CPU time; -1.0
+    * when either sample was unreadable or no time elapsed.
+    */
+  def stealPct(before: (Long, Long), after: (Long, Long)): Double = {
+    val (t0, s0) = before; val (t1, s1) = after
+    if (t0 < 0 || t1 <= t0) -1.0 else 100.0 * (s1 - s0) / (t1 - t0)
+  }
+
+  /** Per-query mins out of any of the three bench-artifact shapes (the
+    * full stdout line, bench_detail.json, or the driver's tail-truncated
+    * wrapper) — the same regex fallback `tools/check_bench.py` uses, so
+    * the in-harness repair gate and the offline gate can never disagree
+    * about what the previous round recorded. Matches `"qNN_name":secs`;
+    * rep ARRAYS (`"q":[...]`) don't match, so a detail file contributes
+    * only its `queries` min section.
+    */
+  def parseArtifactMins(text: String): Map[String, Double] =
+    "\"(q[0-9]+[a-z]?_[a-z0-9_]+)\":(-?[0-9.]+)".r
+      .findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  /** Bounded end-of-run repair for the REGISTERED queries — the round-9
+    * counterpart of [[repairTwins]]. A query whose min-of-reps exceeds
+    * `factor` × its previous-round artifact value (and an absolute
+    * `floorSec`, below which a 2× ratio is scheduler noise — the same
+    * 0.25 s floor as `tools/check_bench.py`) is presumed storm-polluted
+    * and re-measured once, worst ratio first, at most `maxRepairs`
+    * queries per run. Re-measured reps are APPENDED — the estimator stays
+    * min-of-all-reps, so a re-measure that comes back worse changes
+    * nothing. Returns the updated rep table plus the repaired names (for
+    * the artifact's `repaired` field). Pure; [[Bench]] supplies the
+    * re-measure callback.
+    */
+  def repairQueries(reps: Seq[(String, Seq[Double])], prev: Map[String, Double],
+      factor: Double, floorSec: Double, maxRepairs: Int)(
+      remeasure: String => Seq[Double]): (Seq[(String, Seq[Double])], Seq[String]) = {
+    val suspect = reps.flatMap { case (name, rs) =>
+      val v = minValid(rs)
+      prev.get(name) match {
+        case Some(p) if p > 0 && v > factor * p && v > floorSec =>
+          Some((name, v / p))
+        case _ => None
+      }
+    }.sortBy(-_._2).take(maxRepairs).map(_._1)
+    val extra = suspect.map(n => n -> remeasure(n)).toMap
+    (reps.map { case (n, rs) => n -> (rs ++ extra.getOrElse(n, Nil)) }, suspect)
+  }
+
+  /** Session-median ambient load and the rep indices taken at more than
+    * `factor` × it — the pure half of the artifact's load flagging.
+    * Unreadable samples (<0) are excluded from the median and never
+    * flagged. An empty/unreadable session medians to -1.0 (nothing
+    * flags: on a host without /proc there is no signal to flag on).
+    */
+  def flagLoads(loads: Seq[Double], factor: Double): (Double, Seq[Int]) = {
+    val valid = loads.filter(_ >= 0).sorted
+    if (valid.isEmpty) (-1.0, Nil)
+    else {
+      val m =
+        if (valid.length % 2 == 1) valid(valid.length / 2)
+        else (valid(valid.length / 2 - 1) + valid(valid.length / 2)) / 2.0
+      (m, loads.zipWithIndex.collect {
+        case (l, i) if l >= 0 && m > 0 && l > factor * m => i
+      })
+    }
+  }
+
   /** Pollution-repair policy for the scaled-twin measurements, pure so it
     * is unit-testable ([[Bench]] supplies the actual re-measure callback).
     *

@@ -33,19 +33,32 @@ object AtomicFiles {
     val tmp = new File(path + ".tmp." +
       ProcessHandle.current().pid() + "." + java.util.UUID.randomUUID())
     try body(tmp)
-    catch { case e: Throwable => tmp.delete(); throw e }
+    catch { case e: Throwable =>
+      // cleanup must be best-effort AND visible: a silently-failed delete
+      // (open handle, permission flip) leaves the temp to the next sweep,
+      // which is fine, but only if someone can see it happened
+      try java.nio.file.Files.deleteIfExists(tmp.toPath)
+      catch { case e2: Throwable => System.err.println(
+        s"[atomic-files] failed to clean up $tmp after write failure: ${e2.getMessage}") }
+      throw e
+    }
     java.nio.file.Files.move(tmp.toPath, f.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   private def sweepStaleTmps(published: File): Unit = {
-    val prefix = published.getName + ".tmp."
+    // exact "<name>.tmp" (no trailing dot) covers orphans from the legacy
+    // fixed-suffix naming, which the unique-name prefix would never match
+    // — those would otherwise persist forever
+    val legacy = published.getName + ".tmp"
+    val prefix = legacy + "."
     val now    = System.currentTimeMillis()
     Option(published.getParentFile).filter(_.isDirectory)
       .flatMap(d => Option(d.listFiles())).getOrElse(Array.empty[File])
       .foreach { s =>
-        if (s.getName.startsWith(prefix) && now - s.lastModified() > staleTmpMs)
+        if ((s.getName.startsWith(prefix) || s.getName == legacy) &&
+            now - s.lastModified() > staleTmpMs)
           s.delete() // best-effort; a failed delete just waits for next sweep
       }
   }

@@ -1,5 +1,6 @@
 package graft
 
+import org.scalactic.Tolerance._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The bench measurement-integrity policy, tested pure: which twin
@@ -84,5 +85,121 @@ class BenchSupportSpec extends AnyFunSuite {
     // largest valid with everything below failed: no prev min to ratio
     val (_, none) = repair(Seq(Seq(-1.0), Seq(-1.0), Seq(30.0)), Map.empty)
     assert(none === Nil)
+  }
+
+  // ---- jsonEscape -------------------------------------------------------
+
+  test("jsonEscape: quote, backslash, and every control char") {
+    assert(BenchSupport.jsonEscape("""a"b\c""") === """a\"b\\c""")
+    assert(BenchSupport.jsonEscape("a\nb\rc\td") === """a\nb\rc\td""")
+    // a control char with no shorthand gets the \u00XX form
+    assert(BenchSupport.jsonEscape("xy") === "x\\u0001y")
+    // the escaped form must round-trip through a real JSON parser: embed
+    // it in a document and check nothing breaks structurally
+    val hostile = "p\tath\n\"q\"\\"
+    val doc = s"""{"k":"${BenchSupport.jsonEscape(hostile)}"}"""
+    assert(!doc.exists(_ < ' '), "no raw control chars may survive")
+    assert(doc.count(_ == '"') === 6) // {"k":"..."} + the two escaped \"
+  }
+
+  // ---- parseArtifactMins ------------------------------------------------
+
+  test("parseArtifactMins: full bench line, detail file, truncated tail") {
+    // full stdout line shape
+    val line = """{"queries":{"q01_cond_agg":0.5,"q42b_bm25_rational":1.25},"value":1.75}"""
+    assert(BenchSupport.parseArtifactMins(line) ===
+      Map("q01_cond_agg" -> 0.5, "q42b_bm25_rational" -> 1.25))
+    // detail-file shape: rep ARRAYS must not match, the mins section must
+    val detail = """{"reps":{"q01_cond_agg":[9.0,0.5]},"queries":{"q01_cond_agg":0.5}}"""
+    assert(BenchSupport.parseArtifactMins(detail) === Map("q01_cond_agg" -> 0.5))
+    // front-truncated driver tail (starts mid-number) — later keys survive
+    val tail = """4,"q33_rollup":0.61,"q34_distinct_agg":16.66}"""
+    assert(BenchSupport.parseArtifactMins(tail) ===
+      Map("q33_rollup" -> 0.61, "q34_distinct_agg" -> 16.66))
+    // failed sentinel parses as negative (and is later ignored by the gate)
+    assert(BenchSupport.parseArtifactMins("""{"q01_x":-1.0}""") === Map("q01_x" -> -1.0))
+  }
+
+  // ---- repairQueries ----------------------------------------------------
+
+  private def repairQ(reps: Seq[(String, Seq[Double])], prev: Map[String, Double],
+      maxRepairs: Int = 10, remeasures: Map[String, Seq[Double]] = Map.empty) = {
+    val calls = scala.collection.mutable.ArrayBuffer[String]()
+    val out = BenchSupport.repairQueries(reps, prev, 2.0, 0.25, maxRepairs) { n =>
+      calls += n
+      remeasures.getOrElse(n, fail(s"unexpected re-measure of $n"))
+    }
+    (out, calls.toSeq)
+  }
+
+  test("repairQueries: only >2x-and->0.25s regressions vs prev re-measure") {
+    val reps = Seq(
+      "qa" -> Seq(0.50, 0.52),  // 1x of prev — clean
+      "qb" -> Seq(16.66, 17.0), // 20x of prev — the round-8 q34 shape
+      "qc" -> Seq(0.20, 0.24),  // 4x of prev but under the 0.25s floor
+      "qd" -> Seq(3.00, 3.10))  // no prev entry (truncated tail) — skip
+    val prev = Map("qa" -> 0.5, "qb" -> 0.8, "qc" -> 0.05)
+    val ((out, repaired), calls) = repairQ(reps, prev,
+      remeasures = Map("qb" -> Seq(0.80, 0.85)))
+    assert(calls === Seq("qb"))
+    assert(repaired === Seq("qb"))
+    // re-measured reps are appended; the min-of-all estimator recovers
+    assert(out.toMap.apply("qb") === Seq(16.66, 17.0, 0.80, 0.85))
+    assert(BenchSupport.minValid(out.toMap.apply("qb")) === 0.80)
+    // untouched queries keep their reps verbatim, in the original order
+    assert(out.map(_._1) === reps.map(_._1))
+    assert(out.toMap.apply("qa") === Seq(0.50, 0.52))
+  }
+
+  test("repairQueries: budget caps at maxRepairs, worst ratio first") {
+    val reps = Seq(
+      "qa" -> Seq(5.0),  // 5x
+      "qb" -> Seq(20.0), // 20x — worst, must win the budget
+      "qc" -> Seq(3.0))  // 3x
+    val prev = Map("qa" -> 1.0, "qb" -> 1.0, "qc" -> 1.0)
+    val ((_, repaired), calls) = repairQ(reps, prev, maxRepairs = 1,
+      remeasures = Map("qb" -> Seq(1.1)))
+    assert(calls === Seq("qb"))
+    assert(repaired === Seq("qb"))
+  }
+
+  test("repairQueries: worse re-measure keeps the original min; failed and negative prev never flag") {
+    val ((out, _), _) = repairQ(
+      Seq("qa" -> Seq(3.0)), Map("qa" -> 1.0),
+      remeasures = Map("qa" -> Seq(4.0)))
+    assert(BenchSupport.minValid(out.head._2) === 3.0)
+    // a failed current rep (-1 min) must not flag; a failed prev (-1) must not either
+    val ((_, r2), c2) = repairQ(
+      Seq("qa" -> Seq(-1.0), "qb" -> Seq(5.0)),
+      Map("qa" -> 1.0, "qb" -> -1.0))
+    assert(c2 === Nil); assert(r2 === Nil)
+  }
+
+  // ---- flagLoads --------------------------------------------------------
+
+  test("flagLoads: median over valid samples, >factor-x-median flags") {
+    // session median 2.0; the 9.0 rep (a storm) flags, the 3.5 does not
+    val (m, flags) = BenchSupport.flagLoads(Seq(2.0, 1.8, 9.0, 2.2, 3.5), 2.0)
+    assert(m === 2.2 +- 0.001)
+    assert(flags === Seq(2))
+    // unreadable samples (-1) excluded from the median and never flagged
+    val (m2, f2) = BenchSupport.flagLoads(Seq(-1.0, 2.0, 8.0), 2.0)
+    assert(m2 === 5.0 +- 0.001)
+    assert(f2 === Nil) // 8.0 is not > 2x 5.0
+    // no /proc at all: median -1, nothing flags, nothing throws
+    assert(BenchSupport.flagLoads(Seq(-1.0, -1.0), 2.0) === ((-1.0, Nil)))
+    assert(BenchSupport.flagLoads(Nil, 2.0) === ((-1.0, Nil)))
+  }
+
+  test("load and steal probes degrade to sentinels, never throw") {
+    // on this Linux host they read real values; the contract under test
+    // is "either a plausible reading or the -1 sentinel, never a throw"
+    val la = BenchSupport.loadAvg()
+    assert(la === -1.0 || la >= 0.0)
+    val (t, s) = BenchSupport.cpuJiffies()
+    assert((t === -1L && s === -1L) || (t > 0L && s >= 0L && s <= t))
+    assert(BenchSupport.stealPct((-1L, -1L), (-1L, -1L)) === -1.0)
+    assert(BenchSupport.stealPct((100L, 2L), (100L, 2L)) === -1.0) // no elapsed
+    assert(BenchSupport.stealPct((100L, 0L), (200L, 25L)) === 25.0 +- 0.001)
   }
 }
