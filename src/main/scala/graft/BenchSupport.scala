@@ -101,11 +101,16 @@ object BenchSupport {
     * the in-harness repair gate and the offline gate can never disagree
     * about what the previous round recorded. Matches `"qNN_name":secs`;
     * rep ARRAYS (`"q":[...]`) don't match, so a detail file contributes
-    * only its `queries` min section.
+    * only its `queries` min section. The driver wrapper embeds the bench
+    * line as a JSON STRING VALUE, so its quotes arrive backslash-escaped
+    * (`\"q52_vocab\":0.272`) — unescape them first, or the regex matches
+    * nothing and the repair gate silently never fires (check_bench.py
+    * avoids this by json-parsing the wrapper before its regex pass; the
+    * first official round-9 run shipped with this exact miss).
     */
   def parseArtifactMins(text: String): Map[String, Double] =
     "\"(q[0-9]+[a-z]?_[a-z0-9_]+)\":(-?[0-9.]+)".r
-      .findAllMatchIn(text)
+      .findAllMatchIn(text.replace("\\\"", "\""))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
   /** Bounded end-of-run repair for the REGISTERED queries — the round-9

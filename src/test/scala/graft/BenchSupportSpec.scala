@@ -116,6 +116,13 @@ class BenchSupportSpec extends AnyFunSuite {
     val tail = """4,"q33_rollup":0.61,"q34_distinct_agg":16.66}"""
     assert(BenchSupport.parseArtifactMins(tail) ===
       Map("q33_rollup" -> 0.61, "q34_distinct_agg" -> 16.66))
+    // the driver wrapper embeds that tail as a JSON string VALUE, quotes
+    // backslash-escaped — the raw-file shape the repair gate actually
+    // reads (the first round-9 run parsed zero keys from it and silently
+    // skipped every repair)
+    val wrapper = """{"n":8,"rc":0,"tail":":0.227,\"q52_vocab\":0.272,\"q53_pack_bins\":0.188}"}"""
+    assert(BenchSupport.parseArtifactMins(wrapper) ===
+      Map("q52_vocab" -> 0.272, "q53_pack_bins" -> 0.188))
     // failed sentinel parses as negative (and is later ignored by the gate)
     assert(BenchSupport.parseArtifactMins("""{"q01_x":-1.0}""") === Map("q01_x" -> -1.0))
   }
