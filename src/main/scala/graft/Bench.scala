@@ -144,9 +144,24 @@ object Bench {
         System.err.println(s"[bench] prev artifact unreadable: ${e.getMessage}")
         None }
     }.getOrElse(Map.empty[String, Double])
+    // Storm suspects: queries whose EVERY rep so far was taken at >2× the
+    // session-median load — for the ~40 early-alphabet queries with no
+    // previous-round reference (the wrapper tail is front-truncated), this
+    // is the only in-run signal that a min is polluted. Flags here are
+    // interim (median over the two passes + twins); the published flags
+    // are recomputed at the end over all reps including repairs.
+    val interimLog = loadLog.toSeq
+    val (_, interimIdx) = BenchSupport.flagLoads(
+      interimLog.map { case (_, la0, la1, _) => math.max(la0, la1) }, 2.0)
+    val interimFlagged = interimIdx.map(interimLog(_)._1)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val stormSuspect = firstReps.collect {
+      case (n, rs) if rs.nonEmpty &&
+        interimFlagged.getOrElse(n, 0) >= rs.length => n
+    }.toSet
     val (repairedReps, repairedNames) =
-      BenchSupport.repairQueries(firstReps, prev, 2.0, 0.25, 10) { name =>
-        Seq.fill(2)(metered(name, SparkEntry.queries(name), sfDir))
+      BenchSupport.repairQueries(firstReps, prev, 2.0, 0.25, 10, stormSuspect) {
+        name => Seq.fill(2)(metered(name, SparkEntry.queries(name), sfDir))
       }
     val results = repairedReps
     val mins = results.map { case (n, rs) => n -> minValid(rs) }

@@ -124,18 +124,33 @@ object BenchSupport {
     * nothing. Returns the updated rep table plus the repaired names (for
     * the artifact's `repaired` field). Pure; [[Bench]] supplies the
     * re-measure callback.
+    *
+    * `stormSuspect` covers the reference gap: ~40 of the 103 queries have
+    * no previous-round value (the driver wrapper's tail is
+    * front-truncated), so a storm covering EVERY rep of such a query
+    * would otherwise ship an unrepairable polluted min. [[Bench]] passes
+    * the names whose every rep was taken at >2× the session-median load;
+    * they are repaired after the ratio-quantified suspects (worst min
+    * first, same `floorSec` floor, same total budget) — quantified
+    * evidence outranks circumstantial when the budget is contended.
     */
   def repairQueries(reps: Seq[(String, Seq[Double])], prev: Map[String, Double],
-      factor: Double, floorSec: Double, maxRepairs: Int)(
+      factor: Double, floorSec: Double, maxRepairs: Int,
+      stormSuspect: Set[String] = Set.empty)(
       remeasure: String => Seq[Double]): (Seq[(String, Seq[Double])], Seq[String]) = {
-    val suspect = reps.flatMap { case (name, rs) =>
+    val byRatio = reps.flatMap { case (name, rs) =>
       val v = minValid(rs)
       prev.get(name) match {
         case Some(p) if p > 0 && v > factor * p && v > floorSec =>
           Some((name, v / p))
         case _ => None
       }
-    }.sortBy(-_._2).take(maxRepairs).map(_._1)
+    }.sortBy(-_._2).map(_._1)
+    val byStorm = reps.collect {
+      case (name, rs) if stormSuspect(name) && !byRatio.contains(name) &&
+          minValid(rs) > floorSec => (name, minValid(rs))
+    }.sortBy(-_._2).map(_._1)
+    val suspect = (byRatio ++ byStorm).take(maxRepairs)
     val extra = suspect.map(n => n -> remeasure(n)).toMap
     (reps.map { case (n, rs) => n -> (rs ++ extra.getOrElse(n, Nil)) }, suspect)
   }

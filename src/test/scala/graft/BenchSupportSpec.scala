@@ -170,6 +170,36 @@ class BenchSupportSpec extends AnyFunSuite {
     assert(repaired === Seq("qb"))
   }
 
+  test("repairQueries: storm suspects without a prev reference are repaired after ratio suspects") {
+    val reps = Seq(
+      "qa" -> Seq(5.0, 5.2),   // 5x of prev — quantified suspect
+      "qb" -> Seq(3.0, 3.1),   // NO prev entry, every rep storm-flagged
+      "qc" -> Seq(0.9, 0.95),  // no prev, storm-flagged, but smaller min
+      "qd" -> Seq(0.20, 0.21)) // storm-flagged but under the 0.25s floor
+    val calls = scala.collection.mutable.ArrayBuffer[String]()
+    val (out, repaired) = BenchSupport.repairQueries(
+      reps, Map("qa" -> 1.0), 2.0, 0.25, 10,
+      stormSuspect = Set("qb", "qc", "qd")) { n =>
+      calls += n; Seq(0.5)
+    }
+    // ratio evidence first, then storm suspects by min desc; floor holds
+    assert(calls === Seq("qa", "qb", "qc"))
+    assert(repaired === Seq("qa", "qb", "qc"))
+    assert(out.toMap.apply("qd") === Seq(0.20, 0.21))
+    // a name that is BOTH ratio- and storm-suspect is repaired once
+    val calls2 = scala.collection.mutable.ArrayBuffer[String]()
+    val (_, r2) = BenchSupport.repairQueries(
+      Seq("qa" -> Seq(5.0)), Map("qa" -> 1.0), 2.0, 0.25, 10,
+      stormSuspect = Set("qa")) { n => calls2 += n; Seq(0.5) }
+    assert(calls2 === Seq("qa")); assert(r2 === Seq("qa"))
+    // the shared budget still caps the union
+    val calls3 = scala.collection.mutable.ArrayBuffer[String]()
+    BenchSupport.repairQueries(
+      Seq("qa" -> Seq(5.0), "qb" -> Seq(3.0)), Map("qa" -> 1.0), 2.0, 0.25, 1,
+      stormSuspect = Set("qb")) { n => calls3 += n; Seq(0.5) }
+    assert(calls3 === Seq("qa"), "quantified suspect wins a contended budget")
+  }
+
   test("repairQueries: worse re-measure keeps the original min; failed and negative prev never flag") {
     val ((out, _), _) = repairQ(
       Seq("qa" -> Seq(3.0)), Map("qa" -> 1.0),
