@@ -47,6 +47,22 @@ def extract_queries(path: str) -> dict:
     return out
 
 
+def load_flags(path: str) -> dict:
+    """{query_name: set(flagged rep indices)} from a round-9+ detail file's
+    ambient-load record; empty for older/other artifact shapes. Used to
+    annotate regressions whose slow reps were taken under a load storm —
+    the in-artifact evidence that a flag is pollution, not code."""
+    try:
+        doc = json.loads(open(path).read())
+    except (OSError, json.JSONDecodeError):
+        return {}
+    out = {}
+    if isinstance(doc, dict):
+        for f in doc.get("load_flagged", []):
+            out.setdefault(f["q"], set()).add(f["rep"])
+    return out
+
+
 def main(prev_path: str, new_path: str, threshold: float = 2.0) -> int:
     prev, new = extract_queries(prev_path), extract_queries(new_path)
     common = sorted(set(prev) & set(new))
@@ -55,6 +71,7 @@ def main(prev_path: str, new_path: str, threshold: float = 2.0) -> int:
         # comparison that never happened must not read as "one regression"
         print("no common query keys between the two artifacts")
         return 255
+    flags = load_flags(new_path)
     flagged = 0
     # floor of 0.25 s: at sub-quarter-second scale a 2x ratio is scheduler
     # noise, not a regression worth a standalone re-measure
@@ -63,7 +80,9 @@ def main(prev_path: str, new_path: str, threshold: float = 2.0) -> int:
         if a <= 0 or b <= 0:
             continue
         if b > threshold * a and b > 0.25:
-            print(f"REGRESSION {k}: {a:.3f}s -> {b:.3f}s ({b / a:.1f}x)")
+            note = (" [reps load-flagged in-artifact: likely ambient, "
+                    "re-measure before believing]" if flags.get(k) else "")
+            print(f"REGRESSION {k}: {a:.3f}s -> {b:.3f}s ({b / a:.1f}x){note}")
             flagged += 1
     both = [(k, prev[k], new[k]) for k in common if prev[k] > 0 and new[k] > 0]
     tp = sum(a for _, a, _ in both)
