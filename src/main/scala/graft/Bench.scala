@@ -12,11 +12,13 @@ import org.apache.spark.sql.SparkSession
   *     BEFORE the query passes, one between the passes, and one at the
   *     end, so min-of-3 samples three time windows of this host's
   *     multi-minute ambient-load bursts;
-  *   - the registered queries take their two reps as two FULL PASSES over
-  *     the query list (rep-1 for all, then rep-2 for all) instead of
-  *     back-to-back, so one ambient window can't cover both reps of any
-  *     query — the exact fix that worked for the twins in round 8, where
-  *     q34 recorded 16.7 s in the artifact and re-measured at 0.8 s;
+  *   - the registered queries take three reps: a back-to-back pair in
+  *     pass 1 (rep 2 of the pair measures hot-query time — the estimator
+  *     every earlier round used, so totals stay cross-round comparable)
+  *     plus ONE rep in a second full pass over the list, so one ambient
+  *     window can't cover all reps of any query — the round-8 artifact
+  *     recorded 16.7 s for q34 (clean re-measure 0.8 s) because both of
+  *     its back-to-back reps fell inside one burst;
   *   - a bounded end-of-run repair re-measures (worst ratio first, ≤10
   *     queries) any query whose min still exceeds 2× its previous-round
   *     artifact value — the same `>2× and >0.25 s` gate as
@@ -116,13 +118,27 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       timeOnce(fn, "/root/testdata/sf0.001")
     }
+    // Pass 1 takes each query's reps as a BACK-TO-BACK PAIR: rep 1 warms
+    // the query's codegen'd classes, data, and JIT paths, so rep 2
+    // measures HOT-QUERY time — the estimator every earlier round's
+    // artifact used (min-of-2 back-to-back), which keeps cross-round
+    // totals comparable and isolates the data-proportional work from
+    // per-query fixed costs (a ~+0.04–0.15 s JIT/cache delta per
+    // sub-second query that summed to a structural +15 s when round 9
+    // briefly measured fully-spread steady-state reps — adjudicated in
+    // NOTES). Pass 2 adds ONE rep in a separate time window: the storm
+    // escape. A burst covering the whole pair leaves rep 3 clean, so the
+    // min degrades to steady-state time (≤ ~0.15 s off) instead of the
+    // 10–20× the round-8 artifact shipped; a burst covering all three
+    // windows is caught by the end-of-run repair below.
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    val pass1 = sorted.map { case (name, fn) => metered(name, fn, sfDir) }
+    val pass1 = sorted.map { case (name, fn) =>
+      (metered(name, fn, sfDir), metered(name, fn, sfDir)) }
     val round2 = twinRound() // mid-run time window
     val pass2 = sorted.map { case (name, fn) => metered(name, fn, sfDir) }
     val round3 = twinRound() // end-of-run time window
     val firstReps = sorted.map(_._1).zip(pass1.zip(pass2).map {
-      case (a, b) => Seq(a, b) })
+      case ((a, b), c) => Seq(a, b, c) })
 
     // Bounded end-of-run repair vs the previous round's artifact (policy
     // in BenchSupport.repairQueries, pure and unit-tested). The reference
