@@ -175,9 +175,10 @@ object Bench {
       case (n, rs) if rs.nonEmpty &&
         interimFlagged.getOrElse(n, 0) >= rs.length => n
     }.toSet
+    val queryFns = sorted.toMap // SparkEntry.queries is a def that rebuilds
     val (repairedReps, repairedNames) =
       BenchSupport.repairQueries(firstReps, prev, 2.0, 0.25, 10, stormSuspect) {
-        name => Seq.fill(2)(metered(name, SparkEntry.queries(name), sfDir))
+        name => Seq.fill(2)(metered(name, queryFns(name), sfDir))
       }
     val results = repairedReps
     val mins = results.map { case (n, rs) => n -> minValid(rs) }

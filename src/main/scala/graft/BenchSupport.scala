@@ -125,14 +125,17 @@ object BenchSupport {
     * the artifact's `repaired` field). Pure; [[Bench]] supplies the
     * re-measure callback.
     *
-    * `stormSuspect` covers the reference gap: ~40 of the 103 queries have
-    * no previous-round value (the driver wrapper's tail is
+    * `stormSuspect` covers the reference gap ONLY: ~40 of the 103 queries
+    * have no previous-round value (the driver wrapper's tail is
     * front-truncated), so a storm covering EVERY rep of such a query
     * would otherwise ship an unrepairable polluted min. [[Bench]] passes
     * the names whose every rep was taken at >2× the session-median load;
-    * they are repaired after the ratio-quantified suspects (worst min
-    * first, same `floorSec` floor, same total budget) — quantified
-    * evidence outranks circumstantial when the budget is contended.
+    * those WITHOUT a usable `prev` reference are repaired after the
+    * ratio-quantified suspects (worst min first, same `floorSec` floor,
+    * same total budget). A storm-flagged query that HAS a reference is
+    * deliberately not repaired on load evidence alone — the ratio gate
+    * already cleared it, and letting it consume the bounded budget could
+    * starve a genuinely unreferenced pollutee.
     */
   def repairQueries(reps: Seq[(String, Seq[Double])], prev: Map[String, Double],
       factor: Double, floorSec: Double, maxRepairs: Int,
@@ -147,7 +150,8 @@ object BenchSupport {
       }
     }.sortBy(-_._2).map(_._1)
     val byStorm = reps.collect {
-      case (name, rs) if stormSuspect(name) && !byRatio.contains(name) &&
+      case (name, rs) if stormSuspect(name) &&
+          !prev.get(name).exists(_ > 0) &&
           minValid(rs) > floorSec => (name, minValid(rs))
     }.sortBy(-_._2).map(_._1)
     val suspect = (byRatio ++ byStorm).take(maxRepairs)

@@ -27,6 +27,11 @@ object AtomicFiles {
     * temp file as a fixed ".tmp" suffix would.
     */
   def write(path: String)(body: File => Unit): Unit = {
+    // a published path ending in ".tmp" would be indistinguishable from a
+    // legacy orphan and could be DELETED by a sibling writer's stale
+    // sweep an hour later — refuse up front rather than lose an artifact
+    require(!path.endsWith(".tmp"),
+      s"published path must not end in '.tmp' (reserved for temp files): $path")
     val f = new File(path)
     Option(f.getParentFile).foreach(_.mkdirs())
     sweepStaleTmps(f)

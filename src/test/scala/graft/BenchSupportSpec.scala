@@ -186,6 +186,14 @@ class BenchSupportSpec extends AnyFunSuite {
     assert(calls === Seq("qa", "qb", "qc"))
     assert(repaired === Seq("qa", "qb", "qc"))
     assert(out.toMap.apply("qd") === Seq(0.20, 0.21))
+    // a storm-flagged query that HAS a prev reference and is ratio-clean
+    // is NOT repaired on load evidence alone — the ratio gate cleared it,
+    // and the bounded budget must stay available for unreferenced queries
+    val calls1b = scala.collection.mutable.ArrayBuffer[String]()
+    val (_, r1b) = BenchSupport.repairQueries(
+      Seq("qa" -> Seq(1.1, 1.2)), Map("qa" -> 1.0), 2.0, 0.25, 10,
+      stormSuspect = Set("qa")) { n => calls1b += n; Seq(0.5) }
+    assert(calls1b === Nil); assert(r1b === Nil)
     // a name that is BOTH ratio- and storm-suspect is repaired once
     val calls2 = scala.collection.mutable.ArrayBuffer[String]()
     val (_, r2) = BenchSupport.repairQueries(

@@ -35,6 +35,16 @@ class AtomicFilesSpec extends AnyFunSuite {
     assert(dir.listFiles().isEmpty, "no orphaned temp after a failed write")
   }
 
+  test("a published path ending in .tmp is refused — the legacy sweep would later delete it") {
+    val dir = tmpDir()
+    val e = intercept[IllegalArgumentException] {
+      AtomicFiles.write(new File(dir, "report.csv.tmp").getPath)(
+        f => Files.writeString(f.toPath, "x"))
+    }
+    assert(e.getMessage.contains(".tmp"))
+    assert(dir.listFiles().isEmpty)
+  }
+
   test("sweep removes stale unique-name AND legacy fixed-name orphans, keeps fresh and unrelated") {
     val dir = tmpDir(); val out = new File(dir, "a.bin")
     val staleUnique = new File(dir, "a.bin.tmp.123.dead-beef")

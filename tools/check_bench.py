@@ -21,25 +21,29 @@ thing that regressed.
 import json, re, sys
 
 
-def extract_queries(path: str) -> dict:
-    """Return {query_name: seconds} from any of the three artifact shapes."""
+def load_artifact(path: str):
+    """Read an artifact once: (raw text, parsed dict or {})."""
     raw = open(path).read()
     try:
         doc = json.loads(raw)
     except json.JSONDecodeError:
         doc = {}
-    if isinstance(doc, dict):
-        if isinstance(doc.get("queries"), dict):      # full bench line
-            return {k: float(v) for k, v in doc["queries"].items()}
-        if isinstance(doc.get("reps"), dict):          # bench_detail.json
-            # min over VALID reps only: -1.0 is the failed-rep sentinel,
-            # and min() over the raw array would resolve any query with
-            # one failed rep to -1 — silently excluding it from the gate
-            return {k: min(x for x in v if x >= 0)
-                    for k, v in doc["reps"].items()
-                    if any(x >= 0 for x in v)}
-        if isinstance(doc.get("tail"), str):           # driver wrapper
-            raw = doc["tail"]
+    return raw, (doc if isinstance(doc, dict) else {})
+
+
+def extract_queries(raw: str, doc: dict) -> dict:
+    """Return {query_name: seconds} from any of the three artifact shapes."""
+    if isinstance(doc.get("queries"), dict):           # full bench line
+        return {k: float(v) for k, v in doc["queries"].items()}
+    if isinstance(doc.get("reps"), dict):              # bench_detail.json
+        # min over VALID reps only: -1.0 is the failed-rep sentinel,
+        # and min() over the raw array would resolve any query with
+        # one failed rep to -1 — silently excluding it from the gate
+        return {k: min(x for x in v if x >= 0)
+                for k, v in doc["reps"].items()
+                if any(x >= 0 for x in v)}
+    if isinstance(doc.get("tail"), str):               # driver wrapper
+        raw = doc["tail"]
     # regex fallback over (possibly front-truncated) tail text
     out = {}
     for m in re.finditer(r'"(q[0-9]+[a-z]?_[a-z0-9_]+)":(-?[0-9.]+)', raw):
@@ -47,31 +51,35 @@ def extract_queries(path: str) -> dict:
     return out
 
 
-def load_flags(path: str) -> dict:
-    """{query_name: set(flagged rep indices)} from a round-9+ detail file's
-    ambient-load record; empty for older/other artifact shapes. Used to
-    annotate regressions whose slow reps were taken under a load storm —
-    the in-artifact evidence that a flag is pollution, not code."""
-    try:
-        doc = json.loads(open(path).read())
-    except (OSError, json.JSONDecodeError):
-        return {}
-    out = {}
-    if isinstance(doc, dict):
-        for f in doc.get("load_flagged", []):
-            out.setdefault(f["q"], set()).add(f["rep"])
+def min_rep_flagged(doc: dict) -> set:
+    """Query names whose MIN-producing rep was taken under a flagged load,
+    from a round-9+ detail file's ambient-load record; empty for
+    older/other artifact shapes. Only the argmin rep counts: a query with
+    one stormed rep whose min came from a clean rep is a genuine
+    measurement and must not be waved off as ambient."""
+    flagged = {}
+    for f in doc.get("load_flagged", []):
+        flagged.setdefault(f["q"], set()).add(f["rep"])
+    out = set()
+    for q, idxs in flagged.items():
+        reps = doc.get("reps", {}).get(q, [])
+        valid = [(v, i) for i, v in enumerate(reps) if v >= 0]
+        if valid and min(valid)[1] in idxs:
+            out.add(q)
     return out
 
 
 def main(prev_path: str, new_path: str, threshold: float = 2.0) -> int:
-    prev, new = extract_queries(prev_path), extract_queries(new_path)
+    new_raw, new_doc = load_artifact(new_path)
+    prev = extract_queries(*load_artifact(prev_path))
+    new = extract_queries(new_raw, new_doc)
     common = sorted(set(prev) & set(new))
     if not common:
         # 255, not 1: the exit code otherwise means "N regressions", and a
         # comparison that never happened must not read as "one regression"
         print("no common query keys between the two artifacts")
         return 255
-    flags = load_flags(new_path)
+    ambient = min_rep_flagged(new_doc)
     flagged = 0
     # floor of 0.25 s: at sub-quarter-second scale a 2x ratio is scheduler
     # noise, not a regression worth a standalone re-measure
@@ -80,8 +88,8 @@ def main(prev_path: str, new_path: str, threshold: float = 2.0) -> int:
         if a <= 0 or b <= 0:
             continue
         if b > threshold * a and b > 0.25:
-            note = (" [reps load-flagged in-artifact: likely ambient, "
-                    "re-measure before believing]" if flags.get(k) else "")
+            note = (" [min rep load-flagged in-artifact: likely ambient, "
+                    "re-measure before believing]" if k in ambient else "")
             print(f"REGRESSION {k}: {a:.3f}s -> {b:.3f}s ({b / a:.1f}x){note}")
             flagged += 1
     both = [(k, prev[k], new[k]) for k in common if prev[k] > 0 and new[k] > 0]
