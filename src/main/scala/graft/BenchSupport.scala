@@ -34,6 +34,24 @@ object BenchSupport {
     try { while (in.read(buf) != -1) () } finally in.close()
   }
 
+  /** [[preRead]] every regular file under `dir`, untimed. The round-9
+    * artifact's early-alphabet pairs absorbed the cold-disk first-touch of
+    * the sf parquet tables (q10's clean-load pass-1 pair read 7.5/8.0 s vs
+    * 0.95 s warm) because only the twin CSVs got a preRead; the SF dir is
+    * tens of MB, so warming it before each timed pass costs well under a
+    * second warm and removes the 4–6× first-touch inflation cold.
+    * Unreadable files are skipped — a permission quirk must not kill the
+    * bench run.
+    */
+  def preReadDir(dir: String): Unit = {
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(walk)
+      else if (f.isFile)
+        try preRead(f.getPath) catch { case _: Throwable => () }
+    walk(new java.io.File(dir))
+  }
+
   /** Locale.ROOT: a comma-decimal default locale would emit invalid JSON. */
   def f3(v: Double): String =
     "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -77,15 +95,24 @@ object BenchSupport {
 
   /** Cumulative (total, steal) jiffies from /proc/stat's aggregate "cpu"
     * line; (-1,-1) where unreadable. Steal is field 9 (1-based, after the
-    * "cpu" label): user nice system idle iowait irq softirq STEAL.
+    * "cpu" label): user nice system idle iowait irq softirq STEAL. Only
+    * the first 8 fields enter the total: the trailing guest/guest_nice
+    * fields are already folded into user by the kernel, so summing them
+    * would double-count guest time and understate steal% on guest-running
+    * hosts.
     */
   def cpuJiffies(): (Long, Long) =
-    try {
-      val line = scala.io.Source.fromFile("/proc/stat").getLines()
-        .find(_.startsWith("cpu ")).get
-      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
-      (f.sum, if (f.length > 7) f(7) else 0L)
-    } catch { case _: Throwable => (-1L, -1L) }
+    try parseCpuLine(scala.io.Source.fromFile("/proc/stat").getLines()
+      .find(_.startsWith("cpu ")).get)
+    catch { case _: Throwable => (-1L, -1L) }
+
+  /** The pure half of [[cpuJiffies]]: (user..steal total, steal) out of a
+    * /proc/stat aggregate-cpu line.
+    */
+  def parseCpuLine(line: String): (Long, Long) = {
+    val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+    (f.take(8).sum, if (f.length > 7) f(7) else 0L)
+  }
 
   /** Hypervisor steal over a rep as a percent of elapsed CPU time; -1.0
     * when either sample was unreadable or no time elapsed.
@@ -113,6 +140,46 @@ object BenchSupport {
       .findAllMatchIn(text.replace("\\\"", "\""))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
+  /** Parse `tools/bench_history.jsonl` — one line per bench run, appended
+    * by [[Bench]] after every run: `{"round":N,"sf":"…","queries":{…all
+    * per-query mins…},…}`. This is the committed full-coverage record the
+    * truncated driver-wrapper artifacts are not: no BENCH_rNN.json from
+    * rounds 5–9 carries q00–q38 (the wrapper stores only a ~2000-char
+    * stdout tail), which left the round-9 repair gate blind on exactly the
+    * queries that shipped storm-inflated (q10 4.31 s artifact vs 0.95 s
+    * clean). Lines that fail to parse are skipped — one corrupt append
+    * must not disable the gate for every later round.
+    */
+  def historyEntries(text: String): Seq[(Int, String, Map[String, Double])] =
+    text.linesIterator.filter(_.trim.nonEmpty).flatMap { line =>
+      val round = "\"round\":(-?[0-9]+)".r.findFirstMatchIn(line)
+        .map(_.group(1).toInt)
+      val sf = "\"sf\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(line)
+        .map(_.group(1))
+      (round, sf) match {
+        case (Some(r), Some(s)) =>
+          val qs = parseArtifactMins(line)
+          if (qs.nonEmpty) Some((r, s, qs)) else None
+        case _ => None
+      }
+    }.toSeq
+
+  /** The repair-gate reference out of the history: the LAST entry at the
+    * same SF from a PREVIOUS round, falling back to the last same-SF entry
+    * from any round (better than the truncated wrapper, but logged
+    * distinctly — gating against the current round's own earlier run is
+    * weaker evidence, per the round-9 advice on same-round references).
+    * `sf` is compared in escaped form because that is how [[Bench]] wrote
+    * it. Returns (round, queries); None when no same-SF entry exists.
+    */
+  def historyReference(text: String, sf: String,
+      currentRound: Int): Option[(Int, Map[String, Double])] = {
+    val sameSf = historyEntries(text).filter(_._2 == jsonEscape(sf))
+    sameSf.filter(_._1 < currentRound).lastOption
+      .orElse(sameSf.lastOption)
+      .map { case (r, _, qs) => (r, qs) }
+  }
+
   /** Bounded end-of-run repair for the REGISTERED queries — the round-9
     * counterpart of [[repairTwins]]. A query whose min-of-reps exceeds
     * `factor` × its previous-round artifact value (and an absolute
@@ -125,21 +192,27 @@ object BenchSupport {
     * the artifact's `repaired` field). Pure; [[Bench]] supplies the
     * re-measure callback.
     *
-    * `stormSuspect` covers the reference gap ONLY: ~40 of the 103 queries
-    * have no previous-round value (the driver wrapper's tail is
-    * front-truncated), so a storm covering EVERY rep of such a query
-    * would otherwise ship an unrepairable polluted min. [[Bench]] passes
-    * the names whose every rep was taken at >2× the session-median load;
-    * those WITHOUT a usable `prev` reference are repaired after the
-    * ratio-quantified suspects (worst min first, same `floorSec` floor,
-    * same total budget). A storm-flagged query that HAS a reference is
-    * deliberately not repaired on load evidence alone — the ratio gate
-    * already cleared it, and letting it consume the bounded budget could
-    * starve a genuinely unreferenced pollutee.
+    * `stormSuspect` covers the reference gap: queries with no
+    * previous-round value whose EVERY rep was taken at a flagged load
+    * would otherwise ship an unrepairable polluted min; they are repaired
+    * after the ratio-quantified suspects (worst min first, same `floorSec`
+    * floor, same total budget). A storm-flagged query that HAS a reference
+    * is deliberately not repaired on all-reps evidence alone — the ratio
+    * gate already cleared it, and letting it consume the bounded budget
+    * could starve a genuinely unreferenced pollutee.
+    *
+    * `minFlagged` is the sharper round-10 signal and applies with or
+    * WITHOUT a reference: a query whose ARGMIN rep was itself taken at a
+    * flagged load has no clean measurement behind its published number —
+    * the precise shape BENCH_r09 shipped q00/q07/q10 with (reference gap +
+    * every rep stormed, mins 4.5–6× their clean times). These join the
+    * storm suspects in the load-evidence tier, deduped against the ratio
+    * tier, min-desc within the tier, inside the same budget.
     */
   def repairQueries(reps: Seq[(String, Seq[Double])], prev: Map[String, Double],
       factor: Double, floorSec: Double, maxRepairs: Int,
-      stormSuspect: Set[String] = Set.empty)(
+      stormSuspect: Set[String] = Set.empty,
+      minFlagged: Set[String] = Set.empty)(
       remeasure: String => Seq[Double]): (Seq[(String, Seq[Double])], Seq[String]) = {
     val byRatio = reps.flatMap { case (name, rs) =>
       val v = minValid(rs)
@@ -149,31 +222,39 @@ object BenchSupport {
         case _ => None
       }
     }.sortBy(-_._2).map(_._1)
-    val byStorm = reps.collect {
-      case (name, rs) if stormSuspect(name) &&
-          !prev.get(name).exists(_ > 0) &&
-          minValid(rs) > floorSec => (name, minValid(rs))
+    val ratioSet = byRatio.toSet
+    val byLoadEvidence = reps.collect {
+      case (name, rs) if !ratioSet(name) && minValid(rs) > floorSec &&
+          (minFlagged(name) ||
+            (stormSuspect(name) && !prev.get(name).exists(_ > 0))) =>
+        (name, minValid(rs))
     }.sortBy(-_._2).map(_._1)
-    val suspect = (byRatio ++ byStorm).take(maxRepairs)
+    val suspect = (byRatio ++ byLoadEvidence).take(maxRepairs)
     val extra = suspect.map(n => n -> remeasure(n)).toMap
     (reps.map { case (n, rs) => n -> (rs ++ extra.getOrElse(n, Nil)) }, suspect)
   }
 
   /** Session-median ambient load and the rep indices taken at more than
-    * `factor` × it — the pure half of the artifact's load flagging.
-    * Unreadable samples (<0) are excluded from the median and never
-    * flagged. An empty/unreadable session medians to -1.0 (nothing
-    * flags: on a host without /proc there is no signal to flag on).
+    * max(`factor` × median, `absFloor`) — the pure half of the artifact's
+    * load flagging. The absolute floor fixes both degenerate medians: at
+    * median 0.0 (truly idle host) a pure ratio with a >0 guard could never
+    * flag a genuine storm rep, and at a tiny positive median 2×-median
+    * over-flags benign reps (this host runs the bench itself at loadavg
+    * 1–3; real storms record 12–30). Unreadable samples (<0) are excluded
+    * from the median and never flagged. An empty/unreadable session
+    * medians to -1.0 (nothing flags: without /proc there is no signal).
     */
-  def flagLoads(loads: Seq[Double], factor: Double): (Double, Seq[Int]) = {
+  def flagLoads(loads: Seq[Double], factor: Double,
+      absFloor: Double = 4.0): (Double, Seq[Int]) = {
     val valid = loads.filter(_ >= 0).sorted
     if (valid.isEmpty) (-1.0, Nil)
     else {
       val m =
         if (valid.length % 2 == 1) valid(valid.length / 2)
         else (valid(valid.length / 2 - 1) + valid(valid.length / 2)) / 2.0
+      val threshold = math.max(factor * m, absFloor)
       (m, loads.zipWithIndex.collect {
-        case (l, i) if l >= 0 && m > 0 && l > factor * m => i
+        case (l, i) if l >= 0 && l > threshold => i
       })
     }
   }

@@ -208,6 +208,31 @@ class BenchSupportSpec extends AnyFunSuite {
     assert(calls3 === Seq("qa"), "quantified suspect wins a contended budget")
   }
 
+  test("repairQueries: an argmin-load-flagged query is repaired even WITH a clean ratio") {
+    // the BENCH_r09 q10 shape: min 4.31 from a load-flagged rep, and the
+    // only reference was itself inflated (4.3) so the ratio gate cleared it
+    val reps = Seq(
+      "qa" -> Seq(7.55, 8.04, 4.31), // argmin rep flagged — must repair
+      "qb" -> Seq(0.50, 0.52, 0.49), // argmin flagged but ratio-suspect too
+      "qc" -> Seq(0.20, 0.21, 0.19)) // argmin flagged, under the floor
+    val calls = scala.collection.mutable.ArrayBuffer[String]()
+    val (out, repaired) = BenchSupport.repairQueries(
+      reps, Map("qa" -> 4.3, "qb" -> 0.1), 2.0, 0.25, 10,
+      minFlagged = Set("qa", "qb", "qc")) { n => calls += n; Seq(0.95) }
+    // qb enters via the ratio tier (5x of prev, listed once), qa via the
+    // argmin tier, qc held by the floor
+    assert(calls === Seq("qb", "qa"))
+    assert(repaired === Seq("qb", "qa"))
+    assert(BenchSupport.minValid(out.toMap.apply("qa")) === 0.95)
+    assert(out.toMap.apply("qc") === Seq(0.20, 0.21, 0.19))
+    // without the flag, a ratio-clean referenced query is untouched
+    val calls2 = scala.collection.mutable.ArrayBuffer[String]()
+    val (_, r2) = BenchSupport.repairQueries(
+      Seq("qa" -> Seq(7.55, 8.04, 4.31)), Map("qa" -> 4.3), 2.0, 0.25, 10) {
+      n => calls2 += n; Seq(0.95) }
+    assert(calls2 === Nil); assert(r2 === Nil)
+  }
+
   test("repairQueries: worse re-measure keeps the original min; failed and negative prev never flag") {
     val ((out, _), _) = repairQ(
       Seq("qa" -> Seq(3.0)), Map("qa" -> 1.0),
@@ -234,6 +259,68 @@ class BenchSupportSpec extends AnyFunSuite {
     // no /proc at all: median -1, nothing flags, nothing throws
     assert(BenchSupport.flagLoads(Seq(-1.0, -1.0), 2.0) === ((-1.0, Nil)))
     assert(BenchSupport.flagLoads(Nil, 2.0) === ((-1.0, Nil)))
+  }
+
+  test("flagLoads: absolute floor flags storms over a zero median and spares benign reps over a tiny one") {
+    // idle host: median 0.0 — the pure-ratio >0 guard used to let a real
+    // storm rep (9.0) through unflagged
+    val (m0, f0) = BenchSupport.flagLoads(Seq(0.0, 0.0, 9.0, 0.0, 0.0), 2.0)
+    assert(m0 === 0.0 +- 0.001)
+    assert(f0 === Seq(2))
+    // tiny positive median: a rep at load 3 on a 32-CPU box is the bench
+    // itself, not a storm — 2x-median alone would over-flag it
+    val (_, f1) = BenchSupport.flagLoads(Seq(1.0, 1.1, 3.0, 0.9), 2.0)
+    assert(f1 === Nil)
+    // the ratio still dominates once the median is real
+    val (_, f2) = BenchSupport.flagLoads(Seq(5.0, 5.5, 10.0, 4.8), 2.0)
+    assert(f2 === Nil) // 10 < 2x 5.25
+    val (_, f3) = BenchSupport.flagLoads(Seq(5.0, 5.5, 29.0, 4.8), 2.0)
+    assert(f3 === Seq(2))
+  }
+
+  // ---- parseCpuLine / history --------------------------------------------
+
+  test("parseCpuLine: guest jiffies are not double-counted in the total") {
+    // user..steal = 100+2+30+800+10+3+5+50 = 1000; the trailing guest
+    // fields (40 4) are already inside user and must not inflate the total
+    val (t, s) = BenchSupport.parseCpuLine(
+      "cpu  100 2 30 800 10 3 5 50 40 4")
+    assert(t === 1000L)
+    assert(s === 50L)
+    // shorter (pre-2.6.11) lines: no steal field → steal 0
+    assert(BenchSupport.parseCpuLine("cpu 100 2 30 800") === ((932L, 0L)))
+  }
+
+  test("historyReference: last prior-round same-SF entry wins; same-round is the fallback") {
+    val hist = Seq(
+      """{"round":8,"sf":"/d/sf0.1","queries":{"q01_a":0.5},"total":0.5}""",
+      """{"round":9,"sf":"/d/sf0.01","queries":{"q01_a":0.1},"total":0.1}""",
+      """{"round":9,"sf":"/d/sf0.1","queries":{"q01_a":0.6,"q02_b":1.5},"total":2.1}""",
+      """{"round":10,"sf":"/d/sf0.1","queries":{"q01_a":0.7},"total":0.7}"""
+    ).mkString("\n")
+    // current round 10: the round-9 sf0.1 entry, not round 10's own run
+    // and not the sf0.01 one
+    assert(BenchSupport.historyReference(hist, "/d/sf0.1", 10) ===
+      Some((9, Map("q01_a" -> 0.6, "q02_b" -> 1.5))))
+    // no prior round at this SF: fall back to the same-round entry
+    assert(BenchSupport.historyReference(hist, "/d/sf0.01", 9) ===
+      Some((9, Map("q01_a" -> 0.1))))
+    // unknown SF: none
+    assert(BenchSupport.historyReference(hist, "/d/sf1.0", 10) === None)
+    // corrupt lines are skipped, not fatal
+    val dirty = "not json\n" +
+      """{"round":3,"sf":"/d/sf0.1","queries":{"q01_a":0.4}}""" + "\n{}"
+    assert(BenchSupport.historyReference(dirty, "/d/sf0.1", 10) ===
+      Some((3, Map("q01_a" -> 0.4))))
+    assert(BenchSupport.historyReference("", "/d/sf0.1", 10) === None)
+  }
+
+  test("preReadDir: walks nested files and survives a missing dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-preread")
+    val sub = java.nio.file.Files.createDirectories(dir.resolve("a/b"))
+    java.nio.file.Files.writeString(sub.resolve("x.parquet"), "data")
+    BenchSupport.preReadDir(dir.toString)      // must not throw
+    BenchSupport.preReadDir("/no/such/dir")    // must not throw
   }
 
   test("load and steal probes degrade to sentinels, never throw") {

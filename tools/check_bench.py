@@ -4,13 +4,19 @@ flag >THRESHOLD regressions, so harness pollution (round 7: accumulated
 pinned localCheckpoint blocks degraded the late alphabet up to 45×) can
 never ship silently again.
 
-Usage: check_bench.py <BENCH_prev.json|bench_detail.json> <BENCH_new.json|bench_detail.json> [threshold]
+Usage: check_bench.py <prev_artifact> <new_artifact> [threshold]
 
-Accepts either the driver's wrapper artifact (whose `tail` field holds the
-LAST ~2000 chars of the bench stdout line — the front of the queries object
-may be truncated, so only the per-query keys that survived are compared) or
-the full one-line JSON / bench_detail.json written by graft.Bench (reps
-arrays are reduced to their min).
+Each artifact argument accepts any of FOUR shapes:
+  - the driver's wrapper artifact (whose `tail` field holds the LAST
+    ~2000 chars of the bench stdout line — the front of the queries object
+    may be truncated, so only the per-query keys that survived compare),
+  - the full one-line JSON / bench_detail.json written by graft.Bench
+    (reps arrays are reduced to their min),
+  - tools/bench_history.jsonl — the committed FULL per-query record
+    appended after every run (the preferred reference: all ~106 keys
+    survive, vs 25–63 in the truncated wrappers). Default: the last line;
+    select a specific round with an `@N` suffix, e.g.
+    `tools/bench_history.jsonl@9`.
 
 Exit code: number of flagged regressions (0 = clean; 255 = the artifacts
 share no query keys, i.e. the comparison never happened). A flagged query means
@@ -18,16 +24,46 @@ share no query keys, i.e. the comparison never happened). A flagged query means
 number" — the round-7 lesson is that the artifact, not the code, can be the
 thing that regressed.
 """
-import json, re, sys
+import json, os, re, sys
 
 
 def load_artifact(path: str):
-    """Read an artifact once: (raw text, parsed dict or {})."""
+    """Read an artifact once: (raw text, parsed dict or {}). A JSONL
+    history file resolves to ONE of its lines (the last, or the last of
+    round N with an `@N` suffix) — falling through to the whole-file regex
+    would silently merge every round's keys, latest-line-wins, which reads
+    as a comparison that never mixes rounds but does."""
+    sel = None
+    if "@" in path and not os.path.exists(path):
+        path, _, sel = path.rpartition("@")
     raw = open(path).read()
     try:
         doc = json.loads(raw)
     except json.JSONDecodeError:
         doc = {}
+        entries = []
+        for line in raw.splitlines():
+            if not line.strip():
+                continue
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(d, dict) and isinstance(d.get("queries"), dict):
+                entries.append(d)
+        if entries:
+            if sel is not None:
+                entries = [d for d in entries if str(d.get("round")) == sel]
+                if not entries:
+                    sys.exit(f"no history entry for round {sel} in {path}")
+            doc = entries[-1]
+            raw = json.dumps(doc)
+    if sel is not None:
+        # also reached when a ONE-line history file json-parses directly
+        if not (isinstance(doc, dict) and doc.get("queries")):
+            sys.exit(f"@{sel} selector given but {path} is not a history file")
+        if str(doc.get("round")) != sel:
+            sys.exit(f"no history entry for round {sel} in {path}")
     return raw, (doc if isinstance(doc, dict) else {})
 
 
