@@ -191,19 +191,28 @@ object Bench {
     val historyText =
       try java.nio.file.Files.readString(java.nio.file.Paths.get(historyPath))
       catch { case _: Throwable => "" }
-    def readArtifact(p: String): Option[Map[String, Double]] =
-      try Some(BenchSupport.parseArtifactMins(
-        java.nio.file.Files.readString(java.nio.file.Paths.get(p))))
-      catch { case e: Throwable =>
+    // Resolution policy (history SF/round selection, cross-SF rejection,
+    // zero-key rejection) is pure and unit-tested in
+    // BenchSupport.resolveReference; an unusable reference returns None so
+    // the chain falls through, with the miss visible on stderr.
+    def readArtifact(p: String): Option[(Map[String, Double], String)] =
+      try {
+        val text = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+        val ref = BenchSupport.resolveReference(text, sfDir, round)
+        if (ref.isEmpty)
+          System.err.println(s"[bench] prev artifact $p not usable " +
+            s"(wrong/missing SF entry or no query keys) - skipped")
+        ref.map { case (qs, suffix) => (qs, p + suffix) }
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] prev artifact unreadable: ${e.getMessage}")
         None }
     val (prev, prevRef) =
       sys.env.get("GRAFT_BENCH_PREV").filter(_.nonEmpty)
-        .flatMap(p => readArtifact(p).map((_, p)))
+        .flatMap(readArtifact)
         .orElse(BenchSupport.historyReference(historyText, sfDir, round).map {
-          case (r, qs) => (qs, s"$historyPath@r$r") })
+          case (r, qs) => (qs, s"$historyPath@$r") })
         .orElse(benchArtifacts.lastOption.flatMap { case (_, p) =>
-          readArtifact(p).map((_, p)) })
+          readArtifact(p) })
         .getOrElse((Map.empty[String, Double], ""))
     System.err.println(
       s"[bench] round=$round repair reference: " +
@@ -219,8 +228,15 @@ object Bench {
     // two passes + twins); the published flags are recomputed at the end
     // over all reps including repairs.
     val interimLog = loadLog.toSeq
+    // flagLoads' absolute floor scaled to the host: loadavg CPUs/8 (4.0 on
+    // this 32-CPU box, matching the observed bench-itself band of 1–3),
+    // clamped to [1, 8] so a 4-CPU host's genuine storm at loadavg 3.8
+    // still flags and a 256-CPU host doesn't flag its own scheduler noise.
+    val loadFloor = math.min(8.0, math.max(1.0,
+      Runtime.getRuntime.availableProcessors / 8.0))
     val (_, interimIdx) = BenchSupport.flagLoads(
-      interimLog.map { case (_, la0, la1, _) => math.max(la0, la1) }, 2.0)
+      interimLog.map { case (_, la0, la1, _) => math.max(la0, la1) }, 2.0,
+      loadFloor)
     // (name, rep-ordinal-within-name) of each flagged rep; ordinals match
     // the rep arrays' order because loadLog appends in measurement order
     val flaggedPairs = interimIdx.map { i =>
@@ -271,7 +287,8 @@ object Bench {
     // adjudicable from the artifact alone.
     val repLoads = loadLog.toSeq
     val (loadMedian, flaggedIdx) = BenchSupport.flagLoads(
-      repLoads.map { case (_, la0, la1, _) => math.max(la0, la1) }, 2.0)
+      repLoads.map { case (_, la0, la1, _) => math.max(la0, la1) }, 2.0,
+      loadFloor)
     val flagged = flaggedIdx.map { i =>
       val (name, la0, la1, _) = repLoads(i)
       val rep = repLoads.take(i).count(_._1 == name)

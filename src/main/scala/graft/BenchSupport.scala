@@ -40,17 +40,28 @@ object BenchSupport {
     * 0.95 s warm) because only the twin CSVs got a preRead; the SF dir is
     * tens of MB, so warming it before each timed pass costs well under a
     * second warm and removes the 4–6× first-touch inflation cold.
-    * Unreadable files are skipped — a permission quirk must not kill the
-    * bench run.
+    * Anything unreadable or odd is skipped — a permission quirk must not
+    * kill the bench run. walkFileTree does NOT follow directory symlinks
+    * (no cycle risk) and only REGULAR files are opened (a FIFO under the
+    * data dir would block a read forever).
     */
-  def preReadDir(dir: String): Unit = {
-    def walk(f: java.io.File): Unit =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(walk)
-      else if (f.isFile)
-        try preRead(f.getPath) catch { case _: Throwable => () }
-    walk(new java.io.File(dir))
-  }
+  def preReadDir(dir: String): Unit =
+    try {
+      java.nio.file.Files.walkFileTree(java.nio.file.Paths.get(dir),
+        new java.nio.file.SimpleFileVisitor[java.nio.file.Path] {
+          override def visitFile(p: java.nio.file.Path,
+              attrs: java.nio.file.attribute.BasicFileAttributes)
+              : java.nio.file.FileVisitResult = {
+            if (attrs.isRegularFile)
+              try preRead(p.toString) catch { case _: Throwable => () }
+            java.nio.file.FileVisitResult.CONTINUE
+          }
+          override def visitFileFailed(p: java.nio.file.Path,
+              e: java.io.IOException): java.nio.file.FileVisitResult =
+            java.nio.file.FileVisitResult.CONTINUE
+        })
+      ()
+    } catch { case _: Throwable => () }
 
   /** Locale.ROOT: a comma-decimal default locale would emit invalid JSON. */
   def f3(v: Double): String =
@@ -165,20 +176,52 @@ object BenchSupport {
     }.toSeq
 
   /** The repair-gate reference out of the history: the LAST entry at the
-    * same SF from a PREVIOUS round, falling back to the last same-SF entry
-    * from any round (better than the truncated wrapper, but logged
-    * distinctly — gating against the current round's own earlier run is
-    * weaker evidence, per the round-9 advice on same-round references).
-    * `sf` is compared in escaped form because that is how [[Bench]] wrote
-    * it. Returns (round, queries); None when no same-SF entry exists.
+    * same SF from a PREVIOUS round, falling back to the last same-SF
+    * SAME-round entry (better than the truncated wrapper, but weaker
+    * evidence — gating against the current round's own earlier run, per
+    * the round-9 advice on same-round references; the `@N` in the logged
+    * reference makes it visible). A FUTURE round's entry is never used: an
+    * adjudication re-run of an old round (GRAFT_ROUND pinned back) must
+    * not ratio-gate against the next round's repaired, faster mins. `sf`
+    * is compared in escaped form because that is how [[Bench]] wrote it.
+    * Returns (round, queries); None when no eligible entry exists.
     */
   def historyReference(text: String, sf: String,
       currentRound: Int): Option[(Int, Map[String, Double])] = {
     val sameSf = historyEntries(text).filter(_._2 == jsonEscape(sf))
     sameSf.filter(_._1 < currentRound).lastOption
-      .orElse(sameSf.lastOption)
+      .orElse(sameSf.filter(_._1 == currentRound).lastOption)
       .map { case (r, _, qs) => (r, qs) }
   }
+
+  /** Resolve a reference FILE's text into repair-gate mins — the pure
+    * policy behind [[Bench]]'s reference chain, one copy for the pinned
+    * (GRAFT_BENCH_PREV) and fallback (newest BENCH_rNN) paths. Returns
+    * (mins, suffix-to-append-to-the-logged-path); None means "not a
+    * usable reference, fall through", specifically when:
+    *   - the text is a history JSONL with no eligible same-SF entry
+    *     (regex-parsing it whole would merge every round's and SF's keys,
+    *     last-line-wins);
+    *   - the artifact DECLARES a different SF — cross-SF mins are not
+    *     comparable: an sf0.01 run gated against sf0.1 references would
+    *     burn the bounded repair budget on healthy queries, or read a
+    *     real regression as a speedup (artifacts old enough to carry no
+    *     sf field are accepted as-is);
+    *   - zero query keys parse — a wrapper whose tail lost every q-key
+    *     would otherwise silently disable the ratio tier for the whole
+    *     run, the exact round-9 miss [[parseArtifactMins]] recounts.
+    */
+  def resolveReference(text: String, sf: String,
+      currentRound: Int): Option[(Map[String, Double], String)] =
+    if (historyEntries(text).nonEmpty)
+      historyReference(text, sf, currentRound).map {
+        case (r, qs) => (qs, s"@$r") }
+    else {
+      val artSf = "\"sf\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+        .findFirstMatchIn(text.replace("\\\"", "\"")).map(_.group(1))
+      if (artSf.exists(_ != jsonEscape(sf))) None
+      else Some(parseArtifactMins(text)).filter(_.nonEmpty).map((_, ""))
+    }
 
   /** Bounded end-of-run repair for the REGISTERED queries — the round-9
     * counterpart of [[repairTwins]]. A query whose min-of-reps exceeds

@@ -305,6 +305,11 @@ class BenchSupportSpec extends AnyFunSuite {
     // no prior round at this SF: fall back to the same-round entry
     assert(BenchSupport.historyReference(hist, "/d/sf0.01", 9) ===
       Some((9, Map("q01_a" -> 0.1))))
+    // a FUTURE round's entry is never a reference: an adjudication re-run
+    // of round 8 must not ratio-gate against round 9/10's repaired mins
+    assert(BenchSupport.historyReference(hist, "/d/sf0.1", 8) ===
+      Some((8, Map("q01_a" -> 0.5))))
+    assert(BenchSupport.historyReference(hist, "/d/sf0.1", 7) === None)
     // unknown SF: none
     assert(BenchSupport.historyReference(hist, "/d/sf1.0", 10) === None)
     // corrupt lines are skipped, not fatal
@@ -313,6 +318,36 @@ class BenchSupportSpec extends AnyFunSuite {
     assert(BenchSupport.historyReference(dirty, "/d/sf0.1", 10) ===
       Some((3, Map("q01_a" -> 0.4))))
     assert(BenchSupport.historyReference("", "/d/sf0.1", 10) === None)
+  }
+
+  test("resolveReference: history selection, cross-SF rejection, zero-key rejection") {
+    // history text → same selection as historyReference, @N suffix
+    val hist =
+      """{"round":8,"sf":"/d/sf0.1","queries":{"q01_a":0.5},"total":0.5}""" +
+        "\n" +
+        """{"round":9,"sf":"/d/sf0.1","queries":{"q01_a":0.6},"total":0.6}"""
+    assert(BenchSupport.resolveReference(hist, "/d/sf0.1", 10) ===
+      Some((Map("q01_a" -> 0.6), "@9")))
+    // history with no same-SF entry: unusable, fall through
+    assert(BenchSupport.resolveReference(hist, "/d/sf0.01", 10) === None)
+    // plain artifact at the SAME declared SF: accepted
+    val art = """{"queries":{"q01_a":0.7},"sf":"/d/sf0.1","value":0.7}"""
+    assert(BenchSupport.resolveReference(art, "/d/sf0.1", 10) ===
+      Some((Map("q01_a" -> 0.7), "")))
+    // plain artifact DECLARING a different SF: rejected — cross-SF mins
+    // would burn the bounded repair budget on healthy queries
+    assert(BenchSupport.resolveReference(art, "/d/sf0.01", 10) === None)
+    // driver wrapper (escaped quotes) keeps its sf declaration readable
+    val wrapper =
+      """{"n":8,"tail":"\"q01_a\":0.8,\"sf\":\"/d/sf0.1\",\"value\":0.8}"}"""
+    assert(BenchSupport.resolveReference(wrapper, "/d/sf0.01", 10) === None)
+    assert(BenchSupport.resolveReference(wrapper, "/d/sf0.1", 10) ===
+      Some((Map("q01_a" -> 0.8), "")))
+    // no sf field at all (old artifact): accepted as-is
+    assert(BenchSupport.resolveReference("""{"q01_a":0.9}""", "/d/sf0.1", 10) ===
+      Some((Map("q01_a" -> 0.9), "")))
+    // readable but zero query keys: unusable (the round-9 silent miss)
+    assert(BenchSupport.resolveReference("""{"value":1.0}""", "/d/sf0.1", 10) === None)
   }
 
   test("preReadDir: walks nested files and survives a missing dir") {

@@ -27,12 +27,24 @@ thing that regressed.
 import json, os, re, sys
 
 
-def load_artifact(path: str):
+def _die(msg: str):
+    """255, never 1: the exit code means 'N flagged regressions', and a
+    selection error must not read as one regression (same rationale as the
+    no-common-keys path in main)."""
+    print(msg)
+    sys.exit(255)
+
+
+def load_artifact(path: str, sf_hint: str = None):
     """Read an artifact once: (raw text, parsed dict or {}). A JSONL
     history file resolves to ONE of its lines (the last, or the last of
     round N with an `@N` suffix) — falling through to the whole-file regex
     would silently merge every round's keys, latest-line-wins, which reads
-    as a comparison that never mixes rounds but does."""
+    as a comparison that never mixes rounds but does. `sf_hint` (the OTHER
+    artifact's sf, when known) restricts the candidates first: every bench
+    run appends to the history regardless of SF, and an sf0.01 smoke line
+    chosen as the reference for an sf0.1 artifact would flag every query
+    ~10x 'slower'."""
     sel = None
     if "@" in path and not os.path.exists(path):
         path, _, sel = path.rpartition("@")
@@ -51,19 +63,22 @@ def load_artifact(path: str):
                 continue
             if isinstance(d, dict) and isinstance(d.get("queries"), dict):
                 entries.append(d)
+        if sf_hint and any(d.get("sf") == sf_hint for d in entries):
+            entries = [d for d in entries if d.get("sf") == sf_hint]
         if entries:
             if sel is not None:
                 entries = [d for d in entries if str(d.get("round")) == sel]
                 if not entries:
-                    sys.exit(f"no history entry for round {sel} in {path}")
+                    _die(f"no history entry for round {sel} in {path}"
+                         + (f" at sf {sf_hint}" if sf_hint else ""))
             doc = entries[-1]
             raw = json.dumps(doc)
     if sel is not None:
         # also reached when a ONE-line history file json-parses directly
         if not (isinstance(doc, dict) and doc.get("queries")):
-            sys.exit(f"@{sel} selector given but {path} is not a history file")
+            _die(f"@{sel} selector given but {path} is not a history file")
         if str(doc.get("round")) != sel:
-            sys.exit(f"no history entry for round {sel} in {path}")
+            _die(f"no history entry for round {sel} in {path}")
     return raw, (doc if isinstance(doc, dict) else {})
 
 
@@ -107,7 +122,9 @@ def min_rep_flagged(doc: dict) -> set:
 
 def main(prev_path: str, new_path: str, threshold: float = 2.0) -> int:
     new_raw, new_doc = load_artifact(new_path)
-    prev = extract_queries(*load_artifact(prev_path))
+    # the new artifact's sf (when it carries one) pins which history lines
+    # are eligible as the reference — cross-SF mins are not comparable
+    prev = extract_queries(*load_artifact(prev_path, new_doc.get("sf")))
     new = extract_queries(new_raw, new_doc)
     common = sorted(set(prev) & set(new))
     if not common:
