@@ -237,23 +237,15 @@ object Bench {
     val (_, interimIdx) = BenchSupport.flagLoads(
       interimLog.map { case (_, la0, la1, _) => math.max(la0, la1) }, 2.0,
       loadFloor)
-    // (name, rep-ordinal-within-name) of each flagged rep; ordinals match
-    // the rep arrays' order because loadLog appends in measurement order
-    val flaggedPairs = interimIdx.map { i =>
-      (interimLog(i)._1, interimLog.take(i).count(_._1 == interimLog(i)._1))
-    }.toSet
+    val flaggedPairs = BenchSupport.flaggedRepOrdinals(
+      interimLog.map(_._1), interimIdx)
     val interimFlagged = interimIdx.map(interimLog(_)._1)
       .groupBy(identity).view.mapValues(_.size).toMap
     val stormSuspect = firstReps.collect {
       case (n, rs) if rs.nonEmpty &&
         interimFlagged.getOrElse(n, 0) >= rs.length => n
     }.toSet
-    val minFlagged = firstReps.collect {
-      case (n, rs) if {
-        val valid = rs.zipWithIndex.filter(_._1 >= 0)
-        valid.nonEmpty && flaggedPairs((n, valid.minBy(_._1)._2))
-      } => n
-    }.toSet
+    val minFlagged = BenchSupport.argminFlagged(firstReps, flaggedPairs)
     val queryFns = sorted.toMap // SparkEntry.queries is a def that rebuilds
     BenchSupport.preReadDir(sfDir) // re-warm: round3 twins ran in between
     val (repairedReps, repairedNames) =

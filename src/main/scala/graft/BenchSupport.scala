@@ -277,6 +277,34 @@ object BenchSupport {
     (reps.map { case (n, rs) => n -> (rs ++ extra.getOrElse(n, Nil)) }, suspect)
   }
 
+  /** (name, rep-ordinal-within-name) of each flagged entry in an ordered
+    * measurement log — the bridge from [[flagLoads]]' positional flags to
+    * per-query rep arrays. Ordinals match the rep arrays' order exactly
+    * when the log appends in measurement order (pass 1 pair, pass 2,
+    * repairs), which [[Bench]]'s loadLog does by construction.
+    */
+  def flaggedRepOrdinals(names: Seq[String],
+      flaggedIdx: Seq[Int]): Set[(String, Int)] =
+    flaggedIdx.map { i =>
+      (names(i), names.take(i).count(_ == names(i)))
+    }.toSet
+
+  /** Queries whose MIN-producing (argmin) rep was load-flagged: the
+    * published number has no clean measurement behind it, the precise
+    * shape BENCH_r09 shipped q00/q07/q10 with. Ties break to the FIRST
+    * minimal rep, matching `tools/check_bench.py`'s `min(valid)[1]`, so
+    * the in-run and offline adjudications can never disagree about which
+    * rep produced a min. All-failed queries never flag (no min exists).
+    */
+  def argminFlagged(reps: Seq[(String, Seq[Double])],
+      flaggedPairs: Set[(String, Int)]): Set[String] =
+    reps.collect {
+      case (n, rs) if {
+        val valid = rs.zipWithIndex.filter(_._1 >= 0)
+        valid.nonEmpty && flaggedPairs((n, valid.minBy(_._1)._2))
+      } => n
+    }.toSet
+
   /** Session-median ambient load and the rep indices taken at more than
     * max(`factor` × median, `absFloor`) — the pure half of the artifact's
     * load flagging. The absolute floor fixes both degenerate medians: at

@@ -320,6 +320,32 @@ class BenchSupportSpec extends AnyFunSuite {
     assert(BenchSupport.historyReference("", "/d/sf0.1", 10) === None)
   }
 
+  test("flaggedRepOrdinals + argminFlagged: flags map to per-query rep positions") {
+    // measurement order: qa pass-1 pair, qb pass-1 pair, qa pass-2, qb pass-2
+    val names = Seq("qa", "qa", "qb", "qb", "qa", "qb")
+    // flagged log positions 1 (qa's 2nd rep) and 5 (qb's 3rd rep)
+    val pairs = BenchSupport.flaggedRepOrdinals(names, Seq(1, 5))
+    assert(pairs === Set(("qa", 1), ("qb", 2)))
+    // qa's min is its flagged rep 1 → argmin-flagged; qb's min is its
+    // clean rep 0 even though its rep 2 was flagged → NOT argmin-flagged
+    val reps = Seq(
+      "qa" -> Seq(2.0, 1.0, 3.0),
+      "qb" -> Seq(0.5, 0.9, 0.4999999999)) // rep 2 flagged AND the min
+    assert(BenchSupport.argminFlagged(
+      Seq("qa" -> Seq(2.0, 1.0, 3.0), "qb" -> Seq(0.5, 0.9, 0.6)), pairs) ===
+      Set("qa"))
+    assert(BenchSupport.argminFlagged(reps, pairs) === Set("qa", "qb"))
+    // ties break to the FIRST minimal rep (check_bench's min(valid)[1])
+    assert(BenchSupport.argminFlagged(
+      Seq("qa" -> Seq(1.0, 1.0)), Set(("qa", 1))) === Set.empty)
+    // failed reps (-1) are skipped when locating the argmin; all-failed
+    // queries never flag
+    assert(BenchSupport.argminFlagged(
+      Seq("qa" -> Seq(-1.0, 2.0)), Set(("qa", 1))) === Set("qa"))
+    assert(BenchSupport.argminFlagged(
+      Seq("qa" -> Seq(-1.0, -1.0)), Set(("qa", 0), ("qa", 1))) === Set.empty)
+  }
+
   test("resolveReference: history selection, cross-SF rejection, zero-key rejection") {
     // history text → same selection as historyReference, @N suffix
     val hist =
