@@ -357,6 +357,14 @@ object Bench {
       s"""{"round":$round,"sf":"${esc(sfDir)}","queries":$qs""" +
         s""","total":${f3(total)},"load_median":${f3(loadMedian)}""" +
         s""","load_flagged_n":${flagged.length},"repaired":$repairedJson""" +
+        // Twin per-rep arrays and the per-rep flag table are the
+        // adjudication evidence the verdicts quote; without them here they
+        // exist only in the gitignored, overwritten detail file and the
+        // wrapper's truncated tail. Rep arrays ("q":[...]) and flag
+        // entries ({"q":"name",...}) never match parseArtifactMins'
+        // "name":number shape, so the repair/check_bench mins parse is
+        // unaffected (spec'd in BenchSupportSpec).
+        s""","twin_reps":$twinReps,"load_flagged":$flaggedJson""" +
         s""","prev_ref":"${esc(prevRef)}"}""" + "\n"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(historyPath), historyLine,

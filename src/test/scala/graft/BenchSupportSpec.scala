@@ -320,6 +320,22 @@ class BenchSupportSpec extends AnyFunSuite {
     assert(BenchSupport.historyReference("", "/d/sf0.1", 10) === None)
   }
 
+  test("history lines carrying twin_reps and load_flagged parse to mins only") {
+    // round-10 history-line shape: per-rep twin arrays and the per-rep
+    // flag table ride along as committed adjudication evidence; neither
+    // may leak into the repair-gate mins (rep arrays are "name":[...],
+    // flag entries hold the query name as a VALUE — both outside
+    // parseArtifactMins' "name":number shape)
+    val line =
+      """{"round":10,"sf":"/d/sf0.1","queries":{"q01_a":0.5,"q44_t_8m":3.2},""" +
+        """"total":3.7,"load_median":2.7,"load_flagged_n":2,"repaired":[],""" +
+        """"twin_reps":{"q44_t_8m":[3.308,7.968,3.2]},""" +
+        """"load_flagged":[{"q":"q01_a","rep":0,"load":12.3},""" +
+        """{"q":"q44_t_8m","rep":1,"load":13.02}],"prev_ref":"h@9"}"""
+    assert(BenchSupport.historyReference(line, "/d/sf0.1", 11) ===
+      Some((10, Map("q01_a" -> 0.5, "q44_t_8m" -> 3.2))))
+  }
+
   test("flaggedRepOrdinals + argminFlagged: flags map to per-query rep positions") {
     // measurement order: qa pass-1 pair, qb pass-1 pair, qa pass-2, qb pass-2
     val names = Seq("qa", "qa", "qb", "qb", "qa", "qb")
