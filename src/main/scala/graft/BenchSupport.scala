@@ -175,23 +175,37 @@ object BenchSupport {
       }
     }.toSeq
 
-  /** The repair-gate reference out of the history: the LAST entry at the
-    * same SF from a PREVIOUS round, falling back to the last same-SF
-    * SAME-round entry (better than the truncated wrapper, but weaker
-    * evidence — gating against the current round's own earlier run, per
-    * the round-9 advice on same-round references; the `@N` in the logged
-    * reference makes it visible). A FUTURE round's entry is never used: an
-    * adjudication re-run of an old round (GRAFT_ROUND pinned back) must
-    * not ratio-gate against the next round's repaired, faster mins. `sf`
-    * is compared in escaped form because that is how [[Bench]] wrote it.
-    * Returns (round, queries); None when no eligible entry exists.
+  /** The repair-gate reference out of the history: the HIGHEST same-SF
+    * round below the current one, falling back to the SAME round (better
+    * than the truncated wrapper, but weaker evidence — gating against the
+    * current round's own earlier run, per the round-9 advice on same-round
+    * references; the `@N` in the logged reference makes it visible). A
+    * FUTURE round's entry is never used: an adjudication re-run of an old
+    * round (GRAFT_ROUND pinned back) must not ratio-gate against the next
+    * round's repaired, faster mins — and for the same reason the reference
+    * round is the MAX prior round, not the last-appended line, so a late
+    * re-run of an older round can't displace the true previous round.
+    * When the chosen round has several same-SF lines (a round with more
+    * than one official run), they merge by per-query MIN: each line's
+    * value is already a legitimate hot min-of-reps, so the smallest across
+    * runs is the cleanest reference — a reference taken from one
+    * loaded-window line would weaken the >2× gate by exactly that line's
+    * inflation. `sf` is compared in escaped form because that is how
+    * [[Bench]] wrote it. Returns (round, merged queries); None when no
+    * eligible entry exists.
     */
   def historyReference(text: String, sf: String,
       currentRound: Int): Option[(Int, Map[String, Double])] = {
     val sameSf = historyEntries(text).filter(_._2 == jsonEscape(sf))
-    sameSf.filter(_._1 < currentRound).lastOption
-      .orElse(sameSf.filter(_._1 == currentRound).lastOption)
-      .map { case (r, _, qs) => (r, qs) }
+    val targetRound = sameSf.collect {
+        case (r, _, _) if r < currentRound => r }.maxOption
+      .orElse(sameSf.collect {
+        case (r, _, _) if r == currentRound => r }.maxOption)
+    targetRound.map { r =>
+      val merged = sameSf.collect { case (`r`, _, qs) => qs }
+        .flatten.groupMapReduce(_._1)(_._2)(math.min)
+      (r, merged)
+    }
   }
 
   /** Resolve a reference FILE's text into repair-gate mins — the pure

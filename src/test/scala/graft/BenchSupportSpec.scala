@@ -320,6 +320,23 @@ class BenchSupportSpec extends AnyFunSuite {
     assert(BenchSupport.historyReference("", "/d/sf0.1", 10) === None)
   }
 
+  test("historyReference: same-round lines merge by per-query min; max prior round wins") {
+    val hist = Seq(
+      // round 9 ran twice at sf0.1: one clean, one loaded-window — the
+      // reference must be the per-query MIN across both, not the last line
+      """{"round":9,"sf":"/d/sf0.1","queries":{"q01_a":0.5,"q02_b":1.2},"total":1.7}""",
+      """{"round":9,"sf":"/d/sf0.1","queries":{"q01_a":0.9,"q03_c":0.3},"total":1.2}""",
+      // a late adjudication re-run of round 8, appended AFTER round 9's
+      // lines, must not displace round 9 as round 10's reference
+      """{"round":8,"sf":"/d/sf0.1","queries":{"q01_a":0.4},"total":0.4}"""
+    ).mkString("\n")
+    assert(BenchSupport.historyReference(hist, "/d/sf0.1", 10) ===
+      Some((9, Map("q01_a" -> 0.5, "q02_b" -> 1.2, "q03_c" -> 0.3))))
+    // pinned back to round 9: prior rounds only → the round-8 re-run
+    assert(BenchSupport.historyReference(hist, "/d/sf0.1", 9) ===
+      Some((8, Map("q01_a" -> 0.4))))
+  }
+
   test("history lines carrying twin_reps and load_flagged parse to mins only") {
     // round-10 history-line shape: per-rep twin arrays and the per-rep
     // flag table ride along as committed adjudication evidence; neither

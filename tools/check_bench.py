@@ -71,7 +71,20 @@ def load_artifact(path: str, sf_hint: str = None):
                 if not entries:
                     _die(f"no history entry for round {sel} in {path}"
                          + (f" at sf {sf_hint}" if sf_hint else ""))
-            doc = entries[-1]
+            # a round with several official runs: merge its same-round
+            # lines by per-query MIN (each line's value is already a hot
+            # min-of-reps, so the smallest across runs is the cleanest
+            # reference); without @N the last line's round is the target
+            target = entries[-1].get("round")
+            same = [d for d in entries if d.get("round") == target]
+            doc = dict(same[-1])
+            merged = {}
+            for d in same:
+                for k, v in d["queries"].items():
+                    fv = float(v)
+                    if k not in merged or fv < merged[k]:
+                        merged[k] = fv
+            doc["queries"] = merged
             raw = json.dumps(doc)
     if sel is not None:
         # also reached when a ONE-line history file json-parses directly
