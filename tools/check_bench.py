@@ -37,10 +37,11 @@ def _die(msg: str):
 
 def load_artifact(path: str, sf_hint: str = None):
     """Read an artifact once: (raw text, parsed dict or {}). A JSONL
-    history file resolves to ONE of its lines (the last, or the last of
-    round N with an `@N` suffix) — falling through to the whole-file regex
-    would silently merge every round's keys, latest-line-wins, which reads
-    as a comparison that never mixes rounds but does. `sf_hint` (the OTHER
+    history file resolves to ONE round's record (the last line's round, or
+    round N with an `@N` suffix), with that round's same-SF lines merged
+    by per-query min — falling through to the whole-file regex would
+    silently merge every round's keys, latest-line-wins, which reads as a
+    comparison that never mixes rounds but does. `sf_hint` (the OTHER
     artifact's sf, when known) restricts the candidates first: every bench
     run appends to the history regardless of SF, and an sf0.01 smoke line
     chosen as the reference for an sf0.1 artifact would flag every query
