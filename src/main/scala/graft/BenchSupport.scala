@@ -202,8 +202,14 @@ object BenchSupport {
       .orElse(sameSf.collect {
         case (r, _, _) if r == currentRound => r }.maxOption)
     targetRound.map { r =>
+      // -1.0 is the failed-rep sentinel: without the >= 0 filter one
+      // failed run would poison the merged value for a query that has a
+      // clean sibling (min(-1, 0.5) = -1), silently disabling the ratio
+      // gate for exactly the key that HAD a valid reference. A key that
+      // failed in EVERY line drops out entirely — the no-reference
+      // load-evidence tiers own it.
       val merged = sameSf.collect { case (`r`, _, qs) => qs }
-        .flatten.groupMapReduce(_._1)(_._2)(math.min)
+        .flatten.filter(_._2 >= 0).groupMapReduce(_._1)(_._2)(math.min)
       (r, merged)
     }
   }

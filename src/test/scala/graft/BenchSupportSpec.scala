@@ -335,6 +335,16 @@ class BenchSupportSpec extends AnyFunSuite {
     // pinned back to round 9: prior rounds only → the round-8 re-run
     assert(BenchSupport.historyReference(hist, "/d/sf0.1", 9) ===
       Some((8, Map("q01_a" -> 0.4))))
+    // the -1.0 failed-rep sentinel never survives the merge: a clean
+    // sibling value wins, and an every-line failure drops the key (the
+    // no-reference load-evidence tiers own it) instead of poisoning the
+    // p > 0 ratio gate
+    val withFail = Seq(
+      """{"round":9,"sf":"/d/sf0.1","queries":{"q01_a":-1.0,"q02_b":-1.0},"total":0}""",
+      """{"round":9,"sf":"/d/sf0.1","queries":{"q01_a":0.5,"q02_b":-1.0},"total":0.5}"""
+    ).mkString("\n")
+    assert(BenchSupport.historyReference(withFail, "/d/sf0.1", 10) ===
+      Some((9, Map("q01_a" -> 0.5))))
   }
 
   test("history lines carrying twin_reps and load_flagged parse to mins only") {

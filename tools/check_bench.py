@@ -75,14 +75,28 @@ def load_artifact(path: str, sf_hint: str = None):
             # a round with several official runs: merge its same-round
             # lines by per-query MIN (each line's value is already a hot
             # min-of-reps, so the smallest across runs is the cleanest
-            # reference); without @N the last line's round is the target
-            target = entries[-1].get("round")
-            same = [d for d in entries if d.get("round") == target]
+            # reference); without @N the MAX round present is the target
+            # (mirroring BenchSupport.historyReference — a late-appended
+            # re-run of an older round must not displace the latest one)
+            if sel is None:
+                target = max(d.get("round", 0) for d in entries)
+                entries = [d for d in entries if d.get("round") == target]
+            # merge only lines sharing the last line's sf: when sf_hint
+            # was absent (the NEW-artifact load) the candidates can still
+            # span SFs, and a cross-SF min would take the small-SF value
+            # for every shared key — a chimera artifact that masks every
+            # real regression at the large SF
+            target_sf = entries[-1].get("sf")
+            same = [d for d in entries if d.get("sf") == target_sf]
             doc = dict(same[-1])
             merged = {}
             for d in same:
                 for k, v in d["queries"].items():
                     fv = float(v)
+                    # skip the -1.0 failed-rep sentinel: one failed run
+                    # must not poison a key that has a clean sibling value
+                    if fv < 0:
+                        continue
                     if k not in merged or fv < merged[k]:
                         merged[k] = fv
             doc["queries"] = merged
@@ -125,9 +139,13 @@ def min_rep_flagged(doc: dict) -> set:
     flagged = {}
     for f in doc.get("load_flagged", []):
         flagged.setdefault(f["q"], set()).add(f["rep"])
+    # committed history lines carry no full `reps` table but do carry the
+    # twins' rep arrays (`twin_reps`) — use them, so a history-line
+    # artifact's stormed-argmin twin still gets the ambient annotation
+    rep_table = doc.get("reps") or doc.get("twin_reps") or {}
     out = set()
     for q, idxs in flagged.items():
-        reps = doc.get("reps", {}).get(q, [])
+        reps = rep_table.get(q, [])
         valid = [(v, i) for i, v in enumerate(reps) if v >= 0]
         if valid and min(valid)[1] in idxs:
             out.add(q)
