@@ -47,9 +47,31 @@ object AtomicFiles {
         s"[atomic-files] failed to clean up $tmp after write failure: ${e2.getMessage}") }
       throw e
     }
+    // force the temp file's DATA to disk before the rename: on ext4/xfs the
+    // rename metadata can otherwise reach disk first, and a power loss in
+    // between leaves the published name pointing at truncated/zero blocks —
+    // the previous good artifact gone AND the new one corrupt, the exact
+    // failure the atomic publish exists to prevent
+    {
+      val ch = java.nio.channels.FileChannel.open(tmp.toPath,
+        java.nio.file.StandardOpenOption.WRITE)
+      try ch.force(true) finally ch.close()
+    }
     java.nio.file.Files.move(tmp.toPath, f.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // fsync the parent directory so the rename itself is durable. Opening a
+    // directory channel is platform-dependent (works on Linux, EISDIR/
+    // access-denied elsewhere) — best-effort by design: the data fsync
+    // above already guarantees whichever name survives points at complete
+    // bytes; this only narrows the window where the OLD name could come
+    // back after a crash.
+    try {
+      val dir = Option(f.getParentFile).getOrElse(new File("."))
+      val ch = java.nio.channels.FileChannel.open(dir.toPath,
+        java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case _: Throwable => () }
   }
 
   private def sweepStaleTmps(published: File): Unit = {

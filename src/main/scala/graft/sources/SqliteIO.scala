@@ -118,7 +118,11 @@ object SqliteIO {
   private def appendLocked(path: String, tableName: String,
       schema: StructType, incoming: Seq[Seq[SqlValue]]): Unit = {
     val f = new File(path)
-    if (!f.exists()) {
+    // length == 0: sqlite itself (and pandas to_sql, whose semantics this
+    // replicates) treats a zero-byte file as a valid EMPTY database — e.g.
+    // `touch`ed, or created by a connection that never committed — so it
+    // takes the create path, not a "bad magic" failure
+    if (!f.exists() || f.length() == 0L) {
       writeTable(path, tableName, createTableSql(tableName, schema), incoming,
         cookie = 1, changeCounter = 1)
     } else {
@@ -211,6 +215,12 @@ object SqliteIO {
     val h = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val rawPageSize = h.getShort(16) & 0xFFFF
     val pageSize = if (rawPageSize == 1) 65536 else rawPageSize
+    // the format requires a power of two in [512, 65536]; without this
+    // check a corrupt header degrades to a bare AIOOBE deep in the page
+    // walk instead of this module's loud diagnostics
+    require(pageSize >= 512 && pageSize <= 65536 &&
+        Integer.bitCount(pageSize) == 1,
+      s"$path: invalid page size $pageSize in header — corrupt database")
     require((bytes(19) & 0xFF) <= 1,
       s"$path is a WAL-mode database (read version ${bytes(19)}); this " +
         "reader supports rollback-journal files only")
@@ -318,10 +328,25 @@ object SqliteIO {
         case BooleanType   => if (row.getBoolean(i)) 1L else 0L
         case StringType    => row.getString(i)
         case BinaryType    => row.getAs[Array[Byte]](i)
-        case DateType      => row.getAs[java.sql.Date](i).toString // YYYY-MM-DD
+        // datetime externalization depends on spark.sql.datetime.java8API
+        // .enabled: match the runtime value instead of hard-casting so the
+        // sink works under either session config
+        case DateType => row.get(i) match {
+          case d: java.sql.Date        => d.toString // YYYY-MM-DD
+          case d: java.time.LocalDate  => d.toString // same ISO text
+          case other => throw new IllegalArgumentException(
+            s"SqliteIO: unexpected DateType value class ${other.getClass}")
+        }
         case TimestampType =>
           // pandas writes 'YYYY-MM-DD HH:MM:SS' (+ '.ffffff' when sub-second)
-          val ldt = row.getAs[java.sql.Timestamp](i).toLocalDateTime
+          val ldt = row.get(i) match {
+            case ts: java.sql.Timestamp => ts.toLocalDateTime
+            case ins: java.time.Instant => // java8API sessions
+              java.time.LocalDateTime.ofInstant(ins,
+                java.time.ZoneId.systemDefault())
+            case other => throw new IllegalArgumentException(
+              s"SqliteIO: unexpected TimestampType value class ${other.getClass}")
+          }
           val base = ldt.format(java.time.format.DateTimeFormatter
             .ofPattern("yyyy-MM-dd HH:mm:ss"))
           if (ldt.getNano == 0) base else f"$base.${ldt.getNano / 1000}%06d"
@@ -351,48 +376,78 @@ object SqliteIO {
     * arity so a misparse can never silently truncate data.
     */
   def columnsFromSql(sql: String): Seq[(String, String)] = {
-    val open = sql.indexOf('(')
+    // body-open paren: the first '(' OUTSIDE any quoting construct — a
+    // quoted table name may legally contain '(' (all four sqlite identifier
+    // quote styles: "…", […], `…`, plus '…' string literals)
+    val open = {
+      var i = 0
+      var found = -1
+      while (found < 0 && i < sql.length) {
+        sql(i) match {
+          case '"'  => i += 1; while (i < sql.length && sql(i) != '"') i += 1; i += 1
+          case '\'' => i += 1; while (i < sql.length && sql(i) != '\'') i += 1; i += 1
+          case '`'  => i += 1; while (i < sql.length && sql(i) != '`') i += 1; i += 1
+          case '['  => i += 1; while (i < sql.length && sql(i) != ']') i += 1; i += 1
+          case '('  => found = i
+          case _    => i += 1
+        }
+      }
+      found
+    }
     require(open >= 0 && sql.trim.endsWith(")"),
       s"SqliteIO: cannot parse CREATE TABLE text: $sql")
     val body = sql.substring(open + 1, sql.lastIndexOf(')'))
-    // top-level comma split, quote- and paren-aware
+    // top-level comma split, aware of parens, every identifier-quote style,
+    // and single-quoted string literals (a DEFAULT 'a,b' must not split;
+    // doubled closers inside quotes read as close-then-reopen, which is
+    // equivalent for split purposes)
     val segs = ArrayBuffer[String]()
     val cur  = new StringBuilder
     var depth = 0
-    var inQ   = false
+    var quote: Char = 0 // the closer we are scanning toward, or 0
     body.foreach { c =>
-      if (inQ) { cur += c; if (c == '"') inQ = false }
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
       else c match {
-        case '"'              => inQ = true; cur += c
-        case '(' | '['        => depth += 1; cur += c
-        case ')' | ']'        => depth -= 1; cur += c
+        case '"'               => quote = '"'; cur += c
+        case '\''              => quote = '\''; cur += c
+        case '`'               => quote = '`'; cur += c
+        case '['               => quote = ']'; cur += c
+        case '('               => depth += 1; cur += c
+        case ')'               => depth -= 1; cur += c
         case ',' if depth == 0 => segs += cur.toString; cur.clear()
-        case _                => cur += c
+        case _                 => cur += c
       }
     }
     if (cur.toString.trim.nonEmpty) segs += cur.toString
     val constraintKw = Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
     val cols = segs.map(_.trim).filter(_.nonEmpty).flatMap { seg =>
+      val quoted = seg.nonEmpty && "\"`[".contains(seg.head)
       val (name, rest) =
-        if (seg.startsWith("\"")) {
-          // quoted identifier: scan to the closing quote, "" = literal "
+        if (seg.startsWith("\"") || seg.startsWith("`")) {
+          // quoted identifier: scan to the closing quote; a doubled quote
+          // char is a literal one ("" = ", `` = `)
+          val qc = seg.head
           val sb = new StringBuilder
           var i = 1
           var done = false
           while (!done && i < seg.length) {
-            if (seg(i) == '"') {
-              if (i + 1 < seg.length && seg(i + 1) == '"') { sb += '"'; i += 2 }
+            if (seg(i) == qc) {
+              if (i + 1 < seg.length && seg(i + 1) == qc) { sb += qc; i += 2 }
               else { done = true; i += 1 }
             } else { sb += seg(i); i += 1 }
           }
           require(done, s"SqliteIO: unterminated quoted name in: $seg")
           (sb.toString, seg.substring(i).trim)
+        } else if (seg.startsWith("[")) {
+          // bracket identifier: no escaping inside, ends at the first ']'
+          val close = seg.indexOf(']')
+          require(close > 0, s"SqliteIO: unterminated [name] in: $seg")
+          (seg.substring(1, close), seg.substring(close + 1).trim)
         } else {
           val tok = seg.takeWhile(!_.isWhitespace)
           (tok, seg.drop(tok.length).trim)
         }
-      if (!seg.startsWith("\"") &&
-          constraintKw.contains(name.toUpperCase)) None // table constraint
+      if (!quoted && constraintKw.contains(name.toUpperCase)) None // table constraint
       else Some((name, rest)) // rest = declared type ("" for untyped)
     }.toSeq
     require(cols.nonEmpty, s"SqliteIO: no columns parsed from: $sql")
@@ -472,8 +527,13 @@ object SqliteIO {
 
   private def serialFor(v: SqlValue): Long = v match {
     case null => 0L
-    case 0L   => 8L
-    case 1L   => 9L
+    // the 0/1 one-byte serials apply to LONGS only: a bare `case 0L`
+    // before the typed match would also capture Double 0.0/-0.0/1.0 via
+    // Scala cooperative equality, silently storing -0.0 as integer 0 and
+    // losing its sign (sqlite itself excludes -0.0 from its REAL-as-int
+    // optimization by bit-pattern compare)
+    case x: Long if x == 0L => 8L
+    case x: Long if x == 1L => 9L
     case x: Long =>
       if (x >= Byte.MinValue && x <= Byte.MaxValue) 1L
       else if (x >= Short.MinValue && x <= Short.MaxValue) 2L
@@ -757,7 +817,10 @@ object SqliteIO {
       s"database would span the 1 GiB lock-byte page (${pages.length} pages) — " +
         "use the distributed parquet/JSONL sinks for tables this large")
     AtomicFiles.write(path) { tmp =>
-      val out = Files.newOutputStream(tmp.toPath)
+      // buffered: one syscall per 64 KiB instead of one per 4 KiB page —
+      // every append rewrites the whole file inside the lock window
+      val out = new java.io.BufferedOutputStream(
+        Files.newOutputStream(tmp.toPath), 1 << 16)
       try pages.foreach(out.write)
       finally out.close()
     }

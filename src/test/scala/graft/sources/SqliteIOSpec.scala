@@ -283,4 +283,79 @@ class SqliteIOSpec extends SparkSpec {
     assert(after.createSql === before.createSql) // pandas' DDL text kept
     assert(after.rows.last.head === "2099-01-01")
   }
+
+  test("double -0.0 keeps its sign bit; 0.0/1.0 doubles stay REAL") {
+    // regression: a bare `case 0L` pattern matched Double ±0.0/1.0 via
+    // Scala cooperative equality and stored them as integer serials,
+    // losing -0.0's sign on the round trip
+    // explicit element type: a bare Seq(…) literal would unify to
+    // Seq[Double] and silently widen the Long cases away
+    val back = SqliteIO.decodeRecord(SqliteIO.recordBytes(
+      Seq[SqliteIO.SqlValue](-0.0, 0.0, 1.0, 0L, 1L)))
+    assert(java.lang.Double.doubleToRawLongBits(back(0).asInstanceOf[Double])
+      === java.lang.Double.doubleToRawLongBits(-0.0))
+    assert(back(1) === 0.0); assert(back(1).isInstanceOf[Double])
+    assert(back(2) === 1.0); assert(back(2).isInstanceOf[Double])
+    assert(back(3) === 0L); assert(back(3).isInstanceOf[Long])
+    assert(back(4) === 1L); assert(back(4).isInstanceOf[Long])
+  }
+
+  test("columnsFromSql handles foreign quote styles and string literals") {
+    // bracket and backtick identifiers (both legal sqlite)
+    assert(SqliteIO.columnsFromSql(
+      "CREATE TABLE t ([foo] INTEGER, `bar baz` TEXT)") ===
+      Seq(("foo", "INTEGER"), ("bar baz", "TEXT")))
+    // a space inside a bracket name must not bleed into the type
+    assert(SqliteIO.columnsFromSql("CREATE TABLE t ([my col] INTEGER)") ===
+      Seq(("my col", "INTEGER")))
+    // a comma inside a DEFAULT string literal must not split the column
+    assert(SqliteIO.columnsFromSql(
+      "CREATE TABLE t (x TEXT DEFAULT 'a,b', y INTEGER)") ===
+      Seq(("x", "TEXT DEFAULT 'a,b'"), ("y", "INTEGER")))
+    // a quoted TABLE name containing '(' — the body scan must skip it
+    assert(SqliteIO.columnsFromSql(
+      "CREATE TABLE \"t(1)\" (\n\"id\" INTEGER\n)") ===
+      Seq(("id", "INTEGER")))
+  }
+
+  test("a table name containing '(' appends and re-reads") {
+    val db = tmpDb()
+    SqliteIO.append(mkDf(2), db, "t(1)")
+    SqliteIO.append(mkDf(2, 2), db, "t(1)")
+    assert(SqliteIO.readTable(db, "t(1)").rows.length === 4)
+  }
+
+  test("append onto a zero-byte file takes the create path") {
+    // sqlite (and pandas to_sql) treat a 0-byte file as a valid empty db
+    val db = tmpDb()
+    new File(db).createNewFile()
+    SqliteIO.append(mkDf(3), db, "t")
+    assert(SqliteIO.readTable(db, "t").rows.length === 3)
+  }
+
+  test("a corrupt header page size fails loudly, not with AIOOBE") {
+    val db = tmpDb()
+    SqliteIO.append(mkDf(1), db, "t")
+    val bytes = Files.readAllBytes(new File(db).toPath)
+    bytes(16) = 0; bytes(17) = 3 // page size 3: not a power of two, < 512
+    Files.write(new File(db).toPath, bytes)
+    val e = intercept[IllegalArgumentException](SqliteIO.readTable(db, "t"))
+    assert(e.getMessage.contains("invalid page size"))
+  }
+
+  test("toSqlValues accepts java.time values (java8API sessions)") {
+    val sch = StructType(Seq(
+      StructField("d", DateType), StructField("ts", TimestampType)))
+    val ins = java.time.Instant.parse("2024-01-02T03:04:05Z")
+    val vals = SqliteIO.toSqlValues(
+      Row(java.time.LocalDate.of(2024, 1, 2), ins), sch)
+    assert(vals(0) === "2024-01-02")
+    // the Instant formats through the same default-zone conversion
+    // java.sql.Timestamp.toLocalDateTime uses — compare against it
+    val expect = java.time.LocalDateTime
+      .ofInstant(ins, java.time.ZoneId.systemDefault())
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    assert(vals(1) === expect)
+  }
 }
