@@ -38,17 +38,36 @@ object JsonlIO {
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     // the quarantine column is appended below; a caller schema already
     // containing it would produce a duplicate field and a confusing
-    // analysis error deep inside from_json
-    require(!schema.fieldNames.contains(CorruptCol),
+    // analysis error deep inside from_json. Case-insensitive: Spark name
+    // resolution is case-insensitive by default, so `_CORRUPT_RECORD`
+    // collides just the same
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(CorruptCol)),
       s"JsonlIO.read: caller schema must not contain the reserved " +
         s"'$CorruptCol' column (it is added by the reader)")
-    spark.read.text(path)
-      .filter(length(trim(col("value"))) > 0)
-      .select(from_json(col("value"), schema.add(CorruptCol, "string"),
+    val parsed = spark.read.text(path)
+      // blank = any WHITESPACE-only line: trim() strips ASCII space only,
+      // so a tab-only line would otherwise reach Jackson (and come back as
+      // a null struct, see below) instead of being skipped as blank
+      .filter(col("value").rlike("\\S"))
+      // spark.read.json strips a UTF-8 BOM at the byte level; this text
+      // route sees it as U+FEFF and Jackson would quarantine the first
+      // line of every BOM-prefixed shard
+      .withColumn("value", regexp_replace(col("value"), "^\\uFEFF", ""))
+      .select(col("value"), from_json(col("value"),
+        schema.add(CorruptCol, "string"),
         java.util.Map.of(
           "mode", "PERMISSIVE", "columnNameOfCorruptRecord", CorruptCol))
         .as("r"))
-      .select(col("r.*"))
+    // two silent-loss shapes from_json leaves with a NULL corrupt column,
+    // re-routed to quarantine here: a parse that yields no row returns a
+    // NULL STRUCT (e.g. `[]`), which `r.*` would expand into an all-null
+    // CLEAN row; and a top-level ARRAY of objects keeps only its first
+    // element. Neither may pass as clean with a zero reject count.
+    val corrupt = when(col("r").isNull || col("value").rlike("^\\s*\\["),
+      col("value")).otherwise(col("r").getField(CorruptCol))
+    parsed.select(
+      schema.fieldNames.map(n => col("r").getField(n).as(n)).toSeq :+
+        corrupt.as(CorruptCol): _*)
   }
 
   /** (clean rows without the corrupt column, quarantined raw lines as

@@ -54,4 +54,37 @@ class JsonlIOSpec extends SparkSpec {
     assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet === Set(7L))
     assert(quarantine.count() === 1)
   }
+
+  test("null-struct parses and top-level arrays quarantine; whitespace lines skip") {
+    val dir = Files.createTempDirectory("jsonl").toString
+    Files.write(Paths.get(dir, "edges.jsonl"), java.util.Arrays.asList(
+      """{"doc_id": 1, "text": "ok", "lang": "en"}""",
+      "\t",       // tab-only: blank, must be SKIPPED (trim() is space-only)
+      "   ",      // space-only blank
+      "[]",       // parses to a NULL struct — must quarantine, not an all-null clean row
+      // a top-level array: from_json silently keeps only the FIRST element
+      """[{"doc_id": 2, "text": "a", "lang": "en"}, {"doc_id": 3, "text": "b", "lang": "de"}]"""))
+    val (clean, quarantine) = JsonlIO.readSplit(spark, dir, schema)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    val bad = quarantine.collect().map(_.getString(0)).toSet
+    assert(bad === Set("[]",
+      """[{"doc_id": 2, "text": "a", "lang": "en"}, {"doc_id": 3, "text": "b", "lang": "de"}]"""))
+  }
+
+  test("a UTF-8 BOM on the first line does not quarantine a valid record") {
+    val dir = Files.createTempDirectory("jsonl").toString
+    Files.write(Paths.get(dir, "bom.jsonl"),
+      ("\uFEFF" + """{"doc_id": 9, "text": "bom", "lang": "en"}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (clean, quarantine) = JsonlIO.readSplit(spark, dir, schema)
+    assert(quarantine.count() === 0)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(9L))
+  }
+
+  test("the reserved-column guard is case-insensitive like Spark resolution") {
+    val bad = StructType.fromDDL("doc_id BIGINT, _CORRUPT_RECORD STRING")
+    val e = intercept[IllegalArgumentException](
+      JsonlIO.read(spark, "/nonexistent", bad))
+    assert(e.getMessage.contains("reserved"))
+  }
 }
