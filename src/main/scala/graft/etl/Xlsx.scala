@@ -25,6 +25,14 @@ object Xlsx {
   val maxRows = 100000
 
   def write(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit = {
+    // Excel's sheet-name rules are stricter than XML's: a legal-XML but
+    // illegal-Excel name writes a workbook Excel reports as corrupt and
+    // repairs by stripping the sheet — fail here instead
+    require(sheetName.nonEmpty && sheetName.length <= 31 &&
+        !sheetName.exists(":\\/?*[]".contains(_)) &&
+        !sheetName.startsWith("'") && !sheetName.endsWith("'"),
+      s"invalid Excel sheet name '$sheetName': must be 1-31 chars, no " +
+        """: \ / ? * [ ], and not start or end with an apostrophe""")
     // take(cap+1), not count()+collect(): one job, and the driver never
     // materializes more than cap+1 rows even for an over-cap input
     val rows = df.take(maxRows + 1)
@@ -71,8 +79,12 @@ object Xlsx {
         .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
         .replace("\"", "&quot;").replace("'", "&apos;")
         // CR as a character REFERENCE: a literal CR is legal XML but
-        // parsers line-end-normalize it to LF, so it would not round-trip
-        .replace("\r", "&#xD;")
+        // parsers line-end-normalize it to LF, so it would not round-trip.
+        // LF and TAB likewise — they survive element content, but esc()
+        // also escapes the sheet-name ATTRIBUTE, where attribute-value
+        // normalization silently turns both into spaces; the references
+        // decode identically in both contexts
+        .replace("\r", "&#xD;").replace("\n", "&#xA;").replace("\t", "&#x9;")
       val guarded =
         if (entified.contains("_x"))
           xEscLookalike.replaceAllIn(entified, _ => "_x005F_")
@@ -108,23 +120,33 @@ object Xlsx {
       case (_, x) => strCell(ref, x.toString)
     }
 
-    val sb = new StringBuilder
-    sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
-    sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
-    sb.append("<row r=\"1\">")
-    schema.fields.zipWithIndex.foreach { case (f, c) =>
-      sb.append(strCell(s"${colLetters(c)}1", f.name))
+    // (dataType, column letters) hoisted once — the row loop below runs up
+    // to maxRows times and must not re-derive either per cell
+    val cols = schema.fields.map(_.dataType).zipWithIndex.map {
+      case (dt, c) => (dt, colLetters(c))
     }
-    sb.append("</row>")
-    rows.zipWithIndex.foreach { case (row, r) =>
-      sb.append(s"""<row r="${r + 2}">""")
-      schema.fields.zipWithIndex.foreach { case (f, c) =>
-        sb.append(cell(s"${colLetters(c)}${r + 2}", f.dataType, row.get(c)))
+    // the worksheet is STREAMED to the zip entry row by row (see the
+    // publish block below) instead of materialized as one String: at the
+    // 100k-row cap with wide string columns a single sheet XML is hundreds
+    // of MB, and builder + toString + getBytes would hold ~3x that in
+    // driver heap at once
+    def writeSheet(w: java.io.Writer): Unit = {
+      w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      w.write("<row r=\"1\">")
+      schema.fields.zip(cols).foreach { case (f, (_, letters)) =>
+        w.write(strCell(s"${letters}1", f.name))
       }
-      sb.append("</row>")
+      w.write("</row>")
+      rows.zipWithIndex.foreach { case (row, r) =>
+        w.write(s"""<row r="${r + 2}">""")
+        cols.zipWithIndex.foreach { case ((dt, letters), c) =>
+          w.write(cell(s"$letters${r + 2}", dt, row.get(c)))
+        }
+        w.write("</row>")
+      }
+      w.write("</sheetData></worksheet>")
     }
-    sb.append("</sheetData></worksheet>")
-    val sheetXml = sb.toString
 
     val contentTypes =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
@@ -153,6 +175,7 @@ object Xlsx {
     AtomicFiles.write(path) { tmp =>
       val zos = new ZipOutputStream(new java.io.BufferedOutputStream(
         new java.io.FileOutputStream(tmp)))
+      var primary: Throwable = null
       try {
         def part(name: String, content: String): Unit = {
           zos.putNextEntry(new ZipEntry(name))
@@ -163,8 +186,21 @@ object Xlsx {
         part("_rels/.rels", pkgRels)
         part("xl/workbook.xml", workbook)
         part("xl/_rels/workbook.xml.rels", wbRels)
-        part("xl/worksheets/sheet1.xml", sheetXml)
-      } finally zos.close()
+        zos.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+        val w = new java.io.OutputStreamWriter(zos,
+          java.nio.charset.StandardCharsets.UTF_8)
+        writeSheet(w)
+        w.flush() // flush, don't close: closing the writer closes the zip
+        zos.closeEntry()
+      } catch { case t: Throwable => primary = t; throw t }
+      finally {
+        // close() runs finish(), which flushes to the (possibly failed)
+        // stream — a throw here must suppress into the primary failure,
+        // not replace it as the reported root cause
+        try zos.close()
+        catch { case c: Throwable =>
+          if (primary != null) primary.addSuppressed(c) else throw c }
+      }
     }
   }
 }

@@ -157,4 +157,44 @@ class XlsxSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("report-scale"), e.getMessage)
   }
+
+  test("illegal Excel sheet names are rejected up front, not written corrupt") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1).select(col("id"))
+    val dir = Files.createTempDirectory("graft-xlsx-name").toString
+    // legal XML, illegal Excel: slash, >31 chars, empty, leading apostrophe
+    for (bad <- Seq("2024/Q1", "a" * 32, "", "'quoted")) {
+      val e = intercept[IllegalArgumentException](
+        Xlsx.write(df, s"$dir/bad.xlsx", bad))
+      assert(e.getMessage.contains("sheet name"), s"'$bad': ${e.getMessage}")
+    }
+    Xlsx.write(df, s"$dir/ok.xlsx", "a" * 31) // boundary: 31 chars is legal
+    val (headers, _) = readSheet(s"$dir/ok.xlsx")
+    assert(headers === Seq("id"))
+  }
+
+  test("tab and newline in cells and sheet name survive attribute normalization") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("s", StringType)))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row("line1\nline2\tend")), schema)
+    val dir = Files.createTempDirectory("graft-xlsx-ws").toString
+    Xlsx.write(df, s"$dir/ws.xlsx", "my\nsheet") // legal XML name w/ LF
+    // the DOM reader applies standard attribute normalization — character
+    // references (&#xA;/&#x9;) survive it; raw LF/TAB would become spaces
+    val (_, rows) = readSheet(s"$dir/ws.xlsx")
+    assert(rows(0) === Seq(Some("line1\nline2\tend")))
+    val wb = new String(readZipEntry(s"$dir/ws.xlsx", "xl/workbook.xml"),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(wb.contains("name=\"my&#xA;sheet\""))
+  }
+
+  private def readZipEntry(path: String, entry: String): Array[Byte] = {
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val in = zf.getInputStream(zf.getEntry(entry))
+      try in.readAllBytes() finally in.close()
+    } finally zf.close()
+  }
 }
