@@ -56,10 +56,6 @@ object MediaDecode {
       dhash: Option[Long],
       thumb: Option[Array[Byte]])
 
-  /** Decode + fingerprint one image. Deterministic for a given JDK:
-    * ImageIO's PNG path is exact (lossless), and the gray downscale is the
-    * fixed bilinear Graphics2D pipeline.
-    */
   /** Decompression-bomb guard: a tiny file can DECLARE enormous dimensions
     * (pixel flood) and make a naive `ImageIO.read` allocate gigabytes —
     * an OutOfMemoryError no `NonFatal` catch survives. Dimensions are read
@@ -70,9 +66,15 @@ object MediaDecode {
     */
   val maxPixels: Long = 64L * 1024 * 1024
 
-  /** Header-checked decode, or None (no reader / over cap / corrupt). */
+  /** Header-checked decode, or None (no reader / over cap / corrupt).
+    * Memory-cached input stream EXPLICITLY: the ImageIO factory defaults
+    * to a disk-backed FileCacheImageInputStream (ImageIO.getUseCache),
+    * which would write every already-in-memory image to an executor temp
+    * file per decode in the per-partition hot loop — and fail outright on
+    * a full or unwritable java.io.tmpdir.
+    */
   private def readBounded(bytes: Array[Byte]): Option[BufferedImage] = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new ByteArrayInputStream(bytes))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -88,13 +90,30 @@ object MediaDecode {
     } finally iis.close()
   }
 
+  /** Gray downscale, deterministic for a given JDK (the fixed Graphics2D
+    * bilinear pipeline). PROGRESSIVE halving first: a single bilinear step
+    * from a large source point-samples it (bilinear reads only the 2×2
+    * source pixels nearest each mapped point — a 4000×3000 photo would be
+    * judged by ~288 of its 12M pixels, so mean_luma would not be a mean
+    * and JPEG re-encode noise on the sampled pixels would flip dHash
+    * gradient signs). Halving averages every pixel into the final
+    * resample, restoring the documented copies-land-at-Hamming-0-2
+    * robustness at crawl-scale image sizes.
+    */
   private def gray(img: BufferedImage, w: Int, h: Int): Array[Int] = {
-    val g  = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
-    val gr = g.createGraphics()
-    gr.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
-      RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-    gr.drawImage(img, 0, 0, w, h, null)
-    gr.dispose()
+    def step(src: BufferedImage, tw: Int, th: Int): BufferedImage = {
+      val g  = new BufferedImage(tw, th, BufferedImage.TYPE_BYTE_GRAY)
+      val gr = g.createGraphics()
+      gr.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+        RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      gr.drawImage(src, 0, 0, tw, th, null)
+      gr.dispose()
+      g
+    }
+    var cur = img
+    while (cur.getWidth / 2 >= w * 2 && cur.getHeight / 2 >= h * 2)
+      cur = step(cur, cur.getWidth / 2, cur.getHeight / 2)
+    val g = step(cur, w, h)
     val r = g.getRaster
     Array.tabulate(w * h)(i => r.getSample(i % w, i / w, 0))
   }
@@ -116,6 +135,11 @@ object MediaDecode {
     dhash
   }
 
+  /** Decode + fingerprint one image. Deterministic for a given JDK:
+    * ImageIO's PNG path is exact (lossless), and the gray downscale is the
+    * fixed bilinear Graphics2D pipeline (progressively halved, see
+    * [[gray]]).
+    */
   private[graft] def decodeImage(
       bytes: Array[Byte]): Option[(Int, Int, Double, Long, Array[Byte])] =
     try {
@@ -156,11 +180,20 @@ object MediaDecode {
   }
 
   /** Image near-dup candidate pairs over the dHash — the q64 simhash
-    * discipline verbatim (16-bit bands, pigeonhole-complete for
-    * `maxHamming` ≤ 3, ONE (band,key) shuffle, hot-bucket cap, per-pair
-    * `bit_count(xor)` verify with the hash riding in the bucket struct).
-    * dHash's brightness invariance means re-encoded / gamma-shifted
-    * copies of one crawled image land at Hamming 0-2.
+    * discipline verbatim (16-bit bands, ONE (band,key) shuffle, hot-bucket
+    * cap, per-pair `bit_count(xor)` verify with the hash riding in the
+    * bucket struct). dHash's brightness invariance means re-encoded /
+    * gamma-shifted copies of one crawled image land at Hamming 0-2.
+    *
+    * RECALL CONTRACT: the 4×16-bit banding is pigeonhole-COMPLETE only
+    * for `maxHamming` ≤ 3 (≤3 flipped bits cannot touch all 4 bands). A
+    * larger `maxHamming` still verifies every emitted pair's Hamming
+    * bound, but candidate recall is PARTIAL — a pair differing in all
+    * four bands is never generated (the standard LSH trade; the parity
+    * specs pass 64 deliberately to expose the raw banded candidate set).
+    * The banding expression is kept textually in sync with
+    * `TextQueries.simhashPairsFrom` and the bucket-state projections in
+    * `StreamingOps` — a band-width change must land in all three.
     */
   def imageNearDupPairs(feats: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
@@ -220,11 +253,14 @@ object MediaDecode {
         val id   = ascii(off, 4)
         val size = u32(off + 4).toInt
         if (size < 0 || off + 8 + size > bytes.length) {
-          // tolerate a FINAL data chunk truncated by a partial download;
-          // any other over-running / negative size is malformed. Either
-          // way the scan STOPS — a negative size must not move `off`
-          // backwards (crafted bytes would loop the task forever).
-          if (id == "data" && off + 8 < bytes.length)
+          // tolerate a FINAL data chunk truncated by a partial download —
+          // but only with a well-formed NON-NEGATIVE declared size: a
+          // negative size (e.g. 0xFFFFFFFF) is malformed, and treating it
+          // as truncated data would compute RMS/peak over arbitrary tail
+          // bytes instead of returning None. Either way the scan STOPS — a
+          // negative size must also never move `off` backwards (crafted
+          // bytes would loop the task forever).
+          if (id == "data" && size >= 0 && off + 8 < bytes.length)
             data = Some((off + 8, bytes.length - off - 8))
           else return None
           truncated = true

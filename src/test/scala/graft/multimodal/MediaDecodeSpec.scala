@@ -240,6 +240,22 @@ class MediaDecodeSpec extends SparkSpec {
     assert(decoded === None) // data prefix recorded but no fmt chunk
   }
 
+  test("a negative data-chunk size is malformed, not 'truncated final data'") {
+    // a VALID fmt chunk followed by a data chunk declaring size 0xFFFFFFFF
+    // (-1) and arbitrary tail bytes: the truncated-final-data tolerance is
+    // for a partial download of a well-formed size — a negative size must
+    // return None, not compute RMS/peak over the garbage tail
+    val good = sineWav(8000, 1, 0.1, 0.5)
+    val out = new ByteArrayOutputStream()
+    out.write(good, 0, 36)                          // RIFF/WAVE + fmt chunk
+    out.write("data".getBytes)
+    out.write(Array[Byte](-1, -1, -1, -1))          // size = -1
+    out.write(Array.fill[Byte](1000)(42))           // arbitrary tail
+    assert(MediaDecode.decodeWav(out.toByteArray) === None)
+    // a genuinely truncated download of the same file still decodes
+    assert(MediaDecode.decodeWav(good.take(good.length - 100)).isDefined)
+  }
+
   test("undersized fmt chunk is rejected, not parsed into the next chunk") {
     // fmt declares size 4 (only code+channels): the rate/bits fields live
     // at +12/+22, i.e. inside the FOLLOWING chunk — parsing them would
