@@ -473,6 +473,13 @@ object StreamingOps {
       if (sorted.isEmpty) prune() // event-time timeout fired
       else {
         prune()
+        // size and membership carried incrementally: per-row List.size +
+        // List.exists are O(bucket) each, and a saturated stop-bucket
+        // (boilerplate flood — the exact case the cap protects) would pay
+        // ~2*maxBucket pointer-chases per SKIPPED row
+        var n = docsInBucket.size
+        val ids = scala.collection.mutable.HashSet.empty[Long]
+        docsInBucket.foreach(ids += _._1)
         sorted.foreach { d =>
           // at-least-once sources re-deliver: a doc_id already in state is
           // skipped entirely — re-inserting would re-emit its pairs AND
@@ -482,14 +489,15 @@ object StreamingOps {
           // in-state check alone can't catch it): inserting it would
           // re-emit beyond-horizon pairs and burn a cap slot until the
           // next prune.
-          if (d.event_us >= cutoffUs && docsInBucket.size < maxBucket &&
-              !docsInBucket.exists(_._1 == d.doc_id)) {
+          if (d.event_us >= cutoffUs && n < maxBucket &&
+              !ids.contains(d.doc_id)) {
             docsInBucket.foreach { case (otherId, _) =>
               out += NeardupCandidate(
                 math.min(otherId, d.doc_id), math.max(otherId, d.doc_id),
                 bucket._1)
             }
             docsInBucket = (d.doc_id, d.event_us) :: docsInBucket
+            n += 1; ids += d.doc_id
           } // else: duplicate delivery, or stop-bucket boilerplate flood
         }
       }
@@ -588,8 +596,13 @@ object StreamingOps {
         }
       }
       // the watermark passing last+gap proves no in-gap event can arrive:
-      // buffered and future events are ≥ wm > last+gap
-      if (start >= 0 && wmUs > last + gapMicros) {
+      // buffered and future events are ≥ wm > last+gap. SUBTRACTION form:
+      // `wmUs > last + gapMicros` wraps negative for a saturated gap
+      // (gapMicros = Long.MaxValue is the never-close-by-time convention
+      // the funnel horizon uses) and would close every session at the
+      // first trigger — the same wrap the batch twin documents fixing
+      // (RelationalOps.sessionize).
+      if (start >= 0 && wmUs - last > gapMicros) {
         closed += SessionOut(userId, start, last, n)
         start = -1L; last = -1L; n = 0
       }
@@ -599,10 +612,15 @@ object StreamingOps {
         state.update(SessionState(start, last, n, keep))
         // wake when the watermark passes the oldest buffered event or the
         // open session's gap horizon, whichever first; clamp above the
-        // current watermark (a timeout at/behind it kills the query)
+        // current watermark (a timeout at/behind it kills the query).
+        // Saturating add: last + Long.MaxValue would wrap negative and arm
+        // a perpetual every-trigger wm+1 timeout.
+        val gapHorizon =
+          if (gapMicros > Long.MaxValue - math.max(last, 0L)) Long.MaxValue
+          else last + gapMicros
         val wakeMs = math.min(
           keep.headOption.map(_ / 1000L + 1L).getOrElse(Long.MaxValue),
-          if (start >= 0) (last + gapMicros) / 1000L + 1L else Long.MaxValue)
+          if (start >= 0) gapHorizon / 1000L + 1L else Long.MaxValue)
         state.setTimeoutTimestamp(math.max(
           wakeMs, state.getCurrentWatermarkMs() + 1L))
       }
@@ -686,6 +704,12 @@ object StreamingOps {
       idleExpiry: Option[java.time.Duration],
       delay: String): Dataset[FunnelUpdate] = {
     import events.sparkSession.implicits._
+    // the batch twins (funnelStages/funnelStagesWindowed) fail fast on
+    // duplicate step names; without this a duplicate silently makes the
+    // later step unreachable (indexOf resolves every occurrence to the
+    // first) and the stream reports None forever instead of erroring
+    require(stepSeq.distinct.size == stepSeq.size,
+      s"duplicate step names: ${stepSeq.mkString(", ")}")
 
     def fold(st: (Vector[Long], Vector[Long]),
         e: (Long, String)): (Vector[Long], Vector[Long]) = {
@@ -961,6 +985,14 @@ object StreamingOps {
         rows.map(e => (e.ts_micros, e.value)).filter(_._1 >= wmUs))
         .sortBy(_._1)
       val (commit, keep) = merged.partition(_._1 < wmUs)
+      // no state yet and nothing usable (a key whose only rows were
+      // late-dropped): emit nothing and — critically — create no state.
+      // Without this (the funnelMachine/cohortActivityStream guard) the
+      // else-branch below would write an empty GapState and arm a wm+1
+      // timeout that re-fires and re-arms on every watermark advance — a
+      // permanent zombie entry per late-only key.
+      if (!state.exists && commit.isEmpty && keep.isEmpty)
+        return Iterator.empty
       var nextEmit = prev.nextEmit
       val agg = scala.collection.mutable.Map(prev.agg.toSeq: _*)
       commit.foreach { case (ts, v) =>

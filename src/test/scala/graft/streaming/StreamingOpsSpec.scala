@@ -1243,4 +1243,72 @@ class StreamingOpsSpec extends SparkSpec {
       assert(k2.size === 3) // 1 data row + 2 zeros, then the key expired
     } finally query.stop()
   }
+
+  test("sessionize: a saturated gap never closes a session by time") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // gapMicros = Long.MaxValue is the never-close-by-time convention (the
+    // funnel horizon uses the same): last + gap wrapped negative before
+    // the subtraction-form fix, closing every session at the first
+    // trigger after a commit
+    val input = MemoryStream[StreamingOps.SessionEvent]
+    val query = StreamingOps.sessionize(input.toDS(), gapMicros = Long.MaxValue)
+      .writeStream.format("memory").queryName("sess_sat")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamingOps.SessionEvent(1L, ts("2023-01-01 10:00:00").getTime * 1000L),
+        StreamingOps.SessionEvent(1L, ts("2023-01-01 10:05:00").getTime * 1000L))
+      query.processAllAvailable()
+      // a far-future event pushes the watermark way past both commits
+      input.addData(
+        StreamingOps.SessionEvent(99L, ts("2024-01-01 00:00:00").getTime * 1000L))
+      query.processAllAvailable()
+      // user 1's session must still be OPEN: no time horizon can pass a
+      // saturated gap, so nothing is emitted for it
+      assert(spark.table("sess_sat").filter(col("user_id") === 1L).count() === 0)
+    } finally query.stop()
+  }
+
+  test("funnel streams reject duplicate step names like the batch twins") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.FunnelEvent]
+    val e = intercept[IllegalArgumentException](
+      StreamingOps.funnelStream(input.toDS(), steps = ("add", "add", "buy")))
+    assert(e.getMessage.contains("duplicate step names"))
+    val e2 = intercept[IllegalArgumentException](
+      StreamingOps.funnelStreamWindowed(input.toDS(),
+        java.time.Duration.ofMinutes(5), steps = ("x", "y", "x")))
+    assert(e2.getMessage.contains("duplicate step names"))
+  }
+
+  test("gapFillStream: a late-only key emits nothing and leaves no heartbeat") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val period = 60L
+    val input = MemoryStream[StreamingOps.GapEvent]
+    val query = StreamingOps.gapFillStream(input.toDS(), period,
+      maxSilentPeriods = 2, delay = "10 minutes")
+      .writeStream.format("memory").queryName("gap_late_only")
+      .outputMode("append").start()
+    try {
+      // key 9 advances the watermark far into the future
+      input.addData(StreamingOps.GapEvent(9L,
+        ts("2023-06-01 00:00:00").getTime * 1000L, 1.0))
+      query.processAllAvailable()
+      // key 1 arrives entirely BEHIND the watermark: dropped as late; the
+      // no-state guard must not create a zombie entry whose wm+1 timeout
+      // re-fires forever
+      input.addData(StreamingOps.GapEvent(1L,
+        ts("2023-01-01 00:00:00").getTime * 1000L, 5.0))
+      query.processAllAvailable()
+      // several more watermark advances: a zombie key-1 state would keep
+      // fn firing; correct behavior is zero key-1 rows ever
+      input.addData(StreamingOps.GapEvent(9L,
+        ts("2023-06-01 01:00:00").getTime * 1000L, 1.0))
+      query.processAllAvailable()
+      assert(spark.table("gap_late_only").filter(col("key") === 1L).count() === 0)
+    } finally query.stop()
+  }
 }
