@@ -26,6 +26,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Shared by the streaming keyed-upsert sink and the compaction utility so
   * the swap + recovery protocol exists in exactly one place.
+  *
+  * SINGLE-WRITER CONTRACT: one `replace` per table path at a time. Two
+  * concurrent callers (e.g. compaction racing the upsert sink on the same
+  * path) share __staging and the journal and can promote each other's
+  * half-written state — there is no lock or lease here, and a live journal
+  * from a CONCURRENT writer is indistinguishable from the crash state this
+  * protocol recovers. Serialize at the orchestration layer.
   */
 object TableSwap {
 
@@ -36,9 +43,13 @@ object TableSwap {
   def replace(spark: SparkSession, path: String)(write: String => Unit): Unit = {
     val hPath   = new Path(path)
     val fs      = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(path + "__staging")
-    val retired = new Path(path + "__old")
-    val journal = new Path(path + "__swapstate")
+    // scaffolding derived from the NORMALIZED path, never by string concat:
+    // a trailing-slash `path` would put "$path__staging" INSIDE the table
+    // directory (read back as table rows, dragged into __old mid-swap)
+    // while hPath normalizes to the directory itself
+    val staging = hPath.suffix("__staging")
+    val retired = hPath.suffix("__old")
+    val journal = hPath.suffix("__swapstate")
 
     def mustRename(from: Path, to: Path): Unit =
       require(fs.rename(from, to), s"TableSwap: rename failed: $from -> $to")
@@ -47,7 +58,7 @@ object TableSwap {
     def mustDelete(p: Path): Unit =
       require(fs.delete(p, true) || !fs.exists(p), s"TableSwap: delete failed: $p")
 
-    val journalTmp = new Path(path + "__swapstate.tmp")
+    val journalTmp = hPath.suffix("__swapstate.tmp")
     // tmp + rename, never create-with-overwrite on the live journal:
     // fs.create(journal, true) TRUNCATES the existing phase first, so a
     // crash mid-write left an empty/partial journal that recovery could
@@ -56,7 +67,7 @@ object TableSwap {
     // delete→rename window leaves NO journal, which the None branch
     // already converges (rollback; this call's write() redoes the work).
     def writeJournal(phase: String): Unit = {
-      mustDelete(journalTmp)
+      // no pre-delete of the tmp: create(_, overwrite = true) replaces it
       val out = fs.create(journalTmp, true)
       try out.write(phase.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
@@ -127,7 +138,17 @@ object TableSwap {
         // hold: missing table + surviving __old = crash between renames
         // (restore); both present = the swap completed far enough that the
         // table is live (drop the leftover __old).
-        if (!fs.exists(hPath) && fs.exists(retired)) mustRename(retired, hPath)
+        if (!fs.exists(hPath) && fs.exists(retired)) {
+          // this restore is ITSELF a non-atomic directory move on an
+          // object store: journal it, or a crash midway leaves the table
+          // split across both dirs with no journal — and the next pass's
+          // both-present rule below would delete the stranded half.
+          // "retire"'s recovery (moveAll __old → table, discard staging)
+          // is exactly the convergence this move needs.
+          writeJournal("retire")
+          moveAll(retired, hPath)
+          mustDelete(journal)
+        }
         else if (fs.exists(retired)) mustDelete(retired)
     }
     mustDelete(journalTmp) // stale tmp from a crash inside writeJournal
@@ -143,7 +164,14 @@ object TableSwap {
       mustDelete(journal)
       mustDelete(retired)
     } else {
+      // FIRST write (no table yet): journal this promote too — it is the
+      // same per-file non-atomic move on an object store, and an
+      // unjournaled crash midway would leave the ONLY copy split, with
+      // the next run's staging cleanup silently discarding the unmoved
+      // half. Some("promote")'s moveAll roll-forward converges it.
+      writeJournal("promote")
       mustRename(staging, hPath)
+      mustDelete(journal)
     }
   }
 }

@@ -163,4 +163,41 @@ class TableSwapSpec extends SparkSpec {
       TableSwap.replace(spark, t)(_ => ())
     }
   }
+
+  test("a trailing-slash path keeps scaffolding OUTSIDE the table directory") {
+    val t = dir()
+    writeFile(s"$t/part-1", "v1")
+    TableSwap.replace(spark, t + "/") { staging =>
+      // staging must be a sibling of the table, never inside it — a
+      // string-concat "$path__staging" on a trailing-slash path was a
+      // child the swap then read back as table rows and dragged into __old
+      assert(!staging.replace('\\', '/').contains("//" + "_"))
+      assert(new java.io.File(staging).getParentFile.getCanonicalPath ===
+        new java.io.File(t).getParentFile.getCanonicalPath)
+      writeFile(s"$staging/part-1", "v2")
+    }
+    assert(readFile(s"$t/part-1") === "v2")
+    assert(listNames(t) === Set("part-1")) // no scaffolding inside
+    assert(!new java.io.File(t + "__old").exists)
+    assert(!new java.io.File(t + "__swapstate").exists)
+  }
+
+  test("recovery from a crash mid FIRST-write promote: split only-copy converges") {
+    val t = dir()
+    // the first-ever write crashed mid staging→table move: part-0 already
+    // promoted, part-1 still in staging, NO __old — the journaled
+    // first-write promote leaves "promote", whose roll-forward converges;
+    // unjournaled, the next run would silently delete the staging half
+    writeFile(s"$t/part-0", "new-0")
+    writeFile(s"${t}__staging/part-1", "new-1")
+    writeFile(s"${t}__swapstate", "promote")
+    var seen: Set[String] = Set.empty
+    TableSwap.replace(spark, t) { staging =>
+      seen = listNames(t) // writer must see the fully converged table
+      writeFile(s"$staging/part-0", "v2")
+    }
+    assert(seen === Set("part-0", "part-1"))
+    assert(readFile(s"$t/part-0") === "v2")
+    assert(!new java.io.File(t + "__swapstate").exists)
+  }
 }
