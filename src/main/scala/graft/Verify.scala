@@ -18,7 +18,16 @@ object Verify {
     // collapse the final stage back to the last shuffle boundary into one
     // task, running narrow queries fully single-threaded).
     val singleFile = sys.env.getOrElse("GRAFT_VERIFY_SINGLE_FILE", "0") == "1"
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // GRAFT_VERIFY_ONLY=q1,q2 restricts the dump to named queries for fast
+    // local iteration (oracle_sql.json still carries the full map — the
+    // driver never sets this, so its gate always runs everything).
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       // construction INSIDE the try: queries do eager work at build time
       // (Tables.load analysis, materialize()'s localCheckpoint job,
       // argument require()s) — outside it, one failing query would abort

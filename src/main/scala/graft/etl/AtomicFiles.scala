@@ -37,8 +37,20 @@ object AtomicFiles {
     sweepStaleTmps(f)
     val tmp = new File(path + ".tmp." +
       ProcessHandle.current().pid() + "." + java.util.UUID.randomUUID())
-    try body(tmp)
-    catch { case e: Throwable =>
+    try {
+      body(tmp)
+      // force the temp file's DATA to disk before the rename: on ext4/xfs
+      // the rename metadata can otherwise reach disk first, and a power
+      // loss in between leaves the published name pointing at truncated/
+      // zero blocks — the previous good artifact gone AND the new one
+      // corrupt, the exact failure the atomic publish exists to prevent.
+      // Inside the cleanup try: a failed fsync (ENOSPC at flush, device
+      // error) must delete the temp now, not leave an orphan to the
+      // 1-hour stale sweep.
+      val ch = java.nio.channels.FileChannel.open(tmp.toPath,
+        java.nio.file.StandardOpenOption.WRITE)
+      try ch.force(true) finally ch.close()
+    } catch { case e: Throwable =>
       // cleanup must be best-effort AND visible: a silently-failed delete
       // (open handle, permission flip) leaves the temp to the next sweep,
       // which is fine, but only if someone can see it happened
@@ -46,16 +58,6 @@ object AtomicFiles {
       catch { case e2: Throwable => System.err.println(
         s"[atomic-files] failed to clean up $tmp after write failure: ${e2.getMessage}") }
       throw e
-    }
-    // force the temp file's DATA to disk before the rename: on ext4/xfs the
-    // rename metadata can otherwise reach disk first, and a power loss in
-    // between leaves the published name pointing at truncated/zero blocks —
-    // the previous good artifact gone AND the new one corrupt, the exact
-    // failure the atomic publish exists to prevent
-    {
-      val ch = java.nio.channels.FileChannel.open(tmp.toPath,
-        java.nio.file.StandardOpenOption.WRITE)
-      try ch.force(true) finally ch.close()
     }
     java.nio.file.Files.move(tmp.toPath, f.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,

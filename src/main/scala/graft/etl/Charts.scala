@@ -249,6 +249,18 @@ object Charts {
     }
   }
 
+  /** Entry rows the legend can draw: rows that fit under the title inside
+    * the box (boxH = rowH·(rows+1) + 10, drawn from top+10 → rows ≤
+    * (plotH−20)/rowH − 1), RESERVING one row for the "+N more" summary
+    * when the entries overflow — without the reservation a capped box
+    * overflowed the plot bottom by exactly one row.
+    */
+  private[etl] def legendMaxRows(
+      nEntries: Int, plotH: Int, rowH: Int = 28): Int = {
+    val capacity = math.max(1, (plotH - 20) / rowH - 1)
+    if (nEntries <= capacity) capacity else math.max(1, capacity - 1)
+  }
+
   private def legend(
       g: Graphics2D, entries: Seq[(String, Color)], legendTitle: String): Unit = {
     g.setFont(base)
@@ -268,7 +280,7 @@ object Charts {
         t + "…"
       }
     }
-    val maxRows = math.max(1, (plotH - 20) / rowH - 1)
+    val maxRows = legendMaxRows(entries.length, plotH, rowH)
     val shown = entries.take(maxRows).map { case (n, c) => (fit(n), c) }
     val extra = entries.length - shown.length
     val drawn = if (extra > 0) shown :+ (s"+$extra more" -> grid) else shown

@@ -28,9 +28,13 @@ import graft.operators.RelationalOps
   *     chunks directly → sample rate, channels, bit depth, frame count,
   *     duration, RMS and peak amplitude (the quality-filter features).
   *
-  * Video containers stay out of scope (no MP4/Matroska demuxer in the
-  * JDK); [[Multimodal.extractFeatures]]'s strided-byte sampling remains
-  * the documented stand-in for frame sampling.
+  *   - **Video**: AVI (RIFF) is the same public chunk layout as WAV, and
+  *     MJPEG payloads are plain JPEGs the ImageIO stack decodes — so
+  *     AVI/MJPEG frame-sampling is a REAL demux + decode here (evenly
+  *     spaced frames → per-frame dHash + luma). MP4/Matroska stay out of
+  *     scope (no H.264/VP9 decoder in the JDK);
+  *     [[Multimodal.extractFeatures]]'s strided-byte sampling remains the
+  *     documented stand-in for those containers only.
   *
   * Scale shape: decode runs per partition over the opaque binary column
   * ([[Multimodal]]'s `mapPartitions` discipline — decoder state per
@@ -99,6 +103,16 @@ object MediaDecode {
     * gradient signs). Halving averages every pixel into the final
     * resample, restoring the documented copies-land-at-Hamming-0-2
     * robustness at crawl-scale image sizes.
+    *
+    * HASH VERSION BREAK: switching to progressive halving changed the
+    * dHash (and mean_luma) values for any image ≥ ~4× the 9×8 target
+    * versus the earlier single-step downscale. Persisted features from
+    * before the switch — stored dHash columns, streaming near-dup bucket
+    * state, any index keyed on the hash — will NOT match newly computed
+    * hashes for such images and must be recomputed after deploying this
+    * version; comparing old and new hashes silently reports false
+    * non-duplicates. (Hashes for images already ≤ 2× the target are
+    * unchanged: the halving loop never fires there.)
     */
   private def gray(img: BufferedImage, w: Int, h: Int): Array[Int] = {
     def step(src: BufferedImage, tw: Int, th: Int): BufferedImage = {
@@ -333,6 +347,196 @@ object MediaDecode {
                 Some(frames), Some(dur), Some(rms), Some(peak))
             case None =>
               AudioFeatures(r.doc_id, None, None, None, None, None, None, None)
+          }
+        }
+      }
+  }
+
+  // ============================================== video decode (AVI/MJPEG)
+
+  /** None fields = not a demuxable AVI. `frame_dhashes` aligns
+    * index-for-index with the evenly-spaced sample positions; `mean_luma`
+    * averages over the SAMPLED frames (the per-frame 8×8 gray mean, the
+    * same statistic the image path reports per image).
+    */
+  case class VideoFeatures(
+      doc_id: Long,
+      width: Option[Int],
+      height: Option[Int],
+      n_frames: Option[Long],
+      fps: Option[Double],
+      duration_s: Option[Double],
+      sampled_frames: Option[Int],
+      frame_dhashes: Option[Array[Long]],
+      mean_luma: Option[Double])
+
+  /** Demuxed container facts + the frame chunk table (offset, length into
+    * the original bytes — frames are NOT copied at demux time; only the
+    * sampled ones are sliced for decode).
+    */
+  private[multimodal] case class AviInfo(
+      width: Int, height: Int, microSecPerFrame: Long,
+      frames: Vector[(Int, Int)])
+
+  /** Walked-frame cap: a crafted movi list can declare millions of
+    * zero-length chunks; the walk stops collecting past this bound (the
+    * declared total keeps reporting the container's own count).
+    */
+  private val maxDemuxFrames = 100000
+
+  /** Pure-JVM AVI (RIFF) demuxer — the container layout is public
+    * (msdn AVI RIFF form: `RIFF('AVI ' LIST('hdrl' 'avih' …)
+    * LIST('movi' '00dc'…))`). Walks the chunk tree directly, like
+    * [[decodeWav]] walks WAVE:
+    *
+    *   - `avih` (main header, inside `LIST hdrl`) carries
+    *     dwMicroSecPerFrame (+0) and dwWidth/dwHeight (+32/+36);
+    *   - frame data lives in `LIST movi` as `00dc`/`00db` chunks (stream
+    *     0 compressed/uncompressed data — for MJPEG every `00dc` payload
+    *     is a complete baseline JPEG, which the stock ImageIO reader
+    *     decodes); interleave groups (`LIST rec `) are walked inline;
+    *   - `idx1` is ignored — the movi walk IS the index, so a file with a
+    *     missing or lying idx1 (common in truncated crawls) still demuxes;
+    *   - a final chunk truncated by a partial download ends the walk with
+    *     whatever frames were complete (the WAV truncation discipline);
+    *     malformed sizes (negative, or a LIST smaller than its type tag)
+    *     return None rather than walking arbitrary memory, and offsets
+    *     only ever advance, so crafted bytes cannot loop the task.
+    */
+  private[multimodal] def demuxAvi(bytes: Array[Byte]): Option[AviInfo] =
+    try {
+      if (bytes.length < 12) return None
+      def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+      def u32(o: Int) = (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+        ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+      if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "AVI ") return None
+      var width = 0; var height = 0; var usPerFrame = 0L
+      var sawAvih = false
+      val frames = Vector.newBuilder[(Int, Int)]
+      var nFrames = 0
+      // walk one chunk run [from, until); returns false on malformed
+      // input. depth caps LIST nesting: a legit AVI needs 2 (top→movi→
+      // rec), while a crafted hdrl-in-hdrl-in-hdrl chain would otherwise
+      // recurse once per 12 bytes of input — StackOverflowError, which
+      // NonFatal does NOT catch.
+      def walk(from: Int, until: Int, inMovi: Boolean, depth: Int): Boolean = {
+        if (depth > 8) return false
+        var off = from
+        while (off + 8 <= until) {
+          val id = ascii(off, 4)
+          val size = u32(off + 4)
+          if (size > Int.MaxValue - 8) return false
+          val sz = size.toInt
+          val end = off + 8 + sz
+          if (end > until) {
+            // truncated FINAL chunk (partial download). A truncated LIST
+            // still gets its inside walked over the AVAILABLE region — a
+            // cut-off movi list must keep its complete earlier frames; a
+            // truncated plain chunk (a half JPEG decodes to garbage or
+            // throws) is kept out. Either way the walk ends clean here.
+            if (id == "LIST" && off + 12 <= until) {
+              val listType = ascii(off + 8, 4)
+              listType match {
+                case "hdrl" => walk(off + 12, until, inMovi = false, depth + 1)
+                case "movi" => walk(off + 12, until, inMovi = true, depth + 1)
+                case "rec " if inMovi =>
+                  walk(off + 12, until, inMovi = true, depth + 1)
+                case _ => ()
+              }
+            }
+            return true
+          }
+          id match {
+            case "LIST" if sz >= 4 =>
+              val listType = ascii(off + 8, 4)
+              val ok = listType match {
+                case "hdrl" => walk(off + 12, end, inMovi = false, depth + 1)
+                case "movi" => walk(off + 12, end, inMovi = true, depth + 1)
+                case "rec " if inMovi =>
+                  walk(off + 12, end, inMovi = true, depth + 1)
+                case _ => true // strl handled via hdrl walk; INFO etc. skipped
+              }
+              if (!ok) return false
+            case "LIST" => return false // list too small to hold its type
+            case "avih" if sz >= 40 =>
+              usPerFrame = u32(off + 8)
+              width = u32(off + 8 + 32).toInt
+              height = u32(off + 8 + 36).toInt
+              sawAvih = true
+            case d if inMovi && d.length == 4 && d.startsWith("00") &&
+                (d.endsWith("dc") || d.endsWith("db")) =>
+              if (nFrames < maxDemuxFrames && sz > 0) {
+                frames += ((off + 8, sz)); nFrames += 1
+              }
+            case _ => () // strh/strf/idx1/JUNK/other streams' chunks
+          }
+          off = end + (sz & 1) // RIFF chunks are word-aligned
+        }
+        true
+      }
+      val riffEnd = math.min(bytes.length.toLong, 8L + u32(4)).toInt
+      if (!walk(12, riffEnd, inMovi = false, depth = 0)) None
+      else if (!sawAvih) None
+      else Some(AviInfo(width, height, usPerFrame, frames.result()))
+    } catch { case NonFatal(_) => None }
+
+  /** Demux + sample + decode: up to `maxSamples` evenly spaced frames
+    * through the bounded ImageIO path ([[readBounded]] — the
+    * decompression-bomb guard applies per frame), each contributing its
+    * dHash; luma averages the per-frame 8×8 gray means. A frame that
+    * fails to decode is skipped (crawled AVIs carry corrupt frames), so
+    * `sampled_frames` counts DECODED frames, which can be < the sample
+    * positions chosen.
+    */
+  private[graft] def decodeVideo(bytes: Array[Byte], maxSamples: Int = 8)
+      : Option[(Int, Int, Long, Double, Double, Int, Array[Long], Double)] =
+    demuxAvi(bytes).map { info =>
+      val n = info.frames.length
+      val fps =
+        if (info.microSecPerFrame > 0) 1.0e6 / info.microSecPerFrame else 0.0
+      val duration = if (fps > 0) n / fps else 0.0
+      val k = math.min(maxSamples, n)
+      val picks =
+        if (k == 0) Seq.empty[Int]
+        // evenly spaced with both ends covered when k > 1 (first and last
+        // frame anchor the sample — re-encoded copies match end to end)
+        else if (k == 1) Seq(0)
+        else (0 until k).map(i => ((n - 1).toLong * i / (k - 1)).toInt)
+      val decoded = picks.flatMap { fi =>
+        val (off, len) = info.frames(fi)
+        val slice = java.util.Arrays.copyOfRange(bytes, off, off + len)
+        try readBounded(slice).map { img =>
+          val t8 = gray(img, 8, 8)
+          (dhashOf(img), t8.sum.toDouble / 64.0)
+        } catch { case NonFatal(_) => None }
+      }
+      val luma =
+        if (decoded.isEmpty) 0.0
+        else decoded.map(_._2).sum / decoded.length
+      (info.width, info.height, n.toLong, fps, duration,
+        decoded.length, decoded.map(_._1).toArray, luma)
+    }
+
+  /** Batch video decode — the same per-partition stage shape as the image
+    * and audio paths: demux state per row, streaming, None on any
+    * non-AVI/corrupt input, never a killed job. Per-frame dHashes make a
+    * video near-dup key directly: feed `explode(frame_dhashes)` rows into
+    * [[imageNearDupPairs]]' banding to find re-encoded copies by any
+    * shared sampled frame.
+    */
+  def decodeVideos(media: DataFrame): Dataset[VideoFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "mime", "bytes").as[Multimodal.MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Option(r.bytes).flatMap(decodeVideo(_)) match {
+            case Some((w, h, n, fps, dur, k, hashes, luma)) =>
+              VideoFeatures(r.doc_id, Some(w), Some(h), Some(n),
+                Some(fps), Some(dur), Some(k), Some(hashes), Some(luma))
+            case None =>
+              VideoFeatures(r.doc_id, None, None, None, None, None, None,
+                None, None)
           }
         }
       }

@@ -17,10 +17,11 @@ import org.apache.spark.sql.types._
   * through rows without materializing the partition). This module's codec
   * is a deterministic byte-level stand-in (entropy, histogram mode,
   * strided samples); [[MediaDecode]] carries the REAL decoders the JDK can
-  * host — ImageIO images (dims/luma/thumbnail/dHash + banded near-dup) and
-  * WAV PCM audio (rate/duration/RMS/peak). Only video frame-sampling
-  * remains represented by the strided-byte stand-in here (no demuxer in
-  * the JDK).
+  * host — ImageIO images (dims/luma/thumbnail/dHash + banded near-dup),
+  * WAV PCM audio (rate/duration/RMS/peak), and AVI/MJPEG video (RIFF
+  * demux → evenly-spaced frame sampling → per-frame dHash/luma). Only
+  * non-AVI video containers (MP4/Matroska — no H.264/VP9 decoder in the
+  * JDK) remain represented by the strided-byte stand-in here.
   */
 object Multimodal {
 

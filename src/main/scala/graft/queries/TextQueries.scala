@@ -292,11 +292,28 @@ object TextQueries {
     keyed.filter(keep)
   }
 
+  /** Required-stopword gates for the Gopher quality filter: the table-A1
+    * value (≥2 of the eight [[TextOps.gopherRequiredWords]] present) and
+    * the relaxed gate the q75b apply-variant uses. The synthetic corpus
+    * never contains two distinct required stopwords in one doc, so the
+    * standard gate keeps ZERO docs here and the q75 oracle check passes
+    * only trivially (0 == 0); q75b swaps in [[gopherRelaxedMinStops]] —
+    * the only threshold that differs — so the full q70 ∧ q71 ∧ q74
+    * composition is hash-verified end-to-end on a non-trivial proper
+    * subset (every other gate stays active: ~45% of docs fail n_words ≥ 50
+    * and ~24% fail the relaxed stopword gate). Single source of truth for
+    * the Spark filters AND the generated oracle SQL.
+    */
+  private[graft] val gopherMinStops: Long = 2L
+  private[graft] val gopherRelaxedMinStops: Long = 1L
+
   /** The q71 Gopher table-A1 quality signals + verdict (see the registry
     * comment). Factored so GopherQualitySpec can run planted corpora
-    * through the exact registered computation.
+    * through the exact registered computation. `minStops` parameterizes
+    * the required-stopword gate (see [[gopherMinStops]]).
     */
-  private[graft] def gopherQualityOf(docs: DataFrame): DataFrame = {
+  private[graft] def gopherQualityOf(
+      docs: DataFrame, minStops: Long = gopherMinStops): DataFrame = {
     val staged = docs
       .select(col("doc_id"), col("text"),
         TextOps.tokens(TextOps.normalized(col("text"))).as("toks"),
@@ -319,7 +336,7 @@ object TextQueries {
         col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
         col("symbol_ratio") <= 0.1 &&
         col("alpha_word_frac") >= 0.8 &&
-        col("n_required_stops") >= 2L &&
+        col("n_required_stops") >= minStops &&
         col("bullet_line_frac") <= 0.9 &&
         col("ellipsis_line_frac") <= 0.3).as("passes_gopher_quality"))
   }
@@ -719,7 +736,8 @@ object TextQueries {
     * threshold tables as the registry queries; keep-set equality with
     * q70 ∧ q71 ∧ q74 is spec-asserted (GopherFilterSpec).
     */
-  private[graft] def gopherFilterAll(docs: DataFrame): DataFrame = {
+  private[graft] def gopherFilterAll(
+      docs: DataFrame, minStops: Long = gopherMinStops): DataFrame = {
     val gramNs = Seq(2, 5) ++ gopherTopGramThresholds.map(_._1) ++
       gopherDupGramThresholds.map(_._1)
     val staged = docs
@@ -749,7 +767,7 @@ object TextQueries {
           / greatest(size(col("__toks")), lit(1)).cast("double")) <= 0.1 &&
         (TextOps.alphaWordCount(col("__toks")).cast("double")
           / size(col("__toks")).cast("double")) >= 0.8 &&
-        TextOps.gopherRequiredStopCount(col("__toks")) >= 2L &&
+        TextOps.gopherRequiredStopCount(col("__toks")) >= minStops &&
         (TextOps.bulletLineCount(col("__ls")).cast("double")
           / size(col("__ls")).cast("double")) <= 0.9 &&
         (TextOps.ellipsisLineCount(col("__ls")).cast("double")
@@ -1722,6 +1740,19 @@ object TextQueries {
         .select(col("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))),
 
+    // The discriminating twin of q75: identical one-pass q70 ∧ q71 ∧ q74
+    // composition with the required-stopword gate relaxed 2 → 1 (see
+    // gopherMinStops). q75 keeps ZERO docs on this corpus (no doc carries
+    // two required stopwords) so its 0 == 0 oracle match verifies the
+    // composition only trivially; this variant keeps a non-trivial proper
+    // subset (~40% at sf0.01), so every other gate — word count, word
+    // length, symbol/alpha ratios, all nine repetition thresholds, the
+    // line/paragraph duplicate rules — is hash-verified end-to-end.
+    "q75b_gopher_apply_relaxed" -> ((s, d) =>
+      gopherFilterAll(Tables.documents(s, d), gopherRelaxedMinStops)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))),
+
     // Deterministic mixture sampling: per-language Bernoulli keep/drop
     // decided by a salted-md5 threshold on the doc id (the salt keeps the
     // sampling stream independent of every other hash family here).
@@ -2373,40 +2404,7 @@ object TextQueries {
     // Gopher table-A1 replay: every signal is an integer count over the
     // same normalized token / raw line arrays, so the single divisions and
     // the threshold booleans match bit-for-bit.
-    "q71_gopher_quality" ->
-      raw"""WITH t AS (
-           |  SELECT doc_id, text,
-           |    string_split_regex(trim($normSql), '\s+') AS toks,
-           |    string_split(text, chr(10)) AS ls
-           |  FROM documents),
-           |f AS (
-           |  SELECT doc_id,
-           |    CAST(len(toks) AS BIGINT) AS n_words,
-           |    list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
-           |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
-           |    CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
-           |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS symbol_ratio,
-           |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-           |      / CAST(len(toks) AS DOUBLE) AS alpha_word_frac,
-           |    CAST(${TextOps.gopherRequiredWords.map(w =>
-                  s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
-                  .mkString("\n           |      + ")} AS BIGINT) AS n_required_stops,
-           |    CAST(len(list_filter(ls, l ->
-           |        regexp_matches(ltrim(l), '^(•|‣|▪|- |\* )'))) AS DOUBLE)
-           |      / CAST(len(ls) AS DOUBLE) AS bullet_line_frac,
-           |    CAST(len(list_filter(ls, l ->
-           |        regexp_matches(l, '(\.\.\.|…)$$'))) AS DOUBLE)
-           |      / CAST(len(ls) AS DOUBLE) AS ellipsis_line_frac
-           |  FROM t)
-           |SELECT f.*,
-           |  (n_words >= 50 AND n_words <= 100000
-           |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-           |    AND symbol_ratio <= 0.1
-           |    AND alpha_word_frac >= 0.8
-           |    AND n_required_stops >= 2
-           |    AND bullet_line_frac <= 0.9
-           |    AND ellipsis_line_frac <= 0.3) AS passes_gopher_quality
-           |FROM f""".stripMargin,
+    "q71_gopher_quality" -> q71OracleSql(gopherMinStops),
     // q74 replay: per-n gram GROUP BYs (the q70 pattern, generated from
     // the same threshold tables as the Spark side) + line/paragraph unit
     // GROUP BYs; the top-gram tie (cnt DESC, gram ASC) mirrors the fold's
@@ -2643,19 +2641,64 @@ object TextQueries {
          |JOIN sh b ON b.doc_id = pairs.doc_b""".stripMargin,
   )
 
-  // q75 composes the three Gopher oracles as subqueries (DuckDB allows a
-  // WITH inside a parenthesized subquery), so the combined filter can
-  // never drift from the per-family replays it intersects.
+  // q75/q75b compose the three Gopher oracles as subqueries (DuckDB allows
+  // a WITH inside a parenthesized subquery), so the combined filter can
+  // never drift from the per-family replays it intersects; q75b swaps only
+  // the q71 replay's stopword gate (the same single constant the Spark
+  // side swaps — see gopherRelaxedMinStops).
+  private def gopherApplySql(q71Sql: String): String =
+    raw"""SELECT d.doc_id,
+         |  CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n_tokens
+         |FROM documents d
+         |JOIN (${oracleSqlBase("q70_repetition")}) a ON d.doc_id = a.doc_id
+         |JOIN ($q71Sql) b ON d.doc_id = b.doc_id
+         |JOIN (${oracleSqlBase("q74_gopher_repetition_ext")}) c ON d.doc_id = c.doc_id
+         |WHERE a.passes_repetition AND b.passes_gopher_quality
+         |  AND c.passes_gopher_repetition_ext""".stripMargin
+
   val oracleSql: Map[String, String] = oracleSqlBase +
-    ("q75_gopher_apply" ->
-      raw"""SELECT d.doc_id,
-           |  CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n_tokens
-           |FROM documents d
-           |JOIN (${oracleSqlBase("q70_repetition")}) a ON d.doc_id = a.doc_id
-           |JOIN (${oracleSqlBase("q71_gopher_quality")}) b ON d.doc_id = b.doc_id
-           |JOIN (${oracleSqlBase("q74_gopher_repetition_ext")}) c ON d.doc_id = c.doc_id
-           |WHERE a.passes_repetition AND b.passes_gopher_quality
-           |  AND c.passes_gopher_repetition_ext""".stripMargin)
+    ("q75_gopher_apply" -> gopherApplySql(q71OracleSql(gopherMinStops))) +
+    ("q75b_gopher_apply_relaxed" ->
+      gopherApplySql(q71OracleSql(gopherRelaxedMinStops)))
+
+  // The q71 replay, GENERATED as a function of the required-stopword gate
+  // so the standard entry (gopherMinStops) and the q75b relaxed
+  // composition (gopherRelaxedMinStops) can never drift from each other —
+  // every other threshold is table-A1 and shared verbatim.
+  private def q71OracleSql(minStops: Long): String =
+    raw"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    string_split_regex(trim($normSql), '\s+') AS toks,
+         |    string_split(text, chr(10)) AS ls
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+         |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+         |    CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
+         |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS symbol_ratio,
+         |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+         |      / CAST(len(toks) AS DOUBLE) AS alpha_word_frac,
+         |    CAST(${TextOps.gopherRequiredWords.map(w =>
+                s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
+                .mkString("\n         |      + ")} AS BIGINT) AS n_required_stops,
+         |    CAST(len(list_filter(ls, l ->
+         |        regexp_matches(ltrim(l), '^(•|‣|▪|- |\* )'))) AS DOUBLE)
+         |      / CAST(len(ls) AS DOUBLE) AS bullet_line_frac,
+         |    CAST(len(list_filter(ls, l ->
+         |        regexp_matches(l, '(\.\.\.|…)$$'))) AS DOUBLE)
+         |      / CAST(len(ls) AS DOUBLE) AS ellipsis_line_frac
+         |  FROM t)
+         |SELECT f.*,
+         |  (n_words >= 50 AND n_words <= 100000
+         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND symbol_ratio <= 0.1
+         |    AND alpha_word_frac >= 0.8
+         |    AND n_required_stops >= $minStops
+         |    AND bullet_line_frac <= 0.9
+         |    AND ellipsis_line_frac <= 0.3) AS passes_gopher_quality
+         |FROM f""".stripMargin
 
   // q74's oracle is GENERATED from the same threshold tables as the Spark
   // side — per-n gram-count CTEs, top/dup aggregates, and line/paragraph

@@ -35,6 +35,21 @@ class AtomicFilesSpec extends AnyFunSuite {
     assert(dir.listFiles().isEmpty, "no orphaned temp after a failed write")
   }
 
+  test("failed pre-publish fsync removes its temp and rethrows") {
+    // body succeeds but deletes its own temp, so the data-fsync open
+    // throws NoSuchFileException — the failure path AFTER body but BEFORE
+    // publish. Regression for the gap where only body(tmp) was wrapped by
+    // the cleanup catch: a throwing fsync left the orphan to the 1-hour
+    // stale sweep.
+    val dir = tmpDir(); val out = new File(dir, "a.bin")
+    intercept[java.nio.file.NoSuchFileException] {
+      AtomicFiles.write(out.getPath) { f =>
+        Files.writeString(f.toPath, "partial"); Files.delete(f.toPath)
+      }
+    }
+    assert(dir.listFiles().isEmpty) // no publish, no orphaned temp
+  }
+
   test("a published path ending in .tmp is refused — the legacy sweep would later delete it") {
     val dir = tmpDir()
     val e = intercept[IllegalArgumentException] {

@@ -158,4 +158,23 @@ class ChartsSpec extends SparkSpec {
     assert(frame.filter(org.apache.spark.sql.functions.col("client_type")
       .isNull).count() === 1)
   }
+
+  test("capped legend reserves a row for the '+N more' summary") {
+    // boxH = rowH*(drawnRows + title) + 10 from y = top+10 must stay
+    // inside plotH; drawnRows = maxRows + 1 (summary) when capped.
+    // Regression: the old cap spent every row on entries, so the summary
+    // row overflowed the plot bottom by one row.
+    val rowH = 28
+    for (plotH <- Seq(100, 200, 560); n <- Seq(1, 3, 17, 40)) {
+      val maxRows = Charts.legendMaxRows(n, plotH, rowH)
+      val drawnRows = if (n > maxRows) maxRows + 1 else n
+      val boxH = rowH * (drawnRows + 1) + 10
+      assert(maxRows >= 1)
+      if (plotH >= 20 + rowH * 3) // title + entry + summary representable
+        assert(boxH + 10 <= plotH,
+          s"legend box $boxH + top-inset 10 overflows plotH=$plotH at n=$n")
+    }
+    // uncapped report-shaped legends are untouched: all entries drawn
+    assert(Charts.legendMaxRows(3, 560) >= 3)
+  }
 }

@@ -320,4 +320,148 @@ class MediaDecodeSpec extends SparkSpec {
     assert(f(1).sample_rate === None)
     assert(f(2).sample_rate === None)
   }
+
+  // ------------------------------------------------------ video (AVI/MJPEG)
+
+  private def le32(v: Int): Array[Byte] = Array(
+    (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+    ((v >> 16) & 0xFF).toByte, ((v >>> 24) & 0xFF).toByte)
+
+  private def riffChunk(id: String, p: Array[Byte]): Array[Byte] =
+    id.getBytes("US-ASCII") ++ le32(p.length) ++ p ++
+      (if ((p.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+
+  private def riffList(typ: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", typ.getBytes("US-ASCII") ++ body)
+
+  /** Minimal spec-conformant AVI/MJPEG: RIFF('AVI ' LIST('hdrl' avih
+    * LIST('strl' strh strf)) LIST('movi' 00dc…) idx1), real ImageIO JPEG
+    * payloads. `recGroups` wraps the frames in a LIST('rec ') interleave
+    * group, as 1:1-interleaved writers emit.
+    */
+  private def mjpegAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+      usPerFrame: Int = 40000, recGroups: Boolean = false): Array[Byte] = {
+    // avih (56 bytes): usPerFrame, maxBytesPerSec, padding, flags,
+    // totalFrames(+16), initialFrames, streams, sugBufSize, width(+32),
+    // height(+36), reserved[4]
+    val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ new Array[Byte](16)
+    val strh = "vids".getBytes ++ "MJPG".getBytes ++ new Array[Byte](48)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ new Array[Byte](28)
+    val hdrl = riffList("hdrl", riffChunk("avih", avih) ++
+      riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
+    val frameChunks = frames.map(riffChunk("00dc", _))
+    val moviBody =
+      if (recGroups) frameChunks.map(c => riffList("rec ", c))
+        .foldLeft(Array.empty[Byte])(_ ++ _)
+      else frameChunks.foldLeft(Array.empty[Byte])(_ ++ _)
+    val movi = riffList("movi", moviBody)
+    val idx1 = riffChunk("idx1", new Array[Byte](16))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi ++ idx1
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  private def jpegFrames(n: Int, w: Int = 64, h: Int = 48): Seq[Array[Byte]] =
+    (0 until n).map(i => encode(testImage(w, h, shift = i * 13), "jpg"))
+
+  test("AVI/MJPEG demux + decode: dims, frame count, fps, real frame dHashes") {
+    val frames = jpegFrames(5)
+    val avi = mjpegAvi(frames, 64, 48, usPerFrame = 40000)
+    val Some((w, h, n, fps, dur, sampled, hashes, luma)) =
+      MediaDecode.decodeVideo(avi)
+    assert(w === 64 && h === 48 && n === 5L)
+    assert(fps === 25.0 && math.abs(dur - 0.2) < 1e-9)
+    assert(sampled === 5 && hashes.length === 5)
+    // each sampled dHash IS the image path's dHash of that frame — the
+    // video path goes through the same bounded ImageIO decode
+    frames.zipWithIndex.foreach { case (f, i) =>
+      assert(hashes(i) === MediaDecode.decodeImage(f).get._4, s"frame $i")
+    }
+    assert(luma > 0 && luma < 255)
+  }
+
+  test("frame sampling is evenly spaced, both ends anchored") {
+    val frames = jpegFrames(10)
+    val avi = mjpegAvi(frames, 64, 48)
+    val Some((_, _, n, _, _, sampled, hashes, _)) =
+      MediaDecode.decodeVideo(avi, maxSamples = 4)
+    assert(n === 10L && sampled === 4)
+    // picks for n=10, k=4: 0, 3, 6, 9
+    val expect = Seq(0, 3, 6, 9).map(i =>
+      MediaDecode.decodeImage(frames(i)).get._4)
+    assert(hashes.toSeq === expect)
+  }
+
+  test("'rec ' interleave groups demux identically to flat movi") {
+    val frames = jpegFrames(4)
+    val flat = MediaDecode.decodeVideo(mjpegAvi(frames, 64, 48))
+    val rec  = MediaDecode.decodeVideo(
+      mjpegAvi(frames, 64, 48, recGroups = true))
+    assert(flat.isDefined && rec.isDefined)
+    assert(rec.get._7.toSeq === flat.get._7.toSeq) // same dhashes
+    assert(rec.get._3 === 4L)
+  }
+
+  test("truncated AVI (partial download) keeps the complete earlier frames") {
+    val frames = jpegFrames(4)
+    val avi = mjpegAvi(frames, 64, 48)
+    // cut inside the LAST frame's JPEG payload: the demux must keep frames
+    // 0-2 and drop the partial one, like the WAV truncation discipline
+    val cut = avi.take(avi.length - frames.last.length / 2 - 20)
+    val dec = MediaDecode.decodeVideo(cut)
+    assert(dec.isDefined)
+    assert(dec.get._3 === 3L, "partial final frame must be dropped")
+    assert(dec.get._7.toSeq ===
+      frames.take(3).map(f => MediaDecode.decodeImage(f).get._4))
+  }
+
+  test("non-AVI, corrupt, and adversarial bytes return None, never crash") {
+    assert(MediaDecode.decodeVideo(Array.empty[Byte]) === None)
+    assert(MediaDecode.decodeVideo("junk".getBytes) === None)
+    assert(MediaDecode.decodeVideo(encode(testImage(8, 8), "jpg")) === None)
+    assert(MediaDecode.decodeVideo(sineWav(8000, 1, 0.01, 0.5)) === None)
+    // missing avih → None even with a well-formed movi
+    val frames = jpegFrames(2)
+    val noHdrl = {
+      val movi = riffList("movi",
+        frames.map(riffChunk("00dc", _)).foldLeft(Array.empty[Byte])(_ ++ _))
+      val body = "AVI ".getBytes ++ movi
+      "RIFF".getBytes ++ le32(body.length) ++ body
+    }
+    assert(MediaDecode.decodeVideo(noHdrl) === None)
+    // nesting bomb: 100-deep hdrl-in-hdrl chain must hit the depth cap,
+    // not StackOverflowError
+    val bomb = {
+      val core = riffChunk("avih", new Array[Byte](56))
+      val nested = (1 to 100).foldLeft(core)((b, _) => riffList("hdrl", b))
+      val body = "AVI ".getBytes ++ nested
+      "RIFF".getBytes ++ le32(body.length) ++ body
+    }
+    assert(MediaDecode.decodeVideo(bomb) === None)
+    // a corrupt frame among good ones is skipped, not fatal
+    val mixed = mjpegAvi(
+      Seq(frames(0), "not a jpeg at all".getBytes, frames(1)), 64, 48)
+    val dec = MediaDecode.decodeVideo(mixed)
+    assert(dec.isDefined && dec.get._3 === 3L)
+    assert(dec.get._6 === 2) // sampled_frames counts DECODED frames
+  }
+
+  test("decodeVideos stage mirrors the image/audio None discipline") {
+    import spark.implicits._
+    val avi = mjpegAvi(jpegFrames(3), 64, 48)
+    val rows = Seq(
+      (1L, "video/x-msvideo", avi),
+      (2L, "video/x-msvideo", "garbage".getBytes),
+      (3L, "video/x-msvideo", null))
+    val f = MediaDecode.decodeVideos(rows.toDF("doc_id", "mime", "bytes"))
+      .collect().sortBy(_.doc_id)
+    assert(f(0).n_frames === Some(3L) && f(0).frame_dhashes.get.length === 3)
+    assert(f(0).fps === Some(25.0))
+    assert(f(1).n_frames === None && f(2).n_frames === None)
+    // per-frame dhashes feed the image near-dup banding directly: a video
+    // and a still of one of its frames collide at Hamming 0
+    val still = MediaDecode.dhash64(jpegFrames(3)(1))
+    assert(f(0).frame_dhashes.get.contains(still.get))
+  }
 }

@@ -90,7 +90,8 @@ def load_artifact(path: str, sf_hint: str = None):
             same = [d for d in entries if d.get("sf") == target_sf]
             doc = dict(same[-1])
             merged = {}
-            for d in same:
+            src = {}  # query -> index of the line that supplied its min
+            for li, d in enumerate(same):
                 for k, v in d["queries"].items():
                     fv = float(v)
                     # skip the -1.0 failed-rep sentinel: one failed run
@@ -99,7 +100,21 @@ def load_artifact(path: str, sf_hint: str = None):
                         continue
                     if k not in merged or fv < merged[k]:
                         merged[k] = fv
+                        src[k] = li
             doc["queries"] = merged
+            # evidence follows provenance: each key's twin_reps row and
+            # load_flagged entries are taken from the SAME line that
+            # supplied its merged min — copying them wholesale from the
+            # last line would make the min-rep-flagged annotation describe
+            # a different run than the one actually being gated on
+            doc["twin_reps"] = {
+                k: same[li]["twin_reps"][k]
+                for k, li in src.items()
+                if k in same[li].get("twin_reps", {})}
+            doc["load_flagged"] = [
+                f for li, d in enumerate(same)
+                for f in d.get("load_flagged", [])
+                if src.get(f.get("q")) == li]
             raw = json.dumps(doc)
     if sel is not None:
         # also reached when a ONE-line history file json-parses directly
