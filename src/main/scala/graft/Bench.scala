@@ -346,6 +346,20 @@ object Bench {
       .mkString("[", ",", "]")
     println(
       s"""{"queries":$qs,"twin_reps":$twinReps,"failed":$failed,"repaired":$repairedJson,"load_median":${f3(loadMedian)},"load_flagged_n":${flagged.length},"rdds_after":$rddsAfter,"detail":"${esc(detailPath)}","sf":"${esc(sfDir)}","unit":"sec","metric":"total_query_sec","value":${f3(total)}}""")
+    // COMPACT line LAST: the driver keeps only the last ~2 KB of stdout,
+    // and the full-name queries map alone (~2.5 KB at 106 keys) can never
+    // fit it — rounds 5-10's committed wrappers all truncated mid-map
+    // ("parsed": null). This line carries the WHOLE map under short ids
+    // (BenchSupport.shortIds — first '_'-segment, full name on collision)
+    // at 2-decimal precision: ~1.6 KB, complete inside the capture, and a
+    // standalone parseable JSON object. Full-name/f3 records stay in the
+    // line above, the detail file, and tools/bench_history.jsonl.
+    val shortOf = BenchSupport.shortIds(all.map(_._1))
+    val qsShort = all.map { case (k, v) =>
+      s""""${esc(shortOf(k))}":${BenchSupport.f2(v)}""" }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"queries":$qsShort,"ids":"first_name_segment","failed":$failed,"repaired":$repairedJson,"load_median":${BenchSupport.f2(loadMedian)},"load_flagged_n":${flagged.length},"sf":"${esc(sfDir)}","unit":"sec","metric":"total_query_sec","value":${f3(total)}}""")
     // Append this run's FULL per-query record to the committed history —
     // the durable counterpart of the driver's tail-truncated wrapper, and
     // the next round's preferred repair/check_bench reference (all ~106

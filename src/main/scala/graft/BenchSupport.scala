@@ -69,6 +69,28 @@ object BenchSupport {
 
   def arr(rs: Seq[Double]): String = rs.map(f3).mkString("[", ",", "]")
 
+  /** %.2f for the compact wrapper line (see Bench's final println): at 106
+    * keys the full-name f3 queries map alone (~2.5 KB) exceeds the
+    * driver's ~2 KB stdout tail capture, so that artifact line could never
+    * parse; two decimals is still far below bench noise.
+    */
+  def f2(v: Double): String =
+    "%.2f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Collision-safe short ids for the compact wrapper line: a name maps to
+    * its first '_'-segment (the registry's `qNN[letter]` id); any group of
+    * names sharing a first segment keeps its full names instead (e.g. the
+    * `q44_trades_etl*` scaled twins all collide on `q44` with the
+    * registered pipeline query, so all four stay long). Deterministic and
+    * total — every input name gets exactly one unique output key.
+    */
+  def shortIds(names: Seq[String]): Map[String, String] = {
+    val first = names.map(n => n -> n.takeWhile(_ != '_'))
+    val dup = first.groupBy(_._2).collect {
+      case (s, g) if g.size > 1 => s }.toSet
+    first.map { case (n, s) => n -> (if (dup(s)) n else s) }.toMap
+  }
+
   /** Min over the VALID reps (-1.0 is the failed-run sentinel): a
     * transient failure on one rep must not discard another's measurement.
     */

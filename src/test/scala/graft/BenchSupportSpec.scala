@@ -427,6 +427,27 @@ class BenchSupportSpec extends AnyFunSuite {
     BenchSupport.preReadDir("/no/such/dir")    // must not throw
   }
 
+  test("shortIds: first segment, full names on collision, always unique") {
+    val names = Seq("q00_clean_cast", "q75b_gopher_apply_relaxed",
+      "q44_trades_etl", "q44_trades_etl_80k", "q44_trades_etl_800k")
+    val ids = BenchSupport.shortIds(names)
+    assert(ids("q00_clean_cast") === "q00")
+    assert(ids("q75b_gopher_apply_relaxed") === "q75b")
+    // the scaled twins collide with the registered q44 → all stay long
+    assert(ids("q44_trades_etl") === "q44_trades_etl")
+    assert(ids("q44_trades_etl_80k") === "q44_trades_etl_80k")
+    assert(ids.values.toSeq.distinct.size === names.size)
+    // short ids never match the artifact-min regex, so a compact wrapper
+    // line can't inject phantom keys into the repair/check_bench gates
+    assert(BenchSupport.parseArtifactMins(""""q75b":0.42""") === Map.empty)
+  }
+
+  test("f2: locale-proof two-decimal rendering") {
+    assert(BenchSupport.f2(1.2345) === "1.23")
+    assert(BenchSupport.f2(0.0) === "0.00")
+    assert(BenchSupport.f2(-1.0) === "-1.00")
+  }
+
   test("load and steal probes degrade to sentinels, never throw") {
     // on this Linux host they read real values; the contract under test
     // is "either a plausible reading or the -1 sentinel, never a throw"
