@@ -447,6 +447,36 @@ class MediaDecodeSpec extends SparkSpec {
     assert(dec.get._6 === 2) // sampled_frames counts DECODED frames
   }
 
+  test("fuzz: random, mutated, and truncated bytes never throw or hang") {
+    val rnd = new scala.util.Random(1311)
+    // pure-random buffers, including RIFF/AVI-prefixed garbage
+    for (i <- 0 until 200) {
+      val n = rnd.nextInt(600)
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      if (i % 3 == 0 && n >= 12) {
+        "RIFF".getBytes.copyToArray(b, 0); "AVI ".getBytes.copyToArray(b, 8)
+      }
+      MediaDecode.decodeVideo(b) // must return, whatever the bytes
+      MediaDecode.decodeWav(b)
+      MediaDecode.decodeImage(b)
+    }
+    // single-byte mutations and random truncations of a VALID AVI: the
+    // demux must stay total (None or a structurally sane Some), and a
+    // mutated frame payload must degrade to a skipped frame, not a throw
+    val avi = mjpegAvi(jpegFrames(3), 64, 48)
+    for (_ <- 0 until 150) {
+      val m = avi.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      MediaDecode.decodeVideo(m).foreach { case (_, _, n, _, _, k, hs, _) =>
+        assert(n >= 0 && k >= 0 && hs.length === k)
+      }
+      val cut = avi.take(rnd.nextInt(avi.length))
+      MediaDecode.decodeVideo(cut).foreach { case (_, _, n, _, _, k, hs, _) =>
+        assert(n >= 0 && k <= n && hs.length === k)
+      }
+    }
+  }
+
   test("decodeVideos stage mirrors the image/audio None discipline") {
     import spark.implicits._
     val avi = mjpegAvi(jpegFrames(3), 64, 48)
