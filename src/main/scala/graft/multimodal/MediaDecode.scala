@@ -391,10 +391,14 @@ object MediaDecode {
     *
     *   - `avih` (main header, inside `LIST hdrl`) carries
     *     dwMicroSecPerFrame (+0) and dwWidth/dwHeight (+32/+36);
-    *   - frame data lives in `LIST movi` as `00dc`/`00db` chunks (stream
-    *     0 compressed/uncompressed data — for MJPEG every `00dc` payload
-    *     is a complete baseline JPEG, which the stock ImageIO reader
-    *     decodes); interleave groups (`LIST rec `) are walked inline;
+    *   - frame data lives in `LIST movi` as `##dc`/`##db` chunks (the
+    *     2-digit prefix is the stream number); the VIDEO stream is the
+    *     first `strh` declaring fccType 'vids' — crawled AVIs routinely
+    *     put audio at stream 00, so hardcoding `00dc` would sample zero
+    *     frames there (stream 0 remains the fallback when no strl
+    *     headers exist). For MJPEG every video payload is a complete
+    *     baseline JPEG, which the stock ImageIO reader decodes;
+    *     interleave groups (`LIST rec `) are walked inline;
     *   - `idx1` is ignored — the movi walk IS the index, so a file with a
     *     missing or lying idx1 (common in truncated crawls) still demuxes;
     *   - a final chunk truncated by a partial download ends the walk with
@@ -412,7 +416,16 @@ object MediaDecode {
       if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "AVI ") return None
       var width = 0; var height = 0; var usPerFrame = 0L
       var sawAvih = false
-      val frames = Vector.newBuilder[(Int, Int)]
+      // stream resolution: strh chunks appear in stream order inside
+      // LIST('strl') lists; the first with fccType 'vids' is the video
+      // stream. Crawled AVIs routinely interleave audio FIRST (stream 00
+      // = '00wb' audio, '01dc' video), so assuming stream 0 would sample
+      // zero frames there. Chunks are collected per-stream and filtered
+      // after the walk (robust even to a pathological movi-before-hdrl
+      // ordering).
+      var strhSeen = 0
+      var vidStream = -1
+      val frames = Vector.newBuilder[(Int, Int, Int)] // (stream, off, len)
       var nFrames = 0
       // walk one chunk run [from, until); returns false on malformed
       // input. depth caps LIST nesting: a legit AVI needs 2 (top→movi→
@@ -451,10 +464,11 @@ object MediaDecode {
               val listType = ascii(off + 8, 4)
               val ok = listType match {
                 case "hdrl" => walk(off + 12, end, inMovi = false, depth + 1)
+                case "strl" => walk(off + 12, end, inMovi = false, depth + 1)
                 case "movi" => walk(off + 12, end, inMovi = true, depth + 1)
                 case "rec " if inMovi =>
                   walk(off + 12, end, inMovi = true, depth + 1)
-                case _ => true // strl handled via hdrl walk; INFO etc. skipped
+                case _ => true // INFO etc. skipped
               }
               if (!ok) return false
             case "LIST" => return false // list too small to hold its type
@@ -463,12 +477,18 @@ object MediaDecode {
               width = u32(off + 8 + 32).toInt
               height = u32(off + 8 + 36).toInt
               sawAvih = true
-            case d if inMovi && d.length == 4 && d.startsWith("00") &&
+            case "strh" if sz >= 4 =>
+              if (ascii(off + 8, 4) == "vids" && vidStream < 0)
+                vidStream = strhSeen
+              strhSeen += 1
+            case d if inMovi && d.length == 4 &&
+                d(0).isDigit && d(1).isDigit &&
                 (d.endsWith("dc") || d.endsWith("db")) =>
               if (nFrames < maxDemuxFrames && sz > 0) {
-                frames += ((off + 8, sz)); nFrames += 1
+                frames += (((d(0) - '0') * 10 + (d(1) - '0'), off + 8, sz))
+                nFrames += 1
               }
-            case _ => () // strh/strf/idx1/JUNK/other streams' chunks
+            case _ => () // strf/idx1/JUNK/non-video stream chunk types
           }
           off = end + (sz & 1) // RIFF chunks are word-aligned
         }
@@ -477,7 +497,12 @@ object MediaDecode {
       val riffEnd = math.min(bytes.length.toLong, 8L + u32(4)).toInt
       if (!walk(12, riffEnd, inMovi = false, depth = 0)) None
       else if (!sawAvih) None
-      else Some(AviInfo(width, height, usPerFrame, frames.result()))
+      else {
+        // no 'vids' strh (minimal writers omit strl): fall back to stream 0
+        val vs = math.max(vidStream, 0)
+        Some(AviInfo(width, height, usPerFrame,
+          frames.result().collect { case (s, o, l) if s == vs => (o, l) }))
+      }
     } catch { case NonFatal(_) => None }
 
   /** Demux + sample + decode: up to `maxSamples` evenly spaced frames

@@ -339,19 +339,35 @@ class MediaDecodeSpec extends SparkSpec {
     * payloads. `recGroups` wraps the frames in a LIST('rec ') interleave
     * group, as 1:1-interleaved writers emit.
     */
+  /** `audioFirst` puts an 'auds' stream at index 0 (strl order + '00wb'
+    * audio chunks interleaved in movi) and the video at index 1 ('01dc'),
+    * the layout many muxers emit.
+    */
   private def mjpegAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
-      usPerFrame: Int = 40000, recGroups: Boolean = false): Array[Byte] = {
+      usPerFrame: Int = 40000, recGroups: Boolean = false,
+      audioFirst: Boolean = false): Array[Byte] = {
     // avih (56 bytes): usPerFrame, maxBytesPerSec, padding, flags,
     // totalFrames(+16), initialFrames, streams, sugBufSize, width(+32),
     // height(+36), reserved[4]
+    val nStreams = if (audioFirst) 2 else 1
     val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
-      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(frames.length) ++ le32(0) ++ le32(nStreams) ++ le32(0) ++
       le32(w) ++ le32(h) ++ new Array[Byte](16)
-    val strh = "vids".getBytes ++ "MJPG".getBytes ++ new Array[Byte](48)
+    val vidStrh = "vids".getBytes ++ "MJPG".getBytes ++ new Array[Byte](48)
+    val audStrh = "auds".getBytes ++ new Array[Byte](4) ++ new Array[Byte](48)
     val strf = le32(40) ++ le32(w) ++ le32(h) ++ new Array[Byte](28)
+    val vidStrl =
+      riffList("strl", riffChunk("strh", vidStrh) ++ riffChunk("strf", strf))
+    val audStrl =
+      riffList("strl", riffChunk("strh", audStrh) ++
+        riffChunk("strf", new Array[Byte](16)))
     val hdrl = riffList("hdrl", riffChunk("avih", avih) ++
-      riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
-    val frameChunks = frames.map(riffChunk("00dc", _))
+      (if (audioFirst) audStrl ++ vidStrl else vidStrl))
+    val vidId = if (audioFirst) "01dc" else "00dc"
+    val frameChunks = frames.map { f =>
+      val v = riffChunk(vidId, f)
+      if (audioFirst) riffChunk("00wb", new Array[Byte](32)) ++ v else v
+    }
     val moviBody =
       if (recGroups) frameChunks.map(c => riffList("rec ", c))
         .foldLeft(Array.empty[Byte])(_ ++ _)
@@ -401,6 +417,18 @@ class MediaDecodeSpec extends SparkSpec {
     assert(flat.isDefined && rec.isDefined)
     assert(rec.get._7.toSeq === flat.get._7.toSeq) // same dhashes
     assert(rec.get._3 === 4L)
+  }
+
+  test("audio-first AVI: the 'vids' strh picks stream 01, skips '00wb' audio") {
+    val frames = jpegFrames(4)
+    val flat = MediaDecode.decodeVideo(mjpegAvi(frames, 64, 48))
+    val af = MediaDecode.decodeVideo(
+      mjpegAvi(frames, 64, 48, audioFirst = true))
+    assert(af.isDefined)
+    // hardcoding stream 00 would have sampled the audio chunks (0 decoded
+    // frames); the strh resolution must recover the identical video set
+    assert(af.get._3 === 4L && af.get._6 === 4)
+    assert(af.get._7.toSeq === flat.get._7.toSeq)
   }
 
   test("truncated AVI (partial download) keeps the complete earlier frames") {

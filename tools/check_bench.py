@@ -125,9 +125,36 @@ def load_artifact(path: str, sf_hint: str = None):
     return raw, (doc if isinstance(doc, dict) else {})
 
 
+SHORT_IDS_MARK = "first_name_segment"
+
+
+def shorten_keys(queries: dict) -> dict:
+    """Mirror BenchSupport.shortIds: a name maps to its first '_'-segment;
+    any group sharing a first segment keeps its full names. Applied to a
+    FULL-name map so it can be compared against a compact wrapper line
+    (whose keys are already short)."""
+    first = {k: k.split("_", 1)[0] for k in queries}
+    counts = {}
+    for s in first.values():
+        counts[s] = counts.get(s, 0) + 1
+    return {(s if counts[s] == 1 else k): v
+            for (k, v), s in zip(queries.items(), first.values())}
+
+
 def extract_queries(raw: str, doc: dict) -> dict:
-    """Return {query_name: seconds} from any of the three artifact shapes."""
+    """Return {query_name: seconds} from any of the artifact shapes.
+    A second element of truth rides on the doc: `doc['_short_ids']` is set
+    when the keys are compact short ids (see Bench's final stdout line)."""
+    # driver wrapper whose parse succeeded (the compact line): queries live
+    # under `parsed`, keyed by short ids when so marked
+    p = doc.get("parsed")
+    if isinstance(p, dict) and isinstance(p.get("queries"), dict):
+        if p.get("ids") == SHORT_IDS_MARK:
+            doc["_short_ids"] = True
+        return {k: float(v) for k, v in p["queries"].items()}
     if isinstance(doc.get("queries"), dict):           # full bench line
+        if doc.get("ids") == SHORT_IDS_MARK:
+            doc["_short_ids"] = True
         return {k: float(v) for k, v in doc["queries"].items()}
     if isinstance(doc.get("reps"), dict):              # bench_detail.json
         # min over VALID reps only: -1.0 is the failed-rep sentinel,
@@ -171,8 +198,18 @@ def main(prev_path: str, new_path: str, threshold: float = 2.0) -> int:
     new_raw, new_doc = load_artifact(new_path)
     # the new artifact's sf (when it carries one) pins which history lines
     # are eligible as the reference — cross-SF mins are not comparable
-    prev = extract_queries(*load_artifact(prev_path, new_doc.get("sf")))
+    prev_raw, prev_doc = load_artifact(prev_path, new_doc.get("sf"))
+    prev = extract_queries(prev_raw, prev_doc)
     new = extract_queries(new_raw, new_doc)
+    # key-style normalization: when exactly one side is a compact
+    # short-id map (a post-round-11 wrapper), shorten the full-name side
+    # with the same deterministic rule so the comparison stays possible —
+    # otherwise wrapper-vs-history would share no keys and exit 255
+    if prev_doc.get("_short_ids") != new_doc.get("_short_ids"):
+        if prev_doc.get("_short_ids"):
+            new = shorten_keys(new)
+        else:
+            prev = shorten_keys(prev)
     common = sorted(set(prev) & set(new))
     if not common:
         # 255, not 1: the exit code otherwise means "N regressions", and a
