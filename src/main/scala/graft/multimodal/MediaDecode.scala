@@ -379,8 +379,14 @@ object MediaDecode {
       frames: Vector[(Int, Int)])
 
   /** Walked-frame cap: a crafted movi list can declare millions of
-    * zero-length chunks; the walk stops collecting past this bound (the
-    * declared total keeps reporting the container's own count).
+    * zero-length chunks; the walk stops collecting past this bound.
+    * Everything downstream — n_frames, duration, the sampling domain —
+    * sees the CAPPED list, so a legitimate >100k-frame AVI (~66 min at
+    * 25 fps) under-reports and anchors its last sample inside the cap;
+    * the avih dwTotalFrames header is deliberately NOT used instead,
+    * because truncated downloads and lying muxers make it the less
+    * trustworthy count (the same reason idx1 is ignored), and the walked
+    * list is what the decode can actually reach.
     */
   private val maxDemuxFrames = 100000
 

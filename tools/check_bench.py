@@ -128,17 +128,22 @@ def load_artifact(path: str, sf_hint: str = None):
 SHORT_IDS_MARK = "first_name_segment"
 
 
-def shorten_keys(queries: dict) -> dict:
-    """Mirror BenchSupport.shortIds: a name maps to its first '_'-segment;
-    any group sharing a first segment keeps its full names. Applied to a
-    FULL-name map so it can be compared against a compact wrapper line
-    (whose keys are already short)."""
-    first = {k: k.split("_", 1)[0] for k in queries}
+def shorten_map(names) -> dict:
+    """Mirror BenchSupport.shortIds: {full_name: short_id} where a name
+    maps to its first '_'-segment and any group sharing a first segment
+    keeps its full names."""
+    first = {k: k.split("_", 1)[0] for k in names}
     counts = {}
     for s in first.values():
         counts[s] = counts.get(s, 0) + 1
-    return {(s if counts[s] == 1 else k): v
-            for (k, v), s in zip(queries.items(), first.values())}
+    return {k: (s if counts[s] == 1 else k) for k, s in first.items()}
+
+
+def shorten_keys(queries: dict) -> dict:
+    """Apply shorten_map to a FULL-name query map so it can be compared
+    against a compact wrapper line (whose keys are already short)."""
+    m = shorten_map(queries)
+    return {m[k]: v for k, v in queries.items()}
 
 
 def extract_queries(raw: str, doc: dict) -> dict:
@@ -205,9 +210,11 @@ def main(prev_path: str, new_path: str, threshold: float = 2.0) -> int:
     # short-id map (a post-round-11 wrapper), shorten the full-name side
     # with the same deterministic rule so the comparison stays possible —
     # otherwise wrapper-vs-history would share no keys and exit 255
+    new_key_map = None  # full name -> comparison key, when new was shortened
     if prev_doc.get("_short_ids") != new_doc.get("_short_ids"):
         if prev_doc.get("_short_ids"):
-            new = shorten_keys(new)
+            new_key_map = shorten_map(new)
+            new = {new_key_map[k]: v for k, v in new.items()}
         else:
             prev = shorten_keys(prev)
     common = sorted(set(prev) & set(new))
@@ -217,6 +224,14 @@ def main(prev_path: str, new_path: str, threshold: float = 2.0) -> int:
         print("no common query keys between the two artifacts")
         return 255
     ambient = min_rep_flagged(new_doc)
+    # the ambient set carries FULL names (detail/history evidence); when
+    # the new side's keys were shortened for the comparison, map the
+    # ambient names through the SAME population-derived map — otherwise
+    # the load-flagged annotation silently never matches and a storm
+    # reads as a genuine regression (exactly what the annotation exists
+    # to prevent). Names outside the queries map pass through unchanged.
+    if new_key_map is not None:
+        ambient = {new_key_map.get(q, q) for q in ambient}
     flagged = 0
     # floor of 0.25 s: at sub-quarter-second scale a 2x ratio is scheduler
     # noise, not a regression worth a standalone re-measure
