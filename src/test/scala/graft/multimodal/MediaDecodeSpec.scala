@@ -505,6 +505,32 @@ class MediaDecodeSpec extends SparkSpec {
     }
   }
 
+  test("video near-dup: exploded frame dHashes ride the image banding") {
+    // the decodeVideos Scaladoc claims explode(frame_dhashes) feeds
+    // imageNearDupPairs directly — prove it: two videos sharing one
+    // frame (a re-encode that kept a scene) must collide, an unrelated
+    // video must not
+    import spark.implicits._
+    val shared = jpegFrames(1).head
+    val a = mjpegAvi(Seq(shared) ++ jpegFrames(2, 32, 32), 64, 48)
+    val b = mjpegAvi(jpegFrames(2, 48, 32) ++ Seq(shared), 64, 48)
+    val noise = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+    val rnd = new scala.util.Random(99)
+    for (y <- 0 until 48; x <- 0 until 64)
+      noise.setRGB(x, y, rnd.nextInt(1 << 24))
+    val c = mjpegAvi(Seq(encode(noise, "jpg")), 64, 48)
+    val media = Seq((1L, "video/x-msvideo", a), (2L, "video/x-msvideo", b),
+      (3L, "video/x-msvideo", c)).toDF("doc_id", "mime", "bytes")
+    val feats = MediaDecode.decodeVideos(media).toDF()
+      .select(col("doc_id"), explode(col("frame_dhashes")).as("dhash"))
+    val pairs = MediaDecode.imageNearDupPairs(feats, maxHamming = 0)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+      .contains((1L, 2L)))
+    assert(!pairs.exists { case (x, y) => x == 3L || y == 3L })
+  }
+
   test("decodeVideos stage mirrors the image/audio None discipline") {
     import spark.implicits._
     val avi = mjpegAvi(jpegFrames(3), 64, 48)
