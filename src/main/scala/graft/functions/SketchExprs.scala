@@ -29,6 +29,15 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "bloom_might_contain"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a string column, got $other")
+    }
+
   @transient private lazy val bf: BloomFilter = BloomFilter.readFrom(bloomBytes)
 
   override def nullSafeEval(input: Any): Any =

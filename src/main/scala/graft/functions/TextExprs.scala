@@ -258,6 +258,28 @@ object TextKernels {
   }
 }
 
+/** Analysis-time input checks shared by the kernel expressions: a
+  * wrong-typed column must fail with a named TypeCheckFailure when the
+  * plan is analyzed, not as a runtime ClassCastException (interpreted
+  * path) or an unrelated-looking janino compile error (codegen path)
+  * deep inside a running job.
+  */
+private[functions] object KernelTypeChecks {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  def stringArray(name: String, dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name expects array<string> tokens, got $other")
+  }
+
+  def string(name: String, dt: DataType): TypeCheckResult = dt match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name expects a string column, got $other")
+  }
+}
+
 /** `simhash64(tokens)`: native Catalyst expression, codegen'd as one static
   * call per row.
   */
@@ -265,6 +287,9 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypeChecks.stringArray(prettyName, child.dataType)
 
   override def nullSafeEval(input: Any): Any =
     TextKernels.simhash(input.asInstanceOf[ArrayData])
@@ -287,6 +312,9 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "winnow_fingerprint"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypeChecks.string(prettyName, child.dataType)
+
   override def nullSafeEval(input: Any): Any =
     TextKernels.winnow(input.asInstanceOf[UTF8String], k, w)
 
@@ -306,6 +334,9 @@ case class CdcCuts(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cdc_cuts"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypeChecks.string(prettyName, child.dataType)
 
   override def nullSafeEval(input: Any): Any =
     TextKernels.cdcCuts(input.asInstanceOf[UTF8String], k)
@@ -332,6 +363,9 @@ case class GramRunStats(child: Expression, n: Int) extends UnaryExpression {
     StructField("total_chars", LongType, nullable = false)))
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "gram_run_stats"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypeChecks.stringArray(prettyName, child.dataType)
 
   override def nullSafeEval(input: Any): Any =
     TextKernels.gramRunStats(input.asInstanceOf[ArrayData], n)

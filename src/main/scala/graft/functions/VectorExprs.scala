@@ -93,6 +93,23 @@ private[functions] trait FloatArrayArgs { self: BinaryExpression =>
     case other => throw new IllegalArgumentException(
       s"expected array<float> or array<double>, got $other")
   }
+
+  /** Analysis-time form of the same check: a wrong-typed column fails
+    * with a named TypeCheckFailure when the plan is analyzed, not as the
+    * lazy isFloatArr throw from inside eval/codegen of a running job.
+    */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float>/array<double> on both sides, " +
+          s"got ${left.dataType} and ${right.dataType}")
+  }
 }
 
 /** `dot_product(a, b)`: left-to-right double dot product. */

@@ -76,4 +76,29 @@ class VectorOpsSpec extends SparkSpec {
     // dot propagates NaN unchanged — the HOF does the same, no divergence
     assert(calc(Seq(Double.NaN, 1.0), Seq(1.0, 1.0), VectorOps.dot).exists(_.isNaN))
   }
+
+  test("wrong-typed inputs fail at ANALYSIS with a named type check") {
+    // the kernel expressions must reject a mistyped column when the plan
+    // is analyzed — not as a ClassCastException (interpreted) or a janino
+    // compile error (codegen) inside a running job
+    import spark.implicits._
+    val df = Seq((1L, "text", Seq("tok"))).toDF("n", "s", "toks")
+    def analysisMsg(c: org.apache.spark.sql.Column): String =
+      intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(c).schema // analysis happens at plan construction
+      }.getMessage
+    assert(analysisMsg(VectorOps.dot(col("s"), col("s")))
+      .contains("array<float>/array<double>"))
+    assert(analysisMsg(TextFingerprints.simhash64(col("n")))
+      .contains("array<string>"))
+    assert(analysisMsg(TextFingerprints.gramRunStats(col("n"), 2))
+      .contains("array<string>"))
+    assert(analysisMsg(TextFingerprints.winnowFingerprint(col("toks")))
+      .contains("string column"))
+    assert(analysisMsg(TextFingerprints.cdcCuts(col("n")))
+      .contains("string column"))
+    // well-typed columns still analyze
+    df.select(TextFingerprints.simhash64(col("toks"))).schema
+    df.select(VectorOps.dot(typedLit(Seq(1.0)), typedLit(Seq(1.0)))).schema
+  }
 }
