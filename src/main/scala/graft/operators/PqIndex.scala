@@ -226,6 +226,18 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "pq_encode"
 
+  // analysis-time rejection of a mistyped column (the callers cast to
+  // array<double> explicitly; a bad caller must fail at planning, not as
+  // a runtime CCE / janino error inside the encode stage)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<double>, got $other")
+    }
+
   override def nullSafeEval(v: Any): Any =
     PqKernels.encode(v.asInstanceOf[ArrayData], books)
 
@@ -244,6 +256,15 @@ case class PqLut(child: Expression, books: Array[Array[Array[Double]]])
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "pq_lut"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<double>, got $other")
+    }
 
   override def nullSafeEval(v: Any): Any =
     PqKernels.lut(v.asInstanceOf[ArrayData], books)
