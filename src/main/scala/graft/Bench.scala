@@ -358,8 +358,17 @@ object Bench {
     val qsShort = all.map { case (k, v) =>
       s""""${esc(shortOf(k))}":${BenchSupport.f2(v)}""" }
       .mkString("{", ",", "}")
-    println(
-      s"""{"queries":$qsShort,"ids":"first_name_segment","failed":$failed,"repaired":$repairedJson,"load_median":${BenchSupport.f2(loadMedian)},"load_flagged_n":${flagged.length},"sf":"${esc(sfDir)}","unit":"sec","metric":"total_query_sec","value":${f3(total)}}""")
+    val compactLine =
+      s"""{"queries":$qsShort,"ids":"first_name_segment","failed":$failed,"repaired":$repairedJson,"load_median":${BenchSupport.f2(loadMedian)},"load_flagged_n":${flagged.length},"sf":"${esc(sfDir)}","unit":"sec","metric":"total_query_sec","value":${f3(total)}}"""
+    // ~1.4 KB at 107 keys; the capture window is ~2 KB minus sbt's
+    // trailing success line. If the registry ever grows the line past the
+    // window, the whole-map guarantee silently degrades back to a
+    // truncated wrapper — make that loud instead.
+    if (compactLine.length > 1850)
+      System.err.println(s"[bench] compact line ${compactLine.length} chars" +
+        " — approaching the ~2000-char stdout tail capture; the wrapper" +
+        " may truncate again (shorten values or split the map)")
+    println(compactLine)
     // Append this run's FULL per-query record to the committed history —
     // the durable counterpart of the driver's tail-truncated wrapper, and
     // the next round's preferred repair/check_bench reference (all ~106
