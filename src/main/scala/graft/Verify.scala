@@ -4,6 +4,26 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Resolve a GRAFT_VERIFY_ONLY selection against the registry. A
+    * misspelled or stale name must not silently select nothing and read
+    * as a trivially clean pass during local iteration: every unknown name
+    * is warned about, and a selection that matches NOTHING fails loudly
+    * instead of producing an empty (trivially green) dump. */
+  private[graft] def selectQueries(
+      only: Option[Set[String]], warn: String => Unit)
+      : Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    only match {
+      case Some(names) =>
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        unknown.toSeq.sorted.foreach(n =>
+          warn(s"[verify] GRAFT_VERIFY_ONLY names unknown query '$n'"))
+        if (names == unknown)
+          sys.error(s"GRAFT_VERIFY_ONLY matched no queries: " +
+            names.toSeq.sorted.mkString(","))
+        SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.create("graft-verify")
@@ -23,10 +43,7 @@ object Verify {
     // driver never sets this, so its gate always runs everything).
     val only = sys.env.get("GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
-      case None        => SparkEntry.queries
-    }
+    val selected = selectQueries(only, m => System.err.println(m))
     selected.foreach { case (name, fn) =>
       // construction INSIDE the try: queries do eager work at build time
       // (Tables.load analysis, materialize()'s localCheckpoint job,

@@ -446,8 +446,13 @@ object MediaDecode {
           val size = u32(off + 4)
           if (size > Int.MaxValue - 8) return false
           val sz = size.toInt
-          val end = off + 8 + sz
-          if (end > until) {
+          // Long arithmetic: off + 8 + sz can exceed Int.MaxValue for a
+          // bogus near-max declared size at a nonzero offset — an Int sum
+          // wraps negative, `end > until` reads false, and the oversized
+          // frame would be collected (bounds safety then hinging on the
+          // NEXT iteration happening to throw).
+          val endL = off.toLong + 8L + sz
+          if (endL > until) {
             // truncated FINAL chunk (partial download). A truncated LIST
             // still gets its inside walked over the AVAILABLE region — a
             // cut-off movi list must keep its complete earlier frames; a
@@ -465,6 +470,7 @@ object MediaDecode {
             }
             return true
           }
+          val end = endL.toInt // endL <= until <= bytes.length: fits Int
           id match {
             case "LIST" if sz >= 4 =>
               val listType = ascii(off + 8, 4)
@@ -517,10 +523,12 @@ object MediaDecode {
     * dHash; luma averages the per-frame 8×8 gray means. A frame that
     * fails to decode is skipped (crawled AVIs carry corrupt frames), so
     * `sampled_frames` counts DECODED frames, which can be < the sample
-    * positions chosen.
+    * positions chosen. mean_luma is None (not 0.0) when NO sampled frame
+    * decoded — zero evidence, not a black video.
     */
   private[graft] def decodeVideo(bytes: Array[Byte], maxSamples: Int = 8)
-      : Option[(Int, Int, Long, Double, Double, Int, Array[Long], Double)] =
+      : Option[(Int, Int, Long, Double, Double, Int, Array[Long],
+          Option[Double])] =
     demuxAvi(bytes).map { info =>
       val n = info.frames.length
       val fps =
@@ -535,15 +543,22 @@ object MediaDecode {
         else (0 until k).map(i => ((n - 1).toLong * i / (k - 1)).toInt)
       val decoded = picks.flatMap { fi =>
         val (off, len) = info.frames(fi)
-        val slice = java.util.Arrays.copyOfRange(bytes, off, off + len)
-        try readBounded(slice).map { img =>
-          val t8 = gray(img, 8, 8)
-          (dhashOf(img), t8.sum.toDouble / 64.0)
+        // copyOfRange INSIDE the try: a frame entry with out-of-bounds
+        // offsets must be a skipped frame like any other corrupt one,
+        // not an exception escaping the per-frame guard
+        try {
+          val slice = java.util.Arrays.copyOfRange(bytes, off, off + len)
+          readBounded(slice).map { img =>
+            val t8 = gray(img, 8, 8)
+            (dhashOf(img), t8.sum.toDouble / 64.0)
+          }
         } catch { case NonFatal(_) => None }
       }
+      // None, not 0.0, when nothing decoded: a zero-evidence video must be
+      // distinguishable from a genuinely black one downstream
       val luma =
-        if (decoded.isEmpty) 0.0
-        else decoded.map(_._2).sum / decoded.length
+        if (decoded.isEmpty) None
+        else Some(decoded.map(_._2).sum / decoded.length)
       (info.width, info.height, n.toLong, fps, duration,
         decoded.length, decoded.map(_._1).toArray, luma)
     }
@@ -564,7 +579,7 @@ object MediaDecode {
           Option(r.bytes).flatMap(decodeVideo(_)) match {
             case Some((w, h, n, fps, dur, k, hashes, luma)) =>
               VideoFeatures(r.doc_id, Some(w), Some(h), Some(n),
-                Some(fps), Some(dur), Some(k), Some(hashes), Some(luma))
+                Some(fps), Some(dur), Some(k), Some(hashes), luma)
             case None =>
               VideoFeatures(r.doc_id, None, None, None, None, None, None,
                 None, None)

@@ -394,7 +394,7 @@ class MediaDecodeSpec extends SparkSpec {
     frames.zipWithIndex.foreach { case (f, i) =>
       assert(hashes(i) === MediaDecode.decodeImage(f).get._4, s"frame $i")
     }
-    assert(luma > 0 && luma < 255)
+    assert(luma.exists(l => l > 0 && l < 255))
   }
 
   test("frame sampling is evenly spaced, both ends anchored") {
@@ -473,6 +473,45 @@ class MediaDecodeSpec extends SparkSpec {
     val dec = MediaDecode.decodeVideo(mixed)
     assert(dec.isDefined && dec.get._3 === 3L)
     assert(dec.get._6 === 2) // sampled_frames counts DECODED frames
+  }
+
+  test("bogus near-Int.MaxValue frame size at a nonzero offset is rejected") {
+    // off + 8 + sz overflows Int for sz close to the guard's cap: a wrapped
+    // negative `end` used to slip past the `end > until` truncation check,
+    // collecting a frame whose copyOfRange bounds were garbage. With Long
+    // arithmetic the chunk reads as truncated and the earlier good frames
+    // survive.
+    val frames = jpegFrames(2)
+    val good = mjpegAvi(frames, 64, 48)
+    // append a movi-style frame chunk declaring a huge payload it lacks —
+    // splice it INSIDE the movi list body, before the list's closing edge
+    val huge = "00dc".getBytes("US-ASCII") ++ le32(Int.MaxValue - 8) ++
+      "short".getBytes("US-ASCII")
+    val moviAt = {
+      // locate LIST....movi
+      val pat = "movi".getBytes("US-ASCII")
+      (0 until good.length - 4).find(i => good.slice(i, i + 4).sameElements(pat)
+        && good.slice(i - 8, i - 4).sameElements("LIST".getBytes)).get
+    }
+    val listSizeOff = moviAt - 4
+    val oldSize = (good(listSizeOff) & 0xFF) | ((good(listSizeOff + 1) & 0xFF) << 8) |
+      ((good(listSizeOff + 2) & 0xFF) << 16) | ((good(listSizeOff + 3) & 0xFF) << 24)
+    val moviEnd = moviAt + oldSize // end of movi body (size counts 'movi' tag)
+    val patched = good.take(moviEnd) ++ huge ++ good.drop(moviEnd)
+    le32(oldSize + huge.length).copyToArray(patched, listSizeOff)
+    le32(patched.length - 8).copyToArray(patched, 4) // fix RIFF size
+    val dec = MediaDecode.decodeVideo(patched)
+    assert(dec.isDefined, "good frames before the bogus chunk must survive")
+    assert(dec.get._3 === 2L, "the bogus-size chunk must not be collected")
+    assert(dec.get._6 === 2)
+  }
+
+  test("all sampled frames corrupt: mean_luma is None, not a fake black 0.0") {
+    val avi = mjpegAvi(Seq("nope".getBytes, "also nope".getBytes), 64, 48)
+    val dec = MediaDecode.decodeVideo(avi)
+    assert(dec.isDefined && dec.get._3 === 2L)
+    assert(dec.get._6 === 0, "nothing decoded")
+    assert(dec.get._8 === None, "zero evidence must not read as black")
   }
 
   test("fuzz: random, mutated, and truncated bytes never throw or hang") {

@@ -212,11 +212,25 @@ def main(prev_path: str, new_path: str, threshold: float = 2.0) -> int:
     # otherwise wrapper-vs-history would share no keys and exit 255
     new_key_map = None  # full name -> comparison key, when new was shortened
     if prev_doc.get("_short_ids") != new_doc.get("_short_ids"):
+        # collision-drift repair: the short side derived its map from ITS
+        # OWN population, so a name unique there may collide in the full
+        # side's population (or vice versa). Shortening the full side with
+        # only its own counts would then give the two sides different keys
+        # for the SAME query and silently drop it from `common`. Where the
+        # short side kept a FULL name (it contains '_') that the full side
+        # also has, pin that name to itself instead of shortening it.
         if prev_doc.get("_short_ids"):
             new_key_map = shorten_map(new)
+            for t in prev:
+                if "_" in t and t in new:
+                    new_key_map[t] = t
             new = {new_key_map[k]: v for k, v in new.items()}
         else:
-            prev = shorten_keys(prev)
+            m = shorten_map(prev)
+            for t in new:
+                if "_" in t and t in prev:
+                    m[t] = t
+            prev = {m[k]: v for k, v in prev.items()}
     common = sorted(set(prev) & set(new))
     if not common:
         # 255, not 1: the exit code otherwise means "N regressions", and a
@@ -253,6 +267,21 @@ def main(prev_path: str, new_path: str, threshold: float = 2.0) -> int:
           f"(> {threshold}x and > 0.25s)")
     only_prev = sorted(set(prev) - set(new))
     only_new = sorted(set(new) - set(prev))
+    # residual short-id drift: a bare short id on one side whose first
+    # segment matches a FULL name stranded on the other side means the
+    # same query is (probably) comparing under two different keys — the
+    # repair above couldn't resolve it (the short side is ambiguous about
+    # which full name it meant). That query would otherwise pass the gate
+    # unmeasured, so it COUNTS AS FLAGGED: re-run with full-name artifacts
+    # (tools/bench_history.jsonl) to compare it for real.
+    drift = [(a, b) for a in only_prev for b in only_new
+             if a.split("_", 1)[0] == b.split("_", 1)[0]
+             and ("_" in a) != ("_" in b)]
+    for a, b in drift:
+        print(f"KEY-DRIFT {a} (prev) vs {b} (new): short-id collision "
+              f"drift — same query under different keys, not compared; "
+              f"re-run against full-name artifacts")
+    flagged += len(drift)
     if only_prev:
         print(f"only in prev ({len(only_prev)}): {', '.join(only_prev[:10])}…"
               if len(only_prev) > 10 else

@@ -11,6 +11,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# -- Tool self-tests (cheap, before the sbt run): the bench gate's own gate
+python3 tools/test_check_bench.py
+
 OUT="${1:-$(mktemp -d /tmp/graft-ci.XXXXXX)}"
 CSV='/root/reference/trades (1) (2) (1).csv'
 echo "[ci] output dir: $OUT"

@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Unit tests for check_bench.py's artifact comparison — in particular the
+short-id collision-drift repair (round-12 ADVICE): a registry gaining a
+query whose first '_'-segment collides with a previously-unique name must
+not silently drop the old query from the gate.
+
+Run: python3 tools/test_check_bench.py   (exit 0 = all pass; wired into
+tools/ci.sh so the gate's own gate is part of every CI run)
+"""
+import importlib.util
+import io
+import json
+import os
+import sys
+import tempfile
+from contextlib import redirect_stdout
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+spec = importlib.util.spec_from_file_location(
+    "check_bench", os.path.join(HERE, "check_bench.py"))
+cb = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(cb)
+
+
+def artifact(doc: dict) -> str:
+    f = tempfile.NamedTemporaryFile(
+        "w", suffix=".json", delete=False, dir=tempfile.gettempdir())
+    json.dump(doc, f)
+    f.close()
+    return f.name
+
+
+def run(prev: dict, new: dict, threshold: float = 2.0):
+    out = io.StringIO()
+    with redirect_stdout(out):
+        code = cb.main(artifact(prev), artifact(new), threshold)
+    return code, out.getvalue()
+
+
+failures = []
+
+
+def check(name, cond, detail=""):
+    if cond:
+        print(f"  ok: {name}")
+    else:
+        failures.append(name)
+        print(f"FAIL: {name} {detail}")
+
+
+# 1. plain full-name comparison: regression flagged, clean pass exits 0
+code, out = run({"queries": {"q01_cond_agg": 1.0, "q44_trades_etl": 2.0}},
+                {"queries": {"q01_cond_agg": 1.05, "q44_trades_etl": 2.1}})
+check("clean full-vs-full exits 0", code == 0, out)
+code, out = run({"queries": {"q01_cond_agg": 1.0, "q44_trades_etl": 2.0}},
+                {"queries": {"q01_cond_agg": 5.0, "q44_trades_etl": 2.1}})
+check("regression full-vs-full exits 1", code == 1, out)
+check("regression names the query", "REGRESSION q01_cond_agg" in out, out)
+
+# 2. the ADVICE scenario: new side is a compact wrapper that KEPT two full
+# names because a new query collided with a previously-unique segment; the
+# full-name prev side must not shorten the old name past it
+prev_full = {"queries": {"q44_trades_etl": 1.0, "q01_cond_agg": 2.0}}
+new_short = {"queries": {"q44_trades_etl": 1.05, "q44_new_thing": 0.5,
+                         "q01": 2.0},
+             "ids": "first_name_segment"}
+code, out = run(prev_full, new_short)
+check("drift-repaired comparison exits 0 when clean", code == 0, out)
+check("repaired key stays in common (2 compared)",
+      "compared 2 queries" in out, out)
+# and the repaired key is genuinely measured: regress it and the gate fires
+new_short_regressed = {"queries": {"q44_trades_etl": 9.0,
+                                   "q44_new_thing": 0.5, "q01": 2.0},
+                       "ids": "first_name_segment"}
+code, out = run(prev_full, new_short_regressed)
+check("repaired key's regression is flagged", code == 1, out)
+check("flag names the full key", "REGRESSION q44_trades_etl" in out, out)
+
+# 3. same repair with the sides swapped (prev is the compact wrapper)
+prev_short = {"queries": {"q44_trades_etl": 1.0, "q44_new_thing": 0.5,
+                          "q01": 2.0},
+              "ids": "first_name_segment"}
+new_full = {"queries": {"q44_trades_etl": 9.0, "q44_new_thing": 0.5,
+                        "q01_cond_agg": 2.0}}
+code, out = run(prev_short, new_full)
+check("swapped-sides repair still compares 3 and flags 1",
+      code == 1 and "compared 3 queries" in out, out)
+
+# 4. residual AMBIGUOUS drift (short side has only the bare id, full side
+# has two colliding full names — unrepairable) must be loud and counted,
+# not silently intersected away
+prev_amb = {"queries": {"q44": 1.0, "q01": 2.0},
+            "ids": "first_name_segment"}
+new_amb = {"queries": {"q44_trades_etl": 1.0, "q44_new_thing": 0.5,
+                       "q01_cond_agg": 2.0}}
+code, out = run(prev_amb, new_amb)
+check("ambiguous drift exits nonzero", code > 0, out)
+check("ambiguous drift prints KEY-DRIFT", "KEY-DRIFT" in out, out)
+
+# 5. a genuinely added/removed query (no segment collision) is NOT drift
+code, out = run({"queries": {"q01_cond_agg": 1.0}},
+                {"queries": {"q01_cond_agg": 1.0, "q99_brand_new": 3.0}})
+check("plain added query is not drift", code == 0 and "KEY-DRIFT" not in out,
+      out)
+
+print()
+if failures:
+    print(f"{len(failures)} FAILED: {failures}")
+    sys.exit(1)
+print("test_check_bench: all pass")
