@@ -31,10 +31,12 @@ import graft.operators.RelationalOps
   *   - **Video**: AVI (RIFF) is the same public chunk layout as WAV, and
   *     MJPEG payloads are plain JPEGs the ImageIO stack decodes — so
   *     AVI/MJPEG frame-sampling is a REAL demux + decode here (evenly
-  *     spaced frames → per-frame dHash + luma). MP4/Matroska stay out of
-  *     scope (no H.264/VP9 decoder in the JDK);
+  *     spaced frames → per-frame dHash + luma). MP4/Matroska frame DECODE
+  *     stays out of scope (no H.264/VP9 decoder in the JDK), but their
+  *     container METADATA (duration, tracks, codec ids, dimensions) is
+  *     really demuxed in [[ContainerMeta]];
   *     [[Multimodal.extractFeatures]]'s strided-byte sampling remains the
-  *     documented stand-in for those containers only.
+  *     documented stand-in for those containers' frame content only.
   *
   * Scale shape: decode runs per partition over the opaque binary column
   * ([[Multimodal]]'s `mapPartitions` discipline — decoder state per

@@ -19,9 +19,11 @@ import org.apache.spark.sql.types._
   * strided samples); [[MediaDecode]] carries the REAL decoders the JDK can
   * host — ImageIO images (dims/luma/thumbnail/dHash + banded near-dup),
   * WAV PCM audio (rate/duration/RMS/peak), and AVI/MJPEG video (RIFF
-  * demux → evenly-spaced frame sampling → per-frame dHash/luma). Only
-  * non-AVI video containers (MP4/Matroska — no H.264/VP9 decoder in the
-  * JDK) remain represented by the strided-byte stand-in here.
+  * demux → evenly-spaced frame sampling → per-frame dHash/luma), plus
+  * [[ContainerMeta]]'s real MP4/Matroska metadata demux (duration, tracks,
+  * codecs, dimensions from the moov box tree / EBML elements). Only
+  * non-AVI FRAME content (MP4/Matroska — no H.264/VP9 decoder in the JDK)
+  * remains represented by the strided-byte stand-in here.
   */
 object Multimodal {
 
