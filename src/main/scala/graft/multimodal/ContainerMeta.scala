@@ -246,6 +246,18 @@ object ContainerMeta {
     v
   }
 
+  /** EBML string read. RFC 8794 allows string elements to be ZERO-PADDED
+    * (libebml pads when rewriting a string into reserved space) — the
+    * padding is not content, so strip trailing NULs; "webm\0\0" must
+    * compare equal to "webm" and must not leak NUL bytes into the brand
+    * column.
+    */
+  private def ebmlString(b: Array[Byte], from: Int, until: Int): String = {
+    var end = until
+    while (end > from && b(end - 1) == 0) end -= 1
+    new String(b, from, end - from, "ISO-8859-1")
+  }
+
   private def ebmlFloat(b: Array[Byte], from: Int, until: Int): Option[Double] =
     (until - from) match {
       case 4 => Some(java.lang.Float.intBitsToFloat(beU32(b, from).toInt)
@@ -316,11 +328,18 @@ object ContainerMeta {
           id match {
             case TrackType => kind = ebmlUint(bytes, p, e)
             case CodecId =>
-              codec = Some(new String(bytes, p, e - p, "ISO-8859-1"))
+              codec = Some(ebmlString(bytes, p, e))
             case VideoEl => walk(p, e, 4) { (id2, p2, e2) =>
+              // range-check before the Long→Int narrowing: a corrupt
+              // >32-bit dimension must be None, not a truncated
+              // plausible-but-wrong (or negative) pixel count
+              def dim: Option[Int] = ebmlUint(bytes, p2, e2) match {
+                case v if v > 0 && v <= Int.MaxValue => Some(v.toInt)
+                case _                               => None
+              }
               id2 match {
-                case PixelWidth  => tw = Some(ebmlUint(bytes, p2, e2).toInt)
-                case PixelHeight => th = Some(ebmlUint(bytes, p2, e2).toInt)
+                case PixelWidth  => tw = dim
+                case PixelHeight => th = dim
                 case _           => ()
               }
             }
@@ -342,8 +361,7 @@ object ContainerMeta {
       walk(0, bytes.length, 0) { (id, p, e) =>
         id match {
           case EbmlHeader => walk(p, e, 1) { (id2, p2, e2) =>
-            if (id2 == DocType)
-              docType = new String(bytes, p2, e2 - p2, "ISO-8859-1")
+            if (id2 == DocType) docType = ebmlString(bytes, p2, e2)
           }
           case Segment => walk(p, e, 1) { (id2, p2, e2) =>
             id2 match {
@@ -365,8 +383,11 @@ object ContainerMeta {
           case _ => ()
         }
       }
+      // isFinite, not just > 0: a corrupt float element decoding to +Inf
+      // would otherwise poison any downstream duration aggregate
       val durationS = durationTicks.collect {
-        case t if t > 0 => t * scaleNs.toDouble / 1e9
+        case t if t > 0 && java.lang.Double.isFinite(t) =>
+          t * scaleNs.toDouble / 1e9
       }
       Some(MkvMeta(docType, durationS, trackCount, videoCodec, audioCodec,
         width, height))
