@@ -49,7 +49,13 @@ def load_artifact(path: str, sf_hint: str = None):
     sel = None
     if "@" in path and not os.path.exists(path):
         path, _, sel = path.rpartition("@")
-    raw = open(path).read()
+    try:
+        raw = open(path).read()
+    except OSError as e:
+        # 255, not an uncaught traceback's exit 1: the exit-code contract
+        # is 'N flagged regressions', and a typo'd path must not read as
+        # one regression
+        _die(f"cannot read artifact {path}: {e}")
     try:
         doc = json.loads(raw)
     except json.JSONDecodeError:
@@ -281,7 +287,10 @@ def main(prev_path: str, new_path: str, threshold: float = 2.0) -> int:
         print(f"KEY-DRIFT {a} (prev) vs {b} (new): short-id collision "
               f"drift — same query under different keys, not compared; "
               f"re-run against full-name artifacts")
-    flagged += len(drift)
+    # one count per STRANDED BARE ID, not per (bare, full) pair: a bare id
+    # facing two colliding full names is ONE unmeasured query, and the
+    # exit-code contract counts flagged queries
+    flagged += len({(a if "_" not in a else b) for a, b in drift})
     if only_prev:
         print(f"only in prev ({len(only_prev)}): {', '.join(only_prev[:10])}…"
               if len(only_prev) > 10 else

@@ -22,12 +22,18 @@ cb = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(cb)
 
 
+# one tempdir for every fixture, removed on interpreter exit — this runs
+# in every ci.sh invocation and must not accumulate orphans in /tmp
+_TMPDIR = tempfile.TemporaryDirectory(prefix="check_bench_test.")
+_SEQ = [0]
+
+
 def artifact(doc: dict) -> str:
-    f = tempfile.NamedTemporaryFile(
-        "w", suffix=".json", delete=False, dir=tempfile.gettempdir())
-    json.dump(doc, f)
-    f.close()
-    return f.name
+    _SEQ[0] += 1
+    path = os.path.join(_TMPDIR.name, f"a{_SEQ[0]}.json")
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    return path
 
 
 def run(prev: dict, new: dict, threshold: float = 2.0):
@@ -96,6 +102,19 @@ new_amb = {"queries": {"q44_trades_etl": 1.0, "q44_new_thing": 0.5,
 code, out = run(prev_amb, new_amb)
 check("ambiguous drift exits nonzero", code > 0, out)
 check("ambiguous drift prints KEY-DRIFT", "KEY-DRIFT" in out, out)
+check("one stranded query counts ONCE even against two colliding names",
+      code == 1, f"exit {code}: {out}")
+
+# 4b. a missing artifact path must exit 255 (selection error), never 1
+# (which the contract reads as one regression)
+out = io.StringIO()
+try:
+    with redirect_stdout(out):
+        cb.main(os.path.join(_TMPDIR.name, "no_such.json"),
+                artifact({"queries": {"q01_cond_agg": 1.0}}))
+    check("missing path exits via _die", False, "no SystemExit raised")
+except SystemExit as e:
+    check("missing path exits 255, not 1", e.code == 255, out.getvalue())
 
 # 5. a genuinely added/removed query (no segment collision) is NOT drift
 code, out = run({"queries": {"q01_cond_agg": 1.0}},
