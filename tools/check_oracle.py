@@ -8,7 +8,7 @@ registered as views, loads the matching Spark parquet dump, sorts columns by
 name and rows by all columns, and compares values exactly (reporting max
 float deviation when not exact).
 """
-import sys, json, glob
+import datetime, decimal, glob, json, sys
 import duckdb
 import numpy as np
 import pandas as pd
@@ -28,10 +28,19 @@ def canon(df: pd.DataFrame):
 
 
 def main(outdir: str, sf: str) -> int:
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # guarded setup: a missing table parquet (DuckDB validates at CREATE
+    # VIEW) or a corrupt oracle_sql.json must report a FAIL line like any
+    # other failure, not abort the gate with a raw traceback before any
+    # accounting is printed
+    try:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    except Exception as e:
+        print(f"SETUP ERROR: {type(e).__name__}: {e}")
+        print("\nFAIL: 0/0 oracle queries match")
+        return 1
     failures = 0
     for name in sorted(oracle):
         files = glob.glob(f"{outdir}/{name}/*.parquet")
@@ -76,6 +85,25 @@ def main(outdir: str, sf: str) -> int:
                         f"{c} (DTYPE KIND spark={av.dtype} duck={bv.dtype}; "
                         "cast the oracle, e.g. CAST(sum(x) AS BIGINT))")
                     continue
+                if "f" in kinds and len(kinds) > 1:
+                    # same typing-bug class for the NON-int kinds the gate
+                    # above misses: a VARCHAR '1.5' or BOOLEAN against a
+                    # Spark double would astype(float) to a false match
+                    # that the driver's type check fails. Object columns
+                    # carrying plain numbers (parquet DECIMAL, nullable
+                    # floats) remain legitimately coercible.
+                    objside = av if av.dtype.kind != "f" else bv
+                    nn = objside.dropna()
+                    v0 = nn.iloc[0] if len(nn) else None
+                    numericish = v0 is None or (
+                        isinstance(v0, (int, float, decimal.Decimal))
+                        and not isinstance(v0, bool))
+                    if not numericish:
+                        bad.append(
+                            f"{c} (DTYPE KIND spark={av.dtype} "
+                            f"duck={bv.dtype}; non-numeric vs float — "
+                            "cast the oracle)")
+                        continue
                 if av.dtype.kind == "f" or bv.dtype.kind == "f":
                     av = av.astype(float); bv = bv.astype(float)
                     both = av.values.astype(float), bv.values.astype(float)
@@ -98,6 +126,25 @@ def main(outdir: str, sf: str) -> int:
                 else:
                     av_s, bv_s = akey[c], bkey[c]
                     if "datetime" in str(av.dtype) or "datetime" in str(bv.dtype):
+                        # normalize only when BOTH sides hold date/datetime
+                        # VALUES (datetime64, or object-of-date as pyarrow
+                        # reads parquet DATE): an oracle returning date-like
+                        # VARCHAR against a Spark timestamp would otherwise
+                        # parse to a false match the driver fails
+                        def dateish(s):
+                            if "datetime" in str(s.dtype):
+                                return True
+                            nn = s.dropna()
+                            return len(nn) == 0 or isinstance(
+                                nn.iloc[0],
+                                (datetime.date, datetime.datetime,
+                                 pd.Timestamp))
+                        if not (dateish(av) and dateish(bv)):
+                            bad.append(
+                                f"{c} (DTYPE KIND spark={av.dtype} "
+                                f"duck={bv.dtype}; date/timestamp vs "
+                                "non-date — cast the oracle)")
+                            continue
                         av_s = pd.to_datetime(av).astype("datetime64[us]").astype(str)
                         bv_s = pd.to_datetime(bv).astype("datetime64[us]").astype(str)
                     eq = (av_s.values == bv_s.values)
