@@ -11,8 +11,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-# -- Tool self-tests (cheap, before the sbt run): the bench gate's own gate
+# -- Tool self-tests (cheap, before the sbt run): the gates' own gates
 python3 tools/test_check_bench.py
+python3 tools/test_check_oracle.py
 
 OUT="${1:-$(mktemp -d /tmp/graft-ci.XXXXXX)}"
 CSV='/root/reference/trades (1) (2) (1).csv'

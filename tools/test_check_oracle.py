@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Unit tests for check_oracle.py's compare gate — pins the round-12
+hardening: non-numeric-vs-float and date-like-VARCHAR-vs-timestamp
+pairings must FAIL (they are oracle typing bugs the driver's exact-type
+compare rejects), legitimate coercions (parquet DECIMAL→float, DATE
+object→datetime) must still pass, and setup failures must report, not
+traceback.
+
+Run: python3 tools/test_check_oracle.py   (wired into tools/ci.sh)
+"""
+import importlib.util
+import io
+import json
+import os
+import sys
+import tempfile
+from contextlib import redirect_stdout
+
+import pandas as pd
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+spec = importlib.util.spec_from_file_location(
+    "check_oracle", os.path.join(HERE, "check_oracle.py"))
+co = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(co)
+
+SF = "/root/testdata/sf0.001"  # real tables so view setup succeeds
+_TMPDIR = tempfile.TemporaryDirectory(prefix="check_oracle_test.")
+_SEQ = [0]
+
+failures = []
+
+
+def check(name, cond, detail=""):
+    if cond:
+        print(f"  ok: {name}")
+    else:
+        failures.append(name)
+        print(f"FAIL: {name} {detail}")
+
+
+def run_case(frames: dict, oracle: dict, sf: str = SF):
+    """frames: {query_name: DataFrame written as its Spark dump}."""
+    _SEQ[0] += 1
+    out = os.path.join(_TMPDIR.name, f"case{_SEQ[0]}")
+    for name, df in frames.items():
+        os.makedirs(f"{out}/{name}")
+        df.to_parquet(f"{out}/{name}/part.parquet")
+    with open(f"{out}/oracle_sql.json", "w") as f:
+        json.dump(oracle, f)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        code = co.main(out, sf)
+    return code, buf.getvalue()
+
+
+# 1. exact match passes; value drift fails
+code, out = run_case(
+    {"q1_vals": pd.DataFrame({"v": [1.5, 2.5]})},
+    {"q1_vals": "SELECT * FROM (VALUES (1.5), (2.5)) t(v)"})
+check("exact float match passes", code == 0, out)
+code, out = run_case(
+    {"q1_vals": pd.DataFrame({"v": [1.5, 2.5]})},
+    {"q1_vals": "SELECT * FROM (VALUES (1.5), (2.6)) t(v)"})
+check("float drift fails with maxdiff", code == 1 and "maxdiff" in out, out)
+
+# 2. int-vs-float dtype gate (the round-6 q62 class)
+code, out = run_case(
+    {"q2_int": pd.DataFrame({"n": pd.array([3], dtype="int64")})},
+    {"q2_int": "SELECT sum(x) AS n FROM (VALUES (1), (2)) t(x)"})
+check("HUGEINT-coerced float vs int64 fails the dtype gate",
+      code == 1 and "DTYPE KIND" in out, out)
+
+# 3. round-12: VARCHAR-vs-float must fail, not astype into a false pass
+code, out = run_case(
+    {"q3_str": pd.DataFrame({"v": [1.5, 2.5]})},
+    {"q3_str": "SELECT * FROM (VALUES ('1.5'), ('2.5')) t(v)"})
+check("numeric-string vs float fails", code == 1 and "non-numeric" in out,
+      out)
+
+# 4. round-12: date-like VARCHAR vs timestamp must fail
+code, out = run_case(
+    {"q4_ts": pd.DataFrame(
+        {"ts": pd.to_datetime(["2020-01-01", "2020-01-02"])})},
+    {"q4_ts": "SELECT * FROM (VALUES ('2020-01-01'), ('2020-01-02')) t(ts)"})
+check("date-like string vs timestamp fails",
+      code == 1 and "non-date" in out, out)
+
+# 5. legitimate coercions still pass: DATE (object-of-date vs datetime64)
+# and DECIMAL (float-coerced) against Spark doubles/timestamps
+code, out = run_case(
+    {"q5_date": pd.DataFrame(
+        {"d": pd.to_datetime(["2020-01-06"])})},
+    {"q5_date": "SELECT DATE '2020-01-06' AS d"})
+check("DATE vs timestamp midnight still passes", code == 0, out)
+code, out = run_case(
+    {"q6_dec": pd.DataFrame({"v": [1.5]})},
+    {"q6_dec": "SELECT CAST(1.5 AS DECIMAL(10,2)) AS v"})
+check("DECIMAL vs double still passes", code == 0, out)
+
+# 6. round-12: setup failures report, never traceback
+buf = io.StringIO()
+with redirect_stdout(buf):
+    code = co.main(os.path.join(_TMPDIR.name, "nowhere"), "/no_such_sf_dir")
+check("missing sf dir / outdir reports SETUP ERROR and exits 1",
+      code == 1 and "SETUP ERROR" in buf.getvalue(), buf.getvalue())
+
+print()
+if failures:
+    print(f"{len(failures)} FAILED: {failures}")
+    sys.exit(1)
+print("test_check_oracle: all pass")
