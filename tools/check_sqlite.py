@@ -22,10 +22,20 @@ def main() -> int:
     produced = sys.argv[1]
     golden = sys.argv[2] if len(sys.argv) > 2 else None
 
-    conn = sqlite3.connect(produced)
-    cur = conn.cursor()
+    # read-only URI open: plain connect() CREATES a missing path as an
+    # empty db, silently masking "writer never produced the file" behind a
+    # misleading no-tables FAIL and leaving a stray .db behind
+    def connect_ro(path):
+        return sqlite3.connect(f"file:{path}?mode=ro", uri=True)
 
-    ok = cur.execute("PRAGMA integrity_check").fetchall()
+    try:
+        conn = connect_ro(produced)
+        cur = conn.cursor()
+
+        ok = cur.execute("PRAGMA integrity_check").fetchall()
+    except sqlite3.Error as e:
+        print(f"FAIL: cannot open {produced}: {e}")
+        return 1
     if ok != [("ok",)]:
         print(f"FAIL: integrity_check: {ok}")
         return 1
@@ -37,15 +47,29 @@ def main() -> int:
         print(f"FAIL: expected exactly 1 table, got {tables}")
         return 1
     name, sql = tables[0]
-    rows = cur.execute(f'SELECT * FROM "{name}"').fetchall()
+    # identifier-quote the name defensively, and pin the scan to rowid
+    # order (the docstring's contract) rather than planner whim
+    def select_all(c, table):
+        q = table.replace('"', '""')
+        return c.execute(f'SELECT * FROM "{q}" ORDER BY rowid').fetchall()
+
+    rows = select_all(cur, name)
     print(f"table '{name}': {len(rows)} rows readable")
 
     if golden:
-        gconn = sqlite3.connect(golden)
-        gcur = gconn.cursor()
-        gname, gsql = gcur.execute(
+        try:
+            gconn = connect_ro(golden)
+            gcur = gconn.cursor()
+        except sqlite3.Error as e:
+            print(f"FAIL: cannot open golden {golden}: {e}")
+            return 1
+        gtab = gcur.execute(
             "SELECT name, sql FROM sqlite_master WHERE type='table'").fetchone()
-        grows = gcur.execute(f'SELECT * FROM "{gname}"').fetchall()
+        if gtab is None:
+            print(f"FAIL: golden {golden} has no tables")
+            return 1
+        gname, gsql = gtab
+        grows = select_all(gcur, gname)
         if sql != gsql:
             print(f"FAIL: CREATE TABLE differs:\n  produced: {sql!r}\n  golden:   {gsql!r}")
             return 1
