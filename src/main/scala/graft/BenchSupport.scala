@@ -236,6 +236,32 @@ object BenchSupport {
     }
   }
 
+  /** The session/history min-merged total published as `history_min_total`
+    * in both bench stdout lines (round-12 verdict item 2): the committed
+    * BENCH_rNN wrapper is whatever single run the DRIVER happened to
+    * snapshot — round 12's landed in an ambient storm (70.6 s face value
+    * vs 62.9 s session best) — so the artifact itself must carry the
+    * representative number a face-value reader should weigh against the
+    * noisy one. Semantics mirror the cross-round gate's min-merge
+    * ([[historyReference]] / check_bench's load_artifact): take every
+    * same-round same-SF line already in the committed history, merge with
+    * THIS run's mins by per-query min, and total over the CURRENT run's
+    * registered keys only — `current` gates the key set, so a key retired
+    * since an older line can't inflate the total, and twins stay excluded
+    * exactly as they are from `total`. Failed keys (-1 everywhere) drop
+    * out, matching `total`'s failed-exclusion. First run of a round ⇒
+    * equals `total`.
+    */
+  def historyMinTotal(text: String, sf: String, round: Int,
+      current: Map[String, Double]): Double = {
+    val sameRound = historyEntries(text).collect {
+      case (r, s, qs) if r == round && s == jsonEscape(sf) => qs }
+    (sameRound :+ current).flatten
+      .filter { case (k, v) => v >= 0 && current.contains(k) }
+      .groupMapReduce(_._1)(_._2)(math.min)
+      .values.sum
+  }
+
   /** Resolve a reference FILE's text into repair-gate mins — the pure
     * policy behind [[Bench]]'s reference chain, one copy for the pinned
     * (GRAFT_BENCH_PREV) and fallback (newest BENCH_rNN) paths. Returns

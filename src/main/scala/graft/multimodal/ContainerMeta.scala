@@ -85,7 +85,12 @@ object ContainerMeta {
   private[graft] def decodeMp4Meta(bytes: Array[Byte]): Option[Mp4Meta] =
     try {
       if (bytes == null || bytes.length < 16) return None
-      if (beU32(bytes, 0) < 16 || fourcc(bytes, 4) != "ftyp") return None
+      // ftyp may legally be as small as 12 bytes (header + major_brand,
+      // zero compatible_brands) — rejecting < 16 classified such valid
+      // files as None rows (round-13 ADVICE). The length >= 16 fast-reject
+      // above is about the DISPATCH read, not this box: any real MP4
+      // carries at least one more box after ftyp.
+      if (beU32(bytes, 0) < 12 || fourcc(bytes, 4) != "ftyp") return None
       val brand = fourcc(bytes, 8)
       var durationS: Option[Double] = None
       var trackCount = 0

@@ -347,6 +347,32 @@ class BenchSupportSpec extends AnyFunSuite {
       Some((9, Map("q01_a" -> 0.5))))
   }
 
+  test("historyMinTotal: same-round lines min-merge with the current run over current keys only") {
+    val hist = Seq(
+      // this round's earlier official line (one key stormed high, one low)
+      """{"round":13,"sf":"/d/sf0.1","queries":{"q01_a":0.5,"q02_b":3.0,"q99_gone":9.9},"total":13.4}""",
+      // a DIFFERENT round and a different-SF line: both must be ignored
+      """{"round":12,"sf":"/d/sf0.1","queries":{"q01_a":0.1},"total":0.1}""",
+      """{"round":13,"sf":"/d/sf0.01","queries":{"q01_a":0.05},"total":0.05}"""
+    ).mkString("\n")
+    // current run: q01_a stormed (0.9), q02_b clean (1.0); q99_gone was
+    // retired from the registry → excluded even though the old line has it
+    val cur = Map("q01_a" -> 0.9, "q02_b" -> 1.0)
+    assert(math.abs(BenchSupport.historyMinTotal(hist, "/d/sf0.1", 13, cur)
+      - 1.5) < 1e-9) // min(0.5,0.9) + min(3.0,1.0)
+    // first run of a round (no history yet): equals the run's own total
+    assert(math.abs(BenchSupport.historyMinTotal("", "/d/sf0.1", 13, cur)
+      - 1.9) < 1e-9)
+    // failed-everywhere keys (-1 sentinel) drop out, matching `total`;
+    // a key failed THIS run but clean in a sibling line contributes the
+    // sibling's value (the representative total is the session best)
+    val curFail = Map("q01_a" -> -1.0, "q02_b" -> 1.0)
+    assert(math.abs(BenchSupport.historyMinTotal(hist, "/d/sf0.1", 13, curFail)
+      - 1.5) < 1e-9) // q01_a from the history line's 0.5
+    assert(math.abs(BenchSupport.historyMinTotal("", "/d/sf0.1", 13, curFail)
+      - 1.0) < 1e-9)
+  }
+
   test("history lines carrying twin_reps and load_flagged parse to mins only") {
     // round-10 history-line shape: per-rep twin arrays and the per-rep
     // flag table ride along as committed adjudication evidence; neither

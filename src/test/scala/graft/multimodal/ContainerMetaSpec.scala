@@ -180,6 +180,20 @@ class ContainerMetaSpec extends SparkSpec {
     assert(m.videoCodec === Some("avc1") && m.width === Some(640))
   }
 
+  test("MP4: minimal 12-byte ftyp (no compatible_brands) still parses") {
+    // round-13 ADVICE: size-12 ftyp (header + major_brand only) is a valid
+    // box and must not classify the file as a None row
+    val tinyFtyp = box("ftyp", "mp42".getBytes) // 8 + 4 = 12 bytes
+    assert(tinyFtyp.length === 12)
+    val m = ContainerMeta.decodeMp4Meta(mp4(tinyFtyp,
+      box("moov", mvhdV0(1000, 3000) ++ trak("vide", "avc1", 320, 240)))).get
+    assert(m.brand === "mp42")
+    assert(m.durationS === Some(3.0) && m.width === Some(320))
+    // an ftyp declaring LESS than 12 is still malformed → None
+    assert(ContainerMeta.decodeMp4Meta(
+      be32(8L) ++ "ftyp".getBytes ++ new Array[Byte](16)) === None)
+  }
+
   test("MP4: non-MP4, bogus sizes, and nesting bombs return None/partial") {
     assert(ContainerMeta.decodeMp4Meta(Array.empty[Byte]) === None)
     assert(ContainerMeta.decodeMp4Meta("not an mp4 at all!!".getBytes) === None)

@@ -237,6 +237,19 @@ def main(prev_path: str, new_path: str, threshold: float = 2.0) -> int:
                 if "_" in t and t in prev:
                     m[t] = t
             prev = {m[k]: v for k, v in prev.items()}
+    # Surface each side's `history_min_total` (round-13: the session/history
+    # min-merged total Bench publishes NEXT TO the noisy face value, so a
+    # storm-landed driver snapshot is self-contextualizing). Context only —
+    # never enters the flag count; the per-query min-merge above is the gate.
+    for label, doc in (("prev", prev_doc), ("new", new_doc)):
+        p = doc.get("parsed")
+        hmt = (p.get("history_min_total")
+               if isinstance(p, dict) else None)
+        if hmt is None:
+            hmt = doc.get("history_min_total")
+        if hmt is not None:
+            print(f"{label} history_min_total: {float(hmt):.3f}s "
+                  "(session/history min-merged representative total)")
     common = sorted(set(prev) & set(new))
     if not common:
         # 255, not 1: the exit code otherwise means "N regressions", and a
@@ -279,10 +292,17 @@ def main(prev_path: str, new_path: str, threshold: float = 2.0) -> int:
     # repair above couldn't resolve it (the short side is ambiguous about
     # which full name it meant). That query would otherwise pass the gate
     # unmeasured, so it COUNTS AS FLAGGED: re-run with full-name artifacts
-    # (tools/bench_history.jsonl) to compare it for real.
+    # (tools/bench_history.jsonl) to compare it for real. The bare id must
+    # come from a side MARKED as short-ids (round-13 ADVICE): a bare key in
+    # a full-name artifact was never shortened, so it cannot be collision
+    # drift — pairing it would fail an otherwise clean gate when a genuinely
+    # removed query and an unrelated new one share a qNN prefix.
+    def bare_is_short_side(a, b):
+        return (prev_doc if "_" not in a else new_doc).get("_short_ids")
     drift = [(a, b) for a in only_prev for b in only_new
              if a.split("_", 1)[0] == b.split("_", 1)[0]
-             and ("_" in a) != ("_" in b)]
+             and ("_" in a) != ("_" in b)
+             and bare_is_short_side(a, b)]
     for a, b in drift:
         print(f"KEY-DRIFT {a} (prev) vs {b} (new): short-id collision "
               f"drift — same query under different keys, not compared; "

@@ -16,6 +16,20 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def numericish(s: pd.Series) -> bool:
+    """True when EVERY non-null value is a plain number (int/float/Decimal,
+    not bool) — the condition under which astype(float) is a legitimate
+    coercion (parquet DECIMAL, nullable floats). Checking only the first
+    value let a mixed object column whose first value is numeric but whose
+    later values are numeric-looking strings coerce into a false match —
+    the exact class this gate targets (round-13 ADVICE). Empty/all-null is
+    numericish: there is nothing a coercion could falsify."""
+    nn = s.dropna()
+    return bool(nn.map(
+        lambda v: isinstance(v, (int, float, decimal.Decimal))
+        and not isinstance(v, bool)).all())
+
+
 def canon(df: pd.DataFrame):
     """Column-sorted, row-sorted frame + its stringified twin (the twin
     doubles as the non-float compare key, so the frame is stringified once,
@@ -93,12 +107,7 @@ def main(outdir: str, sf: str) -> int:
                     # carrying plain numbers (parquet DECIMAL, nullable
                     # floats) remain legitimately coercible.
                     objside = av if av.dtype.kind != "f" else bv
-                    nn = objside.dropna()
-                    v0 = nn.iloc[0] if len(nn) else None
-                    numericish = v0 is None or (
-                        isinstance(v0, (int, float, decimal.Decimal))
-                        and not isinstance(v0, bool))
-                    if not numericish:
+                    if not numericish(objside):
                         bad.append(
                             f"{c} (DTYPE KIND spark={av.dtype} "
                             f"duck={bv.dtype}; non-numeric vs float — "

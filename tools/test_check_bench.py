@@ -116,11 +116,36 @@ try:
 except SystemExit as e:
     check("missing path exits 255, not 1", e.code == 255, out.getvalue())
 
+# 4c. round-13 ADVICE: a bare key in a FULL-NAME artifact (no short-ids
+# mark) cannot be collision drift — it was never shortened. A removed
+# query plus an unrelated new query sharing a qNN prefix must pass a
+# clean gate, not fail it.
+code, out = run({"queries": {"q44": 1.0, "q01_cond_agg": 2.0}},
+                {"queries": {"q44_new_thing": 0.5, "q01_cond_agg": 2.0}})
+check("bare key in unmarked artifact is NOT drift",
+      code == 0 and "KEY-DRIFT" not in out, out)
+# (a marked bare id that genuinely strands — the full side holding TWO
+# colliding names — still counts: that is test 4 above)
+
 # 5. a genuinely added/removed query (no segment collision) is NOT drift
 code, out = run({"queries": {"q01_cond_agg": 1.0}},
                 {"queries": {"q01_cond_agg": 1.0, "q99_brand_new": 3.0}})
 check("plain added query is not drift", code == 0 and "KEY-DRIFT" not in out,
       out)
+
+# 6. round-13: history_min_total rides along as context — printed when
+# present (bare line or driver wrapper's parsed map), never flagged, and
+# never mistaken for a query key by the regex fallback
+code, out = run({"queries": {"q01_cond_agg": 1.0}, "history_min_total": 63.0},
+                {"parsed": {"queries": {"q01_cond_agg": 1.1},
+                            "ids": "first_name_segment",
+                            "history_min_total": 63.71},
+                 "tail": "truncated..."})
+check("history_min_total printed for both sides, exit stays 0",
+      code == 0 and "prev history_min_total: 63.000s" in out
+      and "new history_min_total: 63.710s" in out, out)
+check("history_min_total is not compared as a query",
+      "compared 1 queries" in out, out)
 
 print()
 if failures:

@@ -24,9 +24,17 @@ spec = importlib.util.spec_from_file_location(
 co = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(co)
 
-SF = "/root/testdata/sf0.001"  # real tables so view setup succeeds
 _TMPDIR = tempfile.TemporaryDirectory(prefix="check_oracle_test.")
 _SEQ = [0]
+
+# Self-contained SF fixture: a 1-row parquet per TABLES name is all view
+# setup needs (every test oracle SELECTs from VALUES, never the tables).
+# Round-13 ADVICE: the previous hardcoded /root/testdata/sf0.001 made the
+# whole self-test SETUP-ERROR on any machine lacking that fixture.
+SF = os.path.join(_TMPDIR.name, "sf")
+os.makedirs(SF)
+for _t in co.TABLES:
+    pd.DataFrame({"x": [1]}).to_parquet(os.path.join(SF, f"{_t}.parquet"))
 
 failures = []
 
@@ -97,6 +105,24 @@ code, out = run_case(
     {"q6_dec": pd.DataFrame({"v": [1.5]})},
     {"q6_dec": "SELECT CAST(1.5 AS DECIMAL(10,2)) AS v"})
 check("DECIMAL vs double still passes", code == 0, out)
+
+# 5b. round-13: numericish must inspect ALL non-null values, not just the
+# first — a mixed object column whose FIRST value is a Decimal but whose
+# later values are numeric-looking strings is the false-pass class the
+# float-coercion gate exists to reject (tested directly: parquet/duckdb
+# both refuse to materialize a mixed-type column end-to-end)
+import decimal
+check("all-Decimal object column is numericish",
+      co.numericish(pd.Series([decimal.Decimal("1.5"),
+                               decimal.Decimal("2.5")], dtype=object)))
+check("Decimal-then-string mixed column is NOT numericish",
+      not co.numericish(pd.Series([decimal.Decimal("1.5"), "2.5"],
+                                  dtype=object)))
+check("bool poses as int but is NOT numericish",
+      not co.numericish(pd.Series([1.5, True], dtype=object)))
+check("nulls are ignored, empty is numericish",
+      co.numericish(pd.Series([None, 1.5], dtype=object))
+      and co.numericish(pd.Series([], dtype=object)))
 
 # 6. round-12: setup failures report, never traceback
 buf = io.StringIO()
