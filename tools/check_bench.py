@@ -247,9 +247,15 @@ def main(prev_path: str, new_path: str, threshold: float = 2.0) -> int:
                if isinstance(p, dict) else None)
         if hmt is None:
             hmt = doc.get("history_min_total")
-        if hmt is not None:
+        if hmt is None:
+            continue
+        # context must never crash the gate: a malformed value would
+        # traceback to exit 1, which the contract reads as ONE regression
+        try:
             print(f"{label} history_min_total: {float(hmt):.3f}s "
                   "(session/history min-merged representative total)")
+        except (TypeError, ValueError):
+            print(f"{label} history_min_total: unparseable ({hmt!r})")
     common = sorted(set(prev) & set(new))
     if not common:
         # 255, not 1: the exit code otherwise means "N regressions", and a

@@ -146,6 +146,13 @@ check("history_min_total printed for both sides, exit stays 0",
       and "new history_min_total: 63.710s" in out, out)
 check("history_min_total is not compared as a query",
       "compared 1 queries" in out, out)
+# a malformed value must print as unparseable, never traceback (exit 1
+# would read as one regression)
+code, out = run({"queries": {"q01_cond_agg": 1.0},
+                 "history_min_total": "storm"},
+                {"queries": {"q01_cond_agg": 1.1}})
+check("malformed history_min_total is reported, gate stays clean",
+      code == 0 and "unparseable" in out, out)
 
 print()
 if failures:

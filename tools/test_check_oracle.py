@@ -8,6 +8,7 @@ traceback.
 
 Run: python3 tools/test_check_oracle.py   (wired into tools/ci.sh)
 """
+import decimal
 import importlib.util
 import io
 import json
@@ -111,7 +112,6 @@ check("DECIMAL vs double still passes", code == 0, out)
 # later values are numeric-looking strings is the false-pass class the
 # float-coercion gate exists to reject (tested directly: parquet/duckdb
 # both refuse to materialize a mixed-type column end-to-end)
-import decimal
 check("all-Decimal object column is numericish",
       co.numericish(pd.Series([decimal.Decimal("1.5"),
                                decimal.Decimal("2.5")], dtype=object)))
