@@ -85,11 +85,16 @@ object ContainerMeta {
   private[graft] def decodeMp4Meta(bytes: Array[Byte]): Option[Mp4Meta] =
     try {
       if (bytes == null || bytes.length < 16) return None
-      // ftyp may legally be as small as 12 bytes (header + major_brand,
-      // zero compatible_brands) — rejecting < 16 classified such valid
-      // files as None rows (round-13 ADVICE). The length >= 16 fast-reject
-      // above is about the DISPATCH read, not this box: any real MP4
-      // carries at least one more box after ftyp.
+      // DELIBERATE LENIENCY, not spec compliance (round-14 ADVICE): per
+      // ISO/IEC 14496-12 §4.3 FileTypeBox carries major_brand AND
+      // minor_version, so the minimum LEGAL ftyp is 16 bytes. A 12-byte
+      // ftyp (header + major_brand, minor_version truncated away) is
+      // malformed, but the brand at +8 is intact and everything this
+      // walk reads lives in later boxes — so we tolerate the truncation
+      // and resume at the declared end rather than classify the whole
+      // file as a None row. The length >= 16 fast-reject above is about
+      // the DISPATCH read, not this box: any real MP4 carries at least
+      // one more box after ftyp.
       if (beU32(bytes, 0) < 12 || fourcc(bytes, 4) != "ftyp") return None
       val brand = fourcc(bytes, 8)
       var durationS: Option[Double] = None

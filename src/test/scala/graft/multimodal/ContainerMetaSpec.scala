@@ -180,9 +180,12 @@ class ContainerMetaSpec extends SparkSpec {
     assert(m.videoCodec === Some("avc1") && m.width === Some(640))
   }
 
-  test("MP4: minimal 12-byte ftyp (no compatible_brands) still parses") {
-    // round-13 ADVICE: size-12 ftyp (header + major_brand only) is a valid
-    // box and must not classify the file as a None row
+  test("MP4: truncated 12-byte ftyp is tolerated by deliberate leniency") {
+    // round-14 ADVICE: per ISO/IEC 14496-12 the minimum LEGAL ftyp is 16
+    // bytes (major_brand AND minor_version), so a 12-byte ftyp is
+    // MALFORMED — this test pins lenient parsing of that truncation (the
+    // brand at +8 is intact; nothing the walk needs lives in the missing
+    // minor_version), not a claim that 12 bytes is spec-legal
     val tinyFtyp = box("ftyp", "mp42".getBytes) // 8 + 4 = 12 bytes
     assert(tinyFtyp.length === 12)
     val m = ContainerMeta.decodeMp4Meta(mp4(tinyFtyp,

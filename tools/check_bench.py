@@ -176,7 +176,13 @@ def extract_queries(raw: str, doc: dict) -> dict:
                 if any(x >= 0 for x in v)}
     if isinstance(doc.get("tail"), str):               # driver wrapper
         raw = doc["tail"]
-    # regex fallback over (possibly front-truncated) tail text
+    # regex fallback over (possibly front-truncated) tail text. The ids
+    # mark must be recognized HERE too (round-14 ADVICE): a wrapper whose
+    # `parsed` is null carries its short-id keys only in the tail, and
+    # leaving the doc unmarked made KEY-DRIFT's bare_is_short_side gate
+    # silently skip genuine short-id collision drift in that shape.
+    if f'"ids":"{SHORT_IDS_MARK}"' in raw:
+        doc["_short_ids"] = True
     out = {}
     for m in re.finditer(r'"(q[0-9]+[a-z]?_[a-z0-9_]+)":(-?[0-9.]+)', raw):
         out[m.group(1)] = float(m.group(2))
@@ -250,12 +256,37 @@ def main(prev_path: str, new_path: str, threshold: float = 2.0) -> int:
         if hmt is None:
             continue
         # context must never crash the gate: a malformed value would
-        # traceback to exit 1, which the contract reads as ONE regression
+        # traceback to exit 1, which the contract reads as ONE regression.
+        # bool is explicitly malformed (round-14 ADVICE): float(True) is
+        # 1.0, so without the guard a boolean would print as '1.000s'
+        # instead of being flagged as unparseable.
         try:
+            if isinstance(hmt, bool):
+                raise TypeError("bool is not a seconds value")
             print(f"{label} history_min_total: {float(hmt):.3f}s "
                   "(session/history min-merged representative total)")
         except (TypeError, ValueError):
             print(f"{label} history_min_total: unparseable ({hmt!r})")
+    # Storm-suspect annotation (round-14): when one side's ambient
+    # load_median is >1.5x the other's, its face values were taken under
+    # a host storm and the totals are not comparable like-for-like — say
+    # so, so the printout itself explains face-value divergence the way
+    # history_min_total explains the representative number. Context only:
+    # never enters the flag count or the exit code.
+    lm = {}
+    for label, doc in (("prev", prev_doc), ("new", new_doc)):
+        p = doc.get("parsed")
+        v = p.get("load_median") if isinstance(p, dict) else None
+        if v is None:
+            v = doc.get("load_median")
+        if isinstance(v, (int, float)) and not isinstance(v, bool) and v > 0:
+            lm[label] = float(v)
+    if len(lm) == 2 and max(lm.values()) > 1.5 * min(lm.values()):
+        noisy = max(lm, key=lm.get)
+        print(f"storm-suspect line: {noisy} ran at load_median "
+              f"{lm[noisy]:.2f}, >1.5x the other side's "
+              f"{min(lm.values()):.2f} — face-value totals are not "
+              f"like-for-like; trust the min-merge and history_min_total")
     common = sorted(set(prev) & set(new))
     if not common:
         # 255, not 1: the exit code otherwise means "N regressions", and a

@@ -8,7 +8,7 @@ registered as views, loads the matching Spark parquet dump, sorts columns by
 name and rows by all columns, and compares values exactly (reporting max
 float deviation when not exact).
 """
-import datetime, decimal, glob, json, sys
+import datetime, decimal, glob, json, numbers, sys
 import duckdb
 import numpy as np
 import pandas as pd
@@ -17,16 +17,22 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def numericish(s: pd.Series) -> bool:
-    """True when EVERY non-null value is a plain number (int/float/Decimal,
-    not bool) — the condition under which astype(float) is a legitimate
-    coercion (parquet DECIMAL, nullable floats). Checking only the first
-    value let a mixed object column whose first value is numeric but whose
-    later values are numeric-looking strings coerce into a false match —
-    the exact class this gate targets (round-13 ADVICE). Empty/all-null is
-    numericish: there is nothing a coercion could falsify."""
+    """True when EVERY non-null value is a real number (int/float/Decimal/
+    numpy scalar, not bool) — the condition under which astype(float) is a
+    legitimate coercion (parquet DECIMAL, nullable floats). Checking only
+    the first value let a mixed object column whose first value is numeric
+    but whose later values are numeric-looking strings coerce into a false
+    match — the exact class this gate targets (round-13 ADVICE).
+    numbers.Real rather than a (int, float) tuple (round-14 ADVICE): numpy
+    integer scalars (np.int64 etc.) do not subclass Python int but ARE
+    registered as numbers.Integral, and an object column of numpy ints
+    paired against a float column is legitimately coercible, not a FAIL.
+    Decimal stays explicit — it is registered as numbers.Number but not
+    numbers.Real. Empty/all-null is numericish: there is nothing a
+    coercion could falsify."""
     nn = s.dropna()
     return bool(nn.map(
-        lambda v: isinstance(v, (int, float, decimal.Decimal))
+        lambda v: isinstance(v, (numbers.Real, decimal.Decimal))
         and not isinstance(v, bool)).all())
 
 

@@ -153,6 +153,63 @@ code, out = run({"queries": {"q01_cond_agg": 1.0},
                 {"queries": {"q01_cond_agg": 1.1}})
 check("malformed history_min_total is reported, gate stays clean",
       code == 0 and "unparseable" in out, out)
+# round-14 ADVICE: bool passes float() (float(True) == 1.0) and would
+# print as '1.000s' — it is a malformed value, not one second
+code, out = run({"queries": {"q01_cond_agg": 1.0},
+                 "history_min_total": True},
+                {"queries": {"q01_cond_agg": 1.1}})
+check("bool history_min_total is unparseable, not 1.000s",
+      code == 0 and "unparseable (True)" in out
+      and "1.000s" not in out, out)
+
+# 7. round-14 ADVICE: a wrapper whose `parsed` is null carries the ids
+# mark only in its tail text — the regex-fallback path must still mark
+# the doc as short-ids, so drift involving that artifact is judged
+# against the right key style. Here the wrapper's tail kept
+# q44_trades_etl FULL (its round had a q44 collider, truncated out of
+# the tail), while the other side's round shortened the same segment to
+# bare q44: ambiguous collision drift that must be flagged, not
+# silently normalized into a pairing (the pre-fix behavior shortened
+# the unmarked wrapper side and quietly compared q44_trades_etl as
+# q44).
+wrapper_null_parsed = {
+    "parsed": None,
+    "tail": ('"q07_rank_window":1.0,"q07_other_thing":0.5,'
+             '"q44_trades_etl":1.2},"ids":"first_name_segment",'
+             '"unit":"sec"')}
+short_line = {"queries": {"q44": 1.2, "q07_rank_window": 1.0,
+                          "q07_other_thing": 0.5},
+              "ids": "first_name_segment"}
+code, out = run(wrapper_null_parsed, short_line)
+check("null-parsed wrapper is recognized as short-ids via its tail",
+      code == 1 and "KEY-DRIFT" in out, out)
+check("the unambiguous full-name keys still compare (2 compared)",
+      "compared 2 queries" in out, out)
+
+# 8. round-14: storm-suspect context line — one side measured under a
+# >1.5x ambient load gets called out, without touching the exit code;
+# near-equal loads stay silent, and a bool/zero load_median never
+# qualifies as a comparable value
+code, out = run({"queries": {"q01_cond_agg": 1.0}, "load_median": 1.8},
+                {"queries": {"q01_cond_agg": 1.1}, "load_median": 4.1})
+check("storm-suspect line printed for the noisy side, exit stays 0",
+      code == 0 and "storm-suspect line: new" in out
+      and "4.10" in out, out)
+code, out = run({"queries": {"q01_cond_agg": 1.0}, "load_median": 2.0},
+                {"queries": {"q01_cond_agg": 1.1}, "load_median": 2.4})
+check("near-equal load medians stay silent",
+      code == 0 and "storm-suspect" not in out, out)
+code, out = run({"queries": {"q01_cond_agg": 1.0}, "load_median": True},
+                {"queries": {"q01_cond_agg": 1.1}, "load_median": 4.1})
+check("bool load_median is not a comparable value",
+      code == 0 and "storm-suspect" not in out, out)
+# the wrapper shape carries load_median inside `parsed`
+code, out = run({"queries": {"q01_cond_agg": 1.0}, "load_median": 4.2},
+                {"parsed": {"queries": {"q01_cond_agg": 1.1},
+                            "load_median": 1.9},
+                 "tail": "truncated..."})
+check("parsed-wrapper load_median is read; prev is the suspect side",
+      code == 0 and "storm-suspect line: prev" in out, out)
 
 print()
 if failures:

@@ -17,6 +17,7 @@ import sys
 import tempfile
 from contextlib import redirect_stdout
 
+import numpy as np
 import pandas as pd
 
 HERE = os.path.dirname(os.path.abspath(__file__))
@@ -123,6 +124,19 @@ check("bool poses as int but is NOT numericish",
 check("nulls are ignored, empty is numericish",
       co.numericish(pd.Series([None, 1.5], dtype=object))
       and co.numericish(pd.Series([], dtype=object)))
+
+# 5c. round-14: numpy scalars do not subclass Python int/float but ARE
+# real numbers — an object column of np.int64 paired against a float
+# column is legitimately coercible and must not read as 'non-numeric vs
+# float'. np.bool_ is not registered as numbers.Real, so it stays
+# rejected like Python bool.
+check("np.int64 object column is numericish",
+      co.numericish(pd.Series([np.int64(1), np.int64(2)], dtype=object)))
+check("np.float32 object column is numericish",
+      co.numericish(pd.Series([np.float32(1.5)], dtype=object)))
+check("np.bool_ is NOT numericish",
+      not co.numericish(pd.Series([np.int64(1), np.bool_(True)],
+                                  dtype=object)))
 
 # 6. round-12: setup failures report, never traceback
 buf = io.StringIO()
