@@ -121,6 +121,10 @@ def load_artifact(path: str, sf_hint: str = None):
                 f for li, d in enumerate(same)
                 for f in d.get("load_flagged", [])
                 if src.get(f.get("q")) == li]
+            # how many lines fed the merge: context prints cite it, since
+            # scalar fields (load_median etc.) describe only the LAST line
+            # while the merged per-query values span all of them
+            doc["_merged_n"] = len(same)
             raw = json.dumps(doc)
     if sel is not None:
         # also reached when a ONE-line history file json-parses directly
@@ -283,8 +287,13 @@ def main(prev_path: str, new_path: str, threshold: float = 2.0) -> int:
             lm[label] = float(v)
     if len(lm) == 2 and max(lm.values()) > 1.5 * min(lm.values()):
         noisy = max(lm, key=lm.get)
+        # a min-merged history side's load_median describes only its LAST
+        # line (the merged totals already absorb storms) — say so, or the
+        # note would overstate contamination of an absorbed artifact
+        mn = (prev_doc if noisy == "prev" else new_doc).get("_merged_n", 1)
+        prov = f" (its LAST of {mn} min-merged lines)" if mn > 1 else ""
         print(f"storm-suspect line: {noisy} ran at load_median "
-              f"{lm[noisy]:.2f}, >1.5x the other side's "
+              f"{lm[noisy]:.2f}{prov}, >1.5x the other side's "
               f"{min(lm.values()):.2f} — face-value totals are not "
               f"like-for-like; trust the min-merge and history_min_total")
     common = sorted(set(prev) & set(new))

@@ -210,6 +210,23 @@ code, out = run({"queries": {"q01_cond_agg": 1.0}, "load_median": 4.2},
                  "tail": "truncated..."})
 check("parsed-wrapper load_median is read; prev is the suspect side",
       code == 0 and "storm-suspect line: prev" in out, out)
+# a min-merged history side's load_median is only its LAST line's — the
+# note must carry that provenance, since the merged totals already
+# absorb storms
+hist_path = os.path.join(_TMPDIR.name, "hist_storm.jsonl")
+with open(hist_path, "w") as f:
+    f.write(json.dumps({"round": 5, "sf": "sf0.1", "load_median": 1.9,
+                        "queries": {"q01_cond_agg": 1.0}}) + "\n")
+    f.write(json.dumps({"round": 5, "sf": "sf0.1", "load_median": 4.8,
+                        "queries": {"q01_cond_agg": 1.4}}) + "\n")
+out = io.StringIO()
+with redirect_stdout(out):
+    code = cb.main(hist_path, artifact(
+        {"queries": {"q01_cond_agg": 1.1}, "load_median": 2.0,
+         "sf": "sf0.1"}))
+check("min-merged history side cites last-line provenance",
+      code == 0 and "storm-suspect line: prev" in out.getvalue()
+      and "LAST of 2 min-merged lines" in out.getvalue(), out.getvalue())
 
 print()
 if failures:
