@@ -125,6 +125,17 @@ def load_artifact(path: str, sf_hint: str = None):
             # scalar fields (load_median etc.) describe only the LAST line
             # while the merged per-query values span all of them
             doc["_merged_n"] = len(same)
+            # the QUIETEST merged line's ambient load: the min-merge draws
+            # each key from its best window, so storm-suspicion of a merged
+            # side must be judged against the calmest window it had — the
+            # last line's load_median would brand an absorbed storm as
+            # contaminating totals it never touched (round-14 review)
+            lms = [float(d["load_median"]) for d in same
+                   if isinstance(d.get("load_median"), (int, float))
+                   and not isinstance(d.get("load_median"), bool)
+                   and d["load_median"] > 0]
+            if lms:
+                doc["_load_median_min"] = min(lms)
             raw = json.dumps(doc)
     if sel is not None:
         # also reached when a ONE-line history file json-parses directly
@@ -190,7 +201,26 @@ def extract_queries(raw: str, doc: dict) -> dict:
     out = {}
     for m in re.finditer(r'"(q[0-9]+[a-z]?_[a-z0-9_]+)":(-?[0-9.]+)', raw):
         out[m.group(1)] = float(m.group(2))
+    # bare short ids ("q44":9.9, no underscore) are the MAJORITY key shape
+    # of a marked short-ids line — the full-name pattern above cannot see
+    # them, which left most of a null-parsed wrapper's queries out of the
+    # gate entirely (round-14 review: a 10x regression in a bare-keyed
+    # query compared as 'clean' because the key was never extracted).
+    # Only when marked: in full-name text a bare qNN token is not a key.
+    if doc.get("_short_ids"):
+        for m in re.finditer(r'"(q[0-9]+[a-z]?)":(-?[0-9.]+)', raw):
+            out.setdefault(m.group(1), float(m.group(2)))
     return out
+
+
+def scalar(doc: dict, key: str):
+    """Read a context scalar with the wrapper precedence: the driver
+    wrapper carries bench scalars inside `parsed` when its parse
+    succeeded; bare bench lines / history docs carry them top-level."""
+    p = doc.get("parsed")
+    if isinstance(p, dict) and key in p:
+        return p.get(key)
+    return doc.get(key)
 
 
 def min_rep_flagged(doc: dict) -> set:
@@ -252,11 +282,7 @@ def main(prev_path: str, new_path: str, threshold: float = 2.0) -> int:
     # storm-landed driver snapshot is self-contextualizing). Context only —
     # never enters the flag count; the per-query min-merge above is the gate.
     for label, doc in (("prev", prev_doc), ("new", new_doc)):
-        p = doc.get("parsed")
-        hmt = (p.get("history_min_total")
-               if isinstance(p, dict) else None)
-        if hmt is None:
-            hmt = doc.get("history_min_total")
+        hmt = scalar(doc, "history_min_total")
         if hmt is None:
             continue
         # context must never crash the gate: a malformed value would
@@ -279,19 +305,20 @@ def main(prev_path: str, new_path: str, threshold: float = 2.0) -> int:
     # never enters the flag count or the exit code.
     lm = {}
     for label, doc in (("prev", prev_doc), ("new", new_doc)):
-        p = doc.get("parsed")
-        v = p.get("load_median") if isinstance(p, dict) else None
+        # a min-merged history side is judged by its QUIETEST merged
+        # line: the per-query mins were drawn from the best windows, so
+        # its last line's load says nothing about the merged values —
+        # branding an absorbed storm as suspect would tell the reader to
+        # distrust exactly the totals that already fixed it
+        v = doc.get("_load_median_min")
         if v is None:
-            v = doc.get("load_median")
+            v = scalar(doc, "load_median")
         if isinstance(v, (int, float)) and not isinstance(v, bool) and v > 0:
             lm[label] = float(v)
     if len(lm) == 2 and max(lm.values()) > 1.5 * min(lm.values()):
         noisy = max(lm, key=lm.get)
-        # a min-merged history side's load_median describes only its LAST
-        # line (the merged totals already absorb storms) — say so, or the
-        # note would overstate contamination of an absorbed artifact
         mn = (prev_doc if noisy == "prev" else new_doc).get("_merged_n", 1)
-        prov = f" (its LAST of {mn} min-merged lines)" if mn > 1 else ""
+        prov = f" (quietest of {mn} min-merged lines)" if mn > 1 else ""
         print(f"storm-suspect line: {noisy} ran at load_median "
               f"{lm[noisy]:.2f}{prov}, >1.5x the other side's "
               f"{min(lm.values()):.2f} — face-value totals are not "

@@ -28,12 +28,15 @@ def numericish(s: pd.Series) -> bool:
     registered as numbers.Integral, and an object column of numpy ints
     paired against a float column is legitimately coercible, not a FAIL.
     Decimal stays explicit — it is registered as numbers.Number but not
-    numbers.Real. Empty/all-null is numericish: there is nothing a
+    numbers.Real. np.timedelta64 subclasses np.signedinteger (so it IS
+    numbers.Real) but astype(float) on it yields the raw tick count — a
+    duration-vs-number oracle typing bug must stay a FAIL, not coerce
+    into a value match. Empty/all-null is numericish: there is nothing a
     coercion could falsify."""
     nn = s.dropna()
     return bool(nn.map(
         lambda v: isinstance(v, (numbers.Real, decimal.Decimal))
-        and not isinstance(v, bool)).all())
+        and not isinstance(v, (bool, np.timedelta64))).all())
 
 
 def canon(df: pd.DataFrame):

@@ -210,10 +210,10 @@ code, out = run({"queries": {"q01_cond_agg": 1.0}, "load_median": 4.2},
                  "tail": "truncated..."})
 check("parsed-wrapper load_median is read; prev is the suspect side",
       code == 0 and "storm-suspect line: prev" in out, out)
-# a min-merged history side's load_median is only its LAST line's — the
-# note must carry that provenance, since the merged totals already
-# absorb storms
-hist_path = os.path.join(_TMPDIR.name, "hist_storm.jsonl")
+# a min-merged history side is judged by its QUIETEST merged line: a
+# stormy LAST line whose sibling was quiet is an absorbed storm (the
+# per-query mins came from the quiet window) and must stay silent...
+hist_path = os.path.join(_TMPDIR.name, "hist_absorbed.jsonl")
 with open(hist_path, "w") as f:
     f.write(json.dumps({"round": 5, "sf": "sf0.1", "load_median": 1.9,
                         "queries": {"q01_cond_agg": 1.0}}) + "\n")
@@ -224,9 +224,45 @@ with redirect_stdout(out):
     code = cb.main(hist_path, artifact(
         {"queries": {"q01_cond_agg": 1.1}, "load_median": 2.0,
          "sf": "sf0.1"}))
-check("min-merged history side cites last-line provenance",
+check("absorbed storm in a min-merged history side stays silent",
+      code == 0 and "storm-suspect" not in out.getvalue(), out.getvalue())
+# ...while a history side whose EVERY merged window was stormy is
+# genuinely suspect, cited with quietest-line provenance
+hist_path2 = os.path.join(_TMPDIR.name, "hist_all_storm.jsonl")
+with open(hist_path2, "w") as f:
+    f.write(json.dumps({"round": 5, "sf": "sf0.1", "load_median": 4.4,
+                        "queries": {"q01_cond_agg": 1.0}}) + "\n")
+    f.write(json.dumps({"round": 5, "sf": "sf0.1", "load_median": 5.2,
+                        "queries": {"q01_cond_agg": 1.4}}) + "\n")
+out = io.StringIO()
+with redirect_stdout(out):
+    code = cb.main(hist_path2, artifact(
+        {"queries": {"q01_cond_agg": 1.1}, "load_median": 2.0,
+         "sf": "sf0.1"}))
+check("all-stormy history side is suspect, cites quietest-line provenance",
       code == 0 and "storm-suspect line: prev" in out.getvalue()
-      and "LAST of 2 min-merged lines" in out.getvalue(), out.getvalue())
+      and "4.40 (quietest of 2 min-merged lines)" in out.getvalue(),
+      out.getvalue())
+
+# 9. round-14 review: bare short-id keys in a MARKED tail are extracted
+# by the fallback — without this, the majority key shape of a
+# null-parsed wrapper never entered the gate at all, and a 10x
+# regression in a bare-keyed query compared as 'clean'
+bare_wrapper = {
+    "parsed": None,
+    "tail": ('"q44":9.9,"q01_cond_agg":2.0},"ids":"first_name_segment",'
+             '"repaired":["q44"],"unit":"sec"')}
+code, out = run({"queries": {"q44_trades_etl": 1.0,
+                             "q01_cond_agg": 2.0}}, bare_wrapper)
+check("bare key from a marked tail is extracted and its regression flagged",
+      code == 1 and "REGRESSION q44" in out, out)
+check("bare extraction still compares the full-name key too (2 compared)",
+      "compared 2 queries" in out, out)
+# ...and an UNMARKED raw text's bare qNN tokens are not keys
+code, out = run({"queries": {"q44_trades_etl": 1.0}},
+                {"parsed": None, "tail": '"q44":9.9,"q44_trades_etl":1.0}'})
+check("bare token in an unmarked tail is NOT extracted",
+      code == 0 and "compared 1 queries" in out, out)
 
 print()
 if failures:

@@ -137,6 +137,11 @@ check("np.float32 object column is numericish",
 check("np.bool_ is NOT numericish",
       not co.numericish(pd.Series([np.int64(1), np.bool_(True)],
                                   dtype=object)))
+# np.timedelta64 subclasses np.signedinteger (so it IS numbers.Real) but
+# astype(float) yields the raw tick count — a duration-vs-number oracle
+# typing bug must stay a FAIL, not coerce into a value match
+check("np.timedelta64 is NOT numericish",
+      not co.numericish(pd.Series([np.timedelta64(5, "s")], dtype=object)))
 
 # 6. round-12: setup failures report, never traceback
 buf = io.StringIO()
