@@ -218,8 +218,14 @@ def scalar(doc: dict, key: str):
     wrapper carries bench scalars inside `parsed` when its parse
     succeeded; bare bench lines / history docs carry them top-level."""
     p = doc.get("parsed")
-    if isinstance(p, dict) and key in p:
-        return p.get(key)
+    if isinstance(p, dict):
+        # round-15 ADVICE: an explicit null INSIDE `parsed` (the driver
+        # emits "load_median": null when its sampler had no reading) must
+        # not shadow a valid top-level value — fall through instead of
+        # returning the None that silently skips the context line.
+        v = p.get(key)
+        if v is not None:
+            return v
     return doc.get(key)
 
 

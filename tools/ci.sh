@@ -78,11 +78,14 @@ for name in ("Weekly_Trade_Volume.png", "Weekly_Trade_Count_by_Client_Type.png")
     if data[:8] != b"\x89PNG\r\n\x1a\n" or data[12:16] != b"IHDR":
         sys.exit(f"FAIL: {name} is not a PNG")
     w, h = struct.unpack(">II", data[16:24])
-    # the reference's matplotlib figsize (15, 7.5) at dpi=100 — pinned
-    # exactly (ChartsSpec asserts the same) so a size regression fails
-    # the CI gate itself, not only the spec suite
+    # Charts.scala's fixed 1500x750 canvas — figsize=(10,5) at dpi=150,
+    # the reference's savefig parameters (etl_weekly_trades.py:224-229).
+    # The reference PNGs themselves are NOT exactly 1500x750 (its
+    # bbox_inches='tight' trims the canvas); this pin gates the repo's
+    # own deterministic renderer (ChartsSpec asserts the same) so a size
+    # regression fails the CI gate itself, not only the spec suite.
     if (w, h) != (1500, 750):
-        sys.exit(f"FAIL: {name} dimensions {w}x{h} != reference 1500x750")
+        sys.exit(f"FAIL: {name} dimensions {w}x{h} != renderer's 1500x750")
     print(f"{name}: valid PNG {w}x{h}, {len(data)} bytes")
 EOF
 

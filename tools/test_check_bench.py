@@ -244,6 +244,32 @@ check("all-stormy history side is suspect, cites quietest-line provenance",
       and "4.40 (quietest of 2 min-merged lines)" in out.getvalue(),
       out.getvalue())
 
+# 8b. round-15 ADVICE: an explicit null inside `parsed` must not shadow a
+# valid top-level scalar — the wrapper shape where the driver's sampler
+# had no reading ("load_median": null in parsed) but the outer doc carries
+# the real value previously skipped the storm-suspect context line.
+code, out = run({"queries": {"q01_cond_agg": 1.0}, "load_median": 1.8},
+                {"parsed": {"queries": {"q01_cond_agg": 1.1},
+                            "load_median": None},
+                 "load_median": 4.1, "tail": "truncated..."})
+check("null in parsed falls through to top-level load_median",
+      code == 0 and "storm-suspect line: new" in out and "4.10" in out, out)
+# same fall-through for history_min_total context
+code, out = run({"queries": {"q01_cond_agg": 1.0}},
+                {"parsed": {"queries": {"q01_cond_agg": 1.1},
+                            "history_min_total": None},
+                 "history_min_total": 57.12, "tail": "truncated..."})
+check("null in parsed falls through to top-level history_min_total",
+      code == 0 and "new history_min_total: 57.120s" in out, out)
+# and a genuine value inside parsed still wins over a stale top-level one
+code, out = run({"queries": {"q01_cond_agg": 1.0}},
+                {"parsed": {"queries": {"q01_cond_agg": 1.1},
+                            "history_min_total": 57.12},
+                 "history_min_total": 99.9, "tail": "truncated..."})
+check("non-null parsed scalar still takes precedence",
+      code == 0 and "new history_min_total: 57.120s" in out
+      and "99.900s" not in out, out)
+
 # 9. round-14 review: bare short-id keys in a MARKED tail are extracted
 # by the fallback — without this, the majority key shape of a
 # null-parsed wrapper never entered the gate at all, and a 10x
