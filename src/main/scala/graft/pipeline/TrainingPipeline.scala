@@ -202,7 +202,11 @@ object TrainingPipeline {
     }
     if (cfg.dedup != NoDedup) b += ("dedup" -> deduped)
     val kept = TextQueries.scoreDocs(deduped)
-      .filter(col("quality") >= cfg.minQuality)
+      // noPush: quality is the heavy q19 expression — keep the gate above
+      // the scoring projection (and the fan-out exchange) instead of
+      // letting pushdown re-derive it at the scan (see NoPushdown)
+      .filter(graft.functions.BarrierOps.noPush(
+        col("quality") >= cfg.minQuality))
     b += ("quality_gate" -> kept)
     // soft quality sampling composes with (or replaces, via minQuality=0)
     // the hard threshold; its ':qs' hash stream is independent of the

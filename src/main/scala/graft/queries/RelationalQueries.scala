@@ -462,7 +462,11 @@ object RelationalQueries {
     // truth the two-pass plan must reproduce.
     "q93_stratified_k" -> ((s, d) => {
       RelationalOps.stratifiedExactK(
-        Tables.documents(s, d), "lang", "doc_id", k = 20, salt = ":strat")
+        // adaptive fan-out (identity at scale): the per-row salted-md5
+        // keys, integer count thresholds, and the shortfall fallback are
+        // all order-independent — see Fan.out
+        graft.operators.Fan.out(Tables.documents(s, d), col("doc_id")),
+        "lang", "doc_id", k = 20, salt = ":strat")
     }),
 
     // Temporal gap-fill: dense per-user weekly grid with zero rows for

@@ -30,6 +30,21 @@ object TextQueries {
   private def ccCheckpointDir(s: SparkSession): Option[String] =
     s.conf.getOption("spark.graft.checkpoint.dir")
 
+  /** Documents scan with the scale-adaptive fan-out ([[graft.operators
+    * .Fan.out]]): identity whenever the scan already yields ≥ core-count
+    * partitions (any real corpus), one hash exchange on doc_id when the
+    * table is a single row group and every narrow kernel stage would
+    * otherwise run on ONE core (the driver corpus shape — measured 1
+    * scan partition on 32 cores at every SF). Used by every registration
+    * whose result is order-independent (per-row projections, integer /
+    * min / count aggregations, deterministic windows); q73/q86 keep the
+    * raw scan (zero-exchange plan shape is those queries' point, and
+    * both are sub-0.1 s), and nothing with partition-order float sums
+    * (q29-style) routes through here.
+    */
+  private def docsWide(s: SparkSession, d: String): DataFrame =
+    graft.operators.Fan.out(Tables.documents(s, d), col("doc_id"))
+
   /** THE simhash-of-document definition (64-bit simhash over normalized
     * whitespace tokens of `text`) — single-sourced like [[sigCols]]/
     * [[bandsExploded]] so the batch q24/q64 family and the streaming
@@ -72,7 +87,7 @@ object TextQueries {
       .select("doc_id")
 
   private def dedupLosers(s: SparkSession, d: String): DataFrame =
-    neardupLosersOf(Tables.documents(s, d), checkpointDir = ccCheckpointDir(s))
+    neardupLosersOf(docsWide(s, d), checkpointDir = ccCheckpointDir(s))
 
   /** Source priorities for q76: the first four sources stand in for a
     * curated slice (priority 0 — keep these when a cluster mixes
@@ -426,7 +441,11 @@ object TextQueries {
         format_string("%08x",
           least(floor(col("quality") * lit(4294967296.0)).cast("long"),
             lit(4294967295L))))
-      .filter(col("sample_key") < col("__thr"))
+      // noPush: __thr derives from the heavy q19 quality expression — an
+      // unbarred filter would re-evaluate that whole chain at the scan
+      // (below the fan-out) instead of reading the staged column once
+      .filter(graft.functions.BarrierOps.noPush(
+        col("sample_key") < col("__thr")))
       .drop("__thr")
 
   // ---- q86 deterministic corpus shuffle + shard assignment --------------
@@ -786,7 +805,12 @@ object TextQueries {
             / greatest(col("__pst.total_chars"), lit(1L)).cast("double")) <= 0.20))
         .reduce(_ && _)
     withStats
-      .filter(passQ70 && passQ71 && passQ74)
+      // noPush: without the barrier, PushDownPredicates substitutes this
+      // predicate through every staged projection — 22 gram_run_stats and
+      // 51 tokenizer copies evaluated per row at the single-task scan,
+      // below the fan-out exchange (measured round 15: 2.5 s → the stats
+      // Project alone is 0.3 s fanned). See [[graft.functions.NoPushdown]].
+      .filter(graft.functions.BarrierOps.noPush(passQ70 && passQ71 && passQ74))
       .drop((Seq("__toks", "__ls", "__ps", "__lst", "__pst") ++
         gramNs.map(n => s"__g$n")): _*)
   }
@@ -949,7 +973,7 @@ object TextQueries {
         TextOps.wordShinglesFromTokens(col("toks"), 3).as("sh"))
 
   private def shingled(s: SparkSession, d: String): DataFrame =
-    shingledDocs(Tables.documents(s, d))
+    shingledDocs(docsWide(s, d))
 
   /** The four signature projections over a staged shingle-hash column —
     * THE definition of the signature family, shared by the batch
@@ -1092,7 +1116,10 @@ object TextQueries {
   private[graft] def winnowOverlapFrom(
       fps: DataFrame, maxDf: Int = 16, minOverlap: Double = 0.5): DataFrame = {
     val buckets = RelationalOps.materialize(fps
-      .filter(size(col("fps")) > 0)
+      // noPush: `fps` is the winnow kernel — unbarred, this size-probe is
+      // substituted and the kernel runs TWICE per row (once in the pushed
+      // filter at the single-task scan, once in the explode projection)
+      .filter(graft.functions.BarrierOps.noPush(size(col("fps")) > 0))
       .select(col("doc_id"), explode(col("fps")).as("fp"))
       .groupBy("fp")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -1368,7 +1395,7 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     // Token counting + punctuation + stopword ratio (single divisions only).
     "q17_text_stats" -> ((s, d) => {
-      Tables.documents(s, d).select(
+      docsWide(s, d).select(
         col("doc_id"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextOps.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
@@ -1380,7 +1407,7 @@ object TextQueries {
     // Stopword-vote language ID (deterministic tie order en>de>es>fr).
     // Tokens staged once; the four stopword probes scan the column.
     "q18_lang_id" -> ((s, d) => {
-      Tables.documents(s, d)
+      docsWide(s, d)
         .select(col("doc_id"), col("text"),
           TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
         .select(col("doc_id"),
@@ -1389,13 +1416,13 @@ object TextQueries {
 
     // Heuristic quality score — arithmetic order mirrored in the oracle.
     "q19_quality" -> ((s, d) => {
-      Tables.documents(s, d).select(
+      docsWide(s, d).select(
         col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
     }),
 
     // Exact dedup: md5 fingerprint of normalized text → canonical doc + count.
     "q20_dedup_exact" -> ((s, d) => {
-      Tables.documents(s, d)
+      docsWide(s, d)
         .groupBy(TextOps.fingerprintMd5(col("text")).as("fingerprint"))
         .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("cnt"))
     }),
@@ -1429,7 +1456,7 @@ object TextQueries {
     // family makes this bit-replayable by the DuckDB oracle (per-token
     // hex-digit bit votes — see oracleSql below).
     "q24_simhash" -> ((s, d) => {
-      Tables.documents(s, d).select(
+      docsWide(s, d).select(
         col("doc_id"), simhashCol.as("simhash"))
     }),
 
@@ -1439,7 +1466,7 @@ object TextQueries {
     // as a comma-joined string, not a raw array: the driver's compare
     // hashes scalar cells, not array cells (round-1 q25 errored on that).
     "q25_winnow" -> ((s, d) => {
-      Tables.documents(s, d).select(
+      docsWide(s, d).select(
         col("doc_id"),
         concat_ws(",",
           TextFingerprints.winnowFingerprint(TextOps.normalized(col("text")), 8, 16))
@@ -1453,7 +1480,7 @@ object TextQueries {
     // (q65), embedding-cosine (q35). Oracle replays bands, xor and
     // bit_count on the signed 64-bit fingerprint exactly.
     "q64_simhash_pairs" -> ((s, d) => {
-      simhashPairsFrom(Tables.documents(s, d).select(
+      simhashPairsFrom(docsWide(s, d).select(
         col("doc_id"), simhashCol.as("simhash")))
     }),
 
@@ -1464,7 +1491,7 @@ object TextQueries {
     // so pair generation stays linear). Integer counts + one division —
     // bit-replayed by the oracle.
     "q65_winnow_overlap" -> ((s, d) => {
-      winnowOverlapFrom(Tables.documents(s, d).select(
+      winnowOverlapFrom(docsWide(s, d).select(
         col("doc_id"),
         TextFingerprints.winnowFingerprint(TextOps.normalized(col("text")), 8, 16)
           .as("fps")))
@@ -1478,7 +1505,7 @@ object TextQueries {
     // query stays ONE lazy plan / one job (a driver-side `docs.count()`
     // would cost an extra eager job per construction).
     "q40_tfidf" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = docsWide(s, d)
       val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val terms = docs
         .select(col("doc_id"),
@@ -1532,7 +1559,7 @@ object TextQueries {
     // training-data pipeline actually ships. Anti-join against the loser
     // set; singletons never appear in clusters, so they pass through free.
     "q58_dedup_apply" -> ((s, d) => {
-      Tables.documents(s, d)
+      docsWide(s, d)
         .join(dedupLosers(s, d), Seq("doc_id"), "left_anti")
         .select(col("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
@@ -1544,7 +1571,7 @@ object TextQueries {
     // election rule real mixed-corpus dedup runs. Priorities are
     // `sourcePriorities` (src0–src3 = curated stand-ins).
     "q76_priority_dedup_apply" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = docsWide(s, d)
       docs
         .join(priorityLosersOf(docs, sourcePriorities,
           checkpointDir = ccCheckpointDir(s)), Seq("doc_id"), "left_anti")
@@ -1556,7 +1583,7 @@ object TextQueries {
     // SimHash as a complete dedup method, oracled end to end against the
     // recursive-CTE replay of the same pipeline.
     "q66_simhash_dedup_apply" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = docsWide(s, d)
       docs
         .join(simhashLosersOf(docs, checkpointDir = ccCheckpointDir(s)),
           Seq("doc_id"), "left_anti")
@@ -1567,7 +1594,7 @@ object TextQueries {
     // The q58 apply under the winnow-overlap pair family (q65 → CC →
     // anti-join), same end-to-end oracle discipline.
     "q67_winnow_dedup_apply" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = docsWide(s, d)
       docs
         .join(winnowLosersOf(docs, checkpointDir = ccCheckpointDir(s)),
           Seq("doc_id"), "left_anti")
@@ -1580,14 +1607,14 @@ object TextQueries {
     // with the evidence counts. Eval grams broadcast — the corpus side
     // never shuffles for the join. Integer counts → bit-exact oracle.
     "q68_decontam_hits" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = docsWide(s, d)
       contaminationHits(trainSlice(docs), evalSlice(docs))
     }),
 
     // Decontamination apply: the surviving training pool — what a real
     // pipeline ships to tokenization after removing benchmark overlap.
     "q69_decontam_apply" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = docsWide(s, d)
       decontaminate(trainSlice(docs), evalSlice(docs))
         .select(col("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
@@ -1602,7 +1629,7 @@ object TextQueries {
     // chars. Entirely narrow (sorted-runs fold per row — see
     // TextOps.gramRunStats), zero shuffles; integer counts + single
     // divisions → bit-exact oracle.
-    "q70_repetition" -> ((s, d) => repetitionOf(Tables.documents(s, d))),
+    "q70_repetition" -> ((s, d) => repetitionOf(docsWide(s, d))),
 
     // Gopher/MassiveText quality rules (Rae et al. 2021, table A1 — the
     // non-repetition half; q70 carries the repetition half): word-count
@@ -1611,7 +1638,7 @@ object TextQueries {
     // ≥80% alpha-bearing words, and ≥2 of the eight required English words.
     // Entirely narrow (one map stage, zero shuffles); integer counts +
     // single per-row divisions → bit-exact oracle.
-    "q71_gopher_quality" -> ((s, d) => gopherQualityOf(Tables.documents(s, d))),
+    "q71_gopher_quality" -> ((s, d) => gopherQualityOf(docsWide(s, d))),
 
     // Cross-document duplicated passages — the signal behind exact-substring
     // training-data dedup (Lee et al. 2021, "Deduplicating Training Data
@@ -1621,7 +1648,7 @@ object TextQueries {
     // positions, duplicated positions, their fraction, <0.30 verdict.
     // Shuffles carry only (hash, doc_id, count) rows — posting-list
     // discipline, never a pairwise expansion.
-    "q72_dup_passages" -> ((s, d) => dupPassagesOf(Tables.documents(s, d))),
+    "q72_dup_passages" -> ((s, d) => dupPassagesOf(docsWide(s, d))),
 
     // The rest of the Gopher repetition table (Rae et al. 2021, table A1):
     // top-{3,4}-gram and duplicated-{6..10}-gram char fractions plus the
@@ -1634,7 +1661,7 @@ object TextQueries {
     // HOF fold whose lambda evaluates interpreted (the fold remains as
     // the equivalence-spec'd reference twin).
     "q74_gopher_repetition_ext" -> ((s, d) =>
-      gopherRepetitionExtOf(Tables.documents(s, d))),
+      gopherRepetitionExtOf(docsWide(s, d))),
 
     // Quality-PROPORTIONAL deterministic sampling — the soft filter
     // (FineWeb-Edu / DCLM style): keep each doc with probability equal to
@@ -1645,7 +1672,7 @@ object TextQueries {
     // the bit-oracled q19 expression and the threshold is one multiply +
     // floor, so the filter replays bit-exactly. Pure narrow predicate.
     "q78_quality_sample" -> ((s, d) =>
-      qualitySample(scoreDocs(Tables.documents(s, d)))
+      qualitySample(scoreDocs(docsWide(s, d)))
         .select(col("doc_id"), col("quality"), col("sample_key"))),
 
     // PII detection + redaction (the C4 / FineWeb scrub step): emails,
@@ -1658,7 +1685,7 @@ object TextQueries {
     // replays the Java-regex match/replace chain on every corpus row.
     // Planted-fixture semantics live in PiiScrubSpec.
     "q79_pii_scrub" -> ((s, d) =>
-      piiScrubOf(Tables.documents(s, d).withColumn("text",
+      piiScrubOf(docsWide(s, d).withColumn("text",
         concat(col("text"),
           lit(" u"), col("doc_id").cast("string"),
           lit("@ex"), (col("doc_id") % 7).cast("string"),
@@ -1673,7 +1700,7 @@ object TextQueries {
     // across the train/eval boundary). Same CC clusters as q43; the oracle
     // replays them with the shared recursive CTE.
     "q80_split_assign" -> ((s, d) =>
-      splitAssignOf(Tables.documents(s, d),
+      splitAssignOf(docsWide(s, d),
         checkpointDir = ccCheckpointDir(s))),
 
     // Unigram-LM quality proxy (the CCNet/RedPajama perplexity-filter
@@ -1682,7 +1709,7 @@ object TextQueries {
     // avg-frequency / rare-ratio signals. See unigramScoreOf for the
     // AQE-decided join strategy at scale.
     "q81_unigram_score" -> ((s, d) =>
-      unigramScoreOf(Tables.documents(s, d))),
+      unigramScoreOf(docsWide(s, d))),
 
     // Deterministic corpus shuffle + shard assignment (see shuffleShardsOf;
     // the ordered physical layout is ShuffledShards.writeShuffled).
@@ -1693,16 +1720,16 @@ object TextQueries {
     // tokenBudgetSelect — band histogram + broadcast cutoff, never a
     // global quality sort).
     "q87_token_budget" -> ((s, d) =>
-      tokenBudgetSelect(Tables.documents(s, d), budgetTokens = 10000L)),
+      tokenBudgetSelect(docsWide(s, d), budgetTokens = 10000L)),
 
     // Exact heavy hitters via Misra–Gries candidates + exact recount (see
     // heavyHitters — the full-vocab shuffle never happens).
-    "q88_heavy_hitters" -> ((s, d) => heavyHitters(Tables.documents(s, d))),
+    "q88_heavy_hitters" -> ((s, d) => heavyHitters(docsWide(s, d))),
 
     // DSIR-style hashed-unigram importance scores, integer-exact
     // linearization (see importanceScoresOf).
     "q89_importance_weight" -> ((s, d) =>
-      importanceScoresOf(Tables.documents(s, d))),
+      importanceScoresOf(docsWide(s, d))),
 
     // Incremental admission dedup: the doc_id % 10 = 0 slice plays the
     // incoming batch, the rest the accumulated corpus; batch docs exactly
@@ -1710,7 +1737,7 @@ object TextQueries {
     // (see incrementalDedup — within-batch duplicates are NOT each
     // other's problem here).
     "q84_incremental_dedup" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = docsWide(s, d)
       incrementalDedup(
         docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0))
@@ -1724,7 +1751,7 @@ object TextQueries {
     // and oracle are identical to q69 — the check IS that the prefilter
     // changed nothing.
     "q83_decontam_bloom" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = docsWide(s, d)
       decontaminateBloom(trainSlice(docs), evalSlice(docs))
         .select(col("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
@@ -1736,7 +1763,7 @@ object TextQueries {
     // corpus three times for one boolean). The pre-tokenization quality
     // terminal; also wired into TrainingPipeline as Config.gopherFilter.
     "q75_gopher_apply" -> ((s, d) =>
-      gopherFilterAll(Tables.documents(s, d))
+      gopherFilterAll(docsWide(s, d))
         .select(col("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))),
 
@@ -1749,7 +1776,7 @@ object TextQueries {
     // length, symbol/alpha ratios, all nine repetition thresholds, the
     // line/paragraph duplicate rules — is hash-verified end-to-end.
     "q75b_gopher_apply_relaxed" -> ((s, d) =>
-      gopherFilterAll(Tables.documents(s, d), gopherRelaxedMinStops)
+      gopherFilterAll(docsWide(s, d), gopherRelaxedMinStops)
         .select(col("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))),
 
@@ -1769,17 +1796,17 @@ object TextQueries {
     // Uses real log idf → not bit-reproducible across engines' libm
     // (SURVEY float-parity rules) → rows-only check; the rational-idf
     // q40 is the oracle-checked variant of the same shape.
-    "q42_bm25" -> ((s, d) => bm25(Tables.documents(s, d),
+    "q42_bm25" -> ((s, d) => bm25(docsWide(s, d),
       Seq("data", "spark", "query"))),
 
     // BM25 verification twin: the same scoring, linearized to integer
     // components (exact rational saturation + rank-equivalent idf) so the
     // whole query is hash-oracled — see [[bm25Components]].
-    "q42b_bm25_rational" -> ((s, d) => bm25Components(Tables.documents(s, d),
+    "q42b_bm25_rational" -> ((s, d) => bm25Components(docsWide(s, d),
       Seq("data", "spark", "query"))),
 
     // Vocabulary building: top-16 terms by frequency with dense token ids.
-    "q52_vocab" -> ((s, d) => vocab(Tables.documents(s, d))),
+    "q52_vocab" -> ((s, d) => vocab(docsWide(s, d))),
 
     // Sequence packing: assign docs to fixed-token-budget training bins
     // (256 tokens) by cumulative token count within a hash shard — the
@@ -1788,7 +1815,7 @@ object TextQueries {
     // sort ever happens).
     "q53_pack_bins" -> ((s, d) => {
       val w = Window.partitionBy("shard").orderBy("doc_id")
-      Tables.documents(s, d)
+      docsWide(s, d)
         .select(col("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
         .withColumn("shard", pmod(col("doc_id"), lit(16L)))
@@ -1801,7 +1828,7 @@ object TextQueries {
     // emit the first 64 ids in order plus OOV stats. The vocab is tiny by
     // construction → broadcast join; one shuffle for the per-doc reassembly.
     "q54_dict_encode" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = docsWide(s, d)
       val v = vocab(docs).select(col("term"), col("token_id"))
       val toks = docs.select(col("doc_id"),
         posexplode(TextOps.tokens(TextOps.normalized(col("text"))))
@@ -1832,7 +1859,8 @@ object TextQueries {
     // scoring/join stages add one corpus scan and one shuffle on top.
     "q61_training_export" -> ((s, d) =>
       graft.pipeline.TrainingPipeline.export(
-        Tables.documents(s, d), Some(Tables.embeddings(s, d)),
+        docsWide(s, d),
+        Some(graft.operators.Fan.out(Tables.embeddings(s, d), col("vec_id"))),
         graft.pipeline.TrainingPipeline.Config(checkpointDir = ccCheckpointDir(s)))),
 
     // Corpus composition report: per (predicted language, 50-token length
@@ -1842,7 +1870,7 @@ object TextQueries {
     // Integer aggregates only (count/sum/min/max of longs are order-free
     // exact), so it stays bit-oracled.
     "q62_lang_stats" -> ((s, d) =>
-      graft.pipeline.TrainingPipeline.stats(scoreDocs(Tables.documents(s, d)))),
+      graft.pipeline.TrainingPipeline.stats(scoreDocs(docsWide(s, d)))),
 
     // Content-defined chunking (CDC, the FastCDC/rsync idea): split each
     // document where the rolling content hash qualifies — here, where the
@@ -1854,7 +1882,7 @@ object TextQueries {
     // remainder — the standard trick for sub-document dedup at scale.
     // Fully narrow (HOFs over each row); the oracle replays gram hashing,
     // cut selection, and span reassembly exactly.
-    "q63_cdc_chunks" -> ((s, d) => cdcChunksOf(Tables.documents(s, d))),
+    "q63_cdc_chunks" -> ((s, d) => cdcChunksOf(docsWide(s, d))),
 
     // Sub-document exact-substring dedup apply (Lee et al. 2021) over the
     // q63 CDC chunks: every duplicated chunk keeps exactly ONE occurrence
@@ -1863,12 +1891,12 @@ object TextQueries {
     // that document-level dedup (q58/q66/q67) can't express. See
     // chunkDedupApplyOf for the scale shape.
     "q77_chunk_dedup_apply" -> ((s, d) =>
-      chunkDedupApplyOf(Tables.documents(s, d))),
+      chunkDedupApplyOf(docsWide(s, d))),
 
     // Fixed-size token chunking with overlap (50-token chunks, stride 40):
     // the standard training-data windowing step. One narrow pass + explode.
     "q38_chunks" -> ((s, d) => {
-      Tables.documents(s, d)
+      docsWide(s, d)
         .select(col("doc_id"),
           TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
         .withColumn("starts",

@@ -120,10 +120,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q71/q73/q74: Gopher quality, mixture sampling, extended repetition are fully narrow — zero exchanges") {
-    assert(!plan("q71_gopher_quality", "simple").contains("Exchange"))
+  test("q71/q73/q74: Gopher quality, mixture sampling, extended repetition stay narrow — only the adaptive scan fan-out exchanges") {
+    // q71/q74 adopt Fan.out: at the test SF the scan is one row group, so
+    // exactly ONE hashpartitioning(doc_id) exchange fans the kernel stage
+    // out to the cores (identity at real scale); nothing else may shuffle
+    for (q <- Seq("q71_gopher_quality", "q74_gopher_repetition_ext")) {
+      val p = plan(q, "simple")
+      assert("Exchange".r.findAllIn(p).size === 1, p)
+      assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size === 1, p)
+    }
+    // q73 keeps the raw zero-exchange scan (sub-0.1 s narrow sampler)
     assert(!plan("q73_mixture_sample", "simple").contains("Exchange"))
-    assert(!plan("q74_gopher_repetition_ext", "simple").contains("Exchange"))
   }
 
   test("q72: duplicated passages compute the gram table once — no double corpus scan") {
@@ -185,12 +192,14 @@ class PlanQualitySpec extends SparkSpec {
 
   test("q89: scoring against the collected weight table is one narrow projection") {
     // the ≤256-row weight model is trained at construction and embedded as
-    // an array literal — the registered plan must be join-free and
-    // exchange-free: score + n_tokens compute per row over the scan, with
-    // the null-text filter pushed into the parquet scan
+    // an array literal — the registered plan must be join-free, with the
+    // null-text filter pushed THROUGH the adaptive fan-out exchange into
+    // the parquet scan; the only exchange allowed is Fan.out's
+    // hashpartitioning(doc_id) (identity at real scale)
     val p = plan("q89_importance_weight", "simple")
     assert(!p.contains("Join"), p)
-    assert(!p.contains("Exchange"), p)
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
     val f = plan("q89_importance_weight")
     assert(f.contains("PushedFilters: [IsNotNull(text)]"), f)
   }
