@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.VectorOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** IVF (inverted-file) index for approximate nearest-neighbor search:
   * k-means coarse quantizer → per-vector cluster assignment → queries probe
@@ -30,8 +31,26 @@ object IvfIndex {
   /** (score, cluster_id) struct per centroid; struct order = score asc,
     * ties to the lower cluster_id — the same tie rule as a min_by over
     * (score, cluster_id).
+    *
+    * REFERENCE TWIN ONLY (IvfKernelEquivalenceSpec): the shipped paths run
+    * the [[NearestCentroid]]/[[ProbeClusters]] kernels instead. The Column
+    * form inlines per-iteration DOUBLE LITERALS (‖c‖², centroid arrays)
+    * into the generated source, so every Lloyd iteration of every rep
+    * produced a NEW whole-stage-codegen source → janino recompile; the
+    * kernels carry the codebook via `addReferenceObj`, making the source
+    * text stable across iterations and reps (the PqEncode lesson), and
+    * evaluate one tight loop per row instead of a k-struct array build.
     */
-  private def scoredStructs(emb: Column, cents: Codebook): Seq[Column] =
+  private[operators] def nearestColViaStructs(emb: Column, cents: Codebook): Column =
+    array_min(array(scoredStructsRef(emb, cents): _*)).getField("cid")
+
+  private[operators] def probeClustersViaStructs(
+      qe: Column, cents: Codebook, nprobe: Int): Column =
+    transform(
+      slice(array_sort(array(scoredStructsRef(qe, cents): _*)), 1, nprobe),
+      p => p.getField("cid"))
+
+  private def scoredStructsRef(emb: Column, cents: Codebook): Seq[Column] =
     cents.toSeq.map { case (cid, c) =>
       val cNorm2 = c.foldLeft(0.0)((acc, x) => acc + x * x)
       struct(
@@ -40,7 +59,8 @@ object IvfIndex {
     }
 
   private def nearestCol(emb: Column, cents: Codebook): Column =
-    array_min(array(scoredStructs(emb, cents): _*)).getField("cid")
+    Bridge.column(NearestCentroid(
+      Bridge.expression(emb), cents.map(_._2), cents.map(_._1)))
 
   /** cluster_id → centroid (array<double>), after `iters` Lloyd steps.
     *
@@ -167,9 +187,8 @@ object IvfIndex {
     probeClustersCol(qe, collectCodebook(centroids), nprobe)
 
   private def probeClustersCol(qe: Column, cents: Codebook, nprobe: Int): Column =
-    transform(
-      slice(array_sort(array(scoredStructs(qe, cents): _*)), 1, nprobe),
-      p => p.getField("cid"))
+    Bridge.column(ProbeClusters(
+      Bridge.expression(qe), cents.map(_._2), cents.map(_._1), nprobe))
 
   /** The 100 TB final form: the index IS the table layout. Write the
     * corpus hive-partitioned by its IVF cluster so probe-time reads prune
@@ -243,4 +262,190 @@ object IvfIndex {
         scored, Seq("q_id"), Seq(col("cosine").desc, col("neighbor_id").asc), topK,
         rankCol = "rnk")
   }
+}
+
+/** Shared scoring loop for the IVF kernels: rank-invariant L2 surrogate
+  * `score(c) = ‖c‖² − 2·emb·c`, both terms accumulated strictly
+  * left-to-right in double precision — bit-for-bit the Column reference
+  * twin's `lit(cNorm2) − 2·dot(emb, c)` (the fold and the kernel loop add
+  * in the same order). Comparison semantics replicate Spark's struct
+  * min/sort over (score asc, cid asc): doubles order via
+  * `java.lang.Double.compare` (NaN greatest, −0.0 < 0.0), ties resolve to
+  * the EARLIER entry, and the codebook arrives cid-ascending (
+  * collectCodebook sorts), so "earlier" is "lower cid".
+  */
+private[operators] object IvfKernels {
+
+  /** norms(i) = ‖cents(i)‖², folded left-to-right like the reference twin. */
+  def norms(cents: Array[Array[Double]]): Array[Double] =
+    cents.map(_.foldLeft(0.0)((acc, x) => acc + x * x))
+
+  private def score(
+      v: org.apache.spark.sql.catalyst.util.ArrayData, vFloat: Boolean,
+      c: Array[Double], cNorm2: Double): Double = {
+    var dot = 0.0
+    var i = 0
+    val n = c.length
+    if (v.numElements() != n) throw new IllegalArgumentException(
+      s"ivf kernel: vector has ${v.numElements()} dims, centroid has $n")
+    while (i < n) {
+      if (v.isNullAt(i)) throw new IllegalArgumentException(
+        s"ivf kernel: NULL element at index $i (dense vectors required)")
+      val x = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      dot += x * c(i)
+      i += 1
+    }
+    cNorm2 - 2.0 * dot
+  }
+
+  def nearest(
+      v: org.apache.spark.sql.catalyst.util.ArrayData, vFloat: Boolean,
+      cents: Array[Array[Double]], norms: Array[Double],
+      cids: Array[Int]): Int = {
+    var best = 0
+    var bestScore = score(v, vFloat, cents(0), norms(0))
+    var i = 1
+    while (i < cents.length) {
+      val s = score(v, vFloat, cents(i), norms(i))
+      // strict <: ties keep the earlier (lower-cid) entry, like array_min
+      if (java.lang.Double.compare(s, bestScore) < 0) { best = i; bestScore = s }
+      i += 1
+    }
+    cids(best)
+  }
+
+  /** cids of the `nprobe` best-scoring centroids, (score, cid) ascending —
+    * the same order `array_sort` over the reference structs yields.
+    * Insertion sort into a bounded buffer: k and nprobe are codebook-sized
+    * (≤ a few thousand by construction), and nprobe is typically ≤ 8.
+    */
+  def probes(
+      v: org.apache.spark.sql.catalyst.util.ArrayData, vFloat: Boolean,
+      cents: Array[Array[Double]], norms: Array[Double],
+      cids: Array[Int], nprobe: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = math.min(nprobe, cents.length)
+    val topScore = new Array[Double](m)
+    val topCid   = new Array[Int](m)
+    var filled = 0
+    var i = 0
+    while (i < cents.length) {
+      val s = score(v, vFloat, cents(i), norms(i))
+      // find insert position: after every entry with score <= s (stable —
+      // equal scores keep codebook order, i.e. ascending cid)
+      var pos = filled
+      while (pos > 0 && java.lang.Double.compare(topScore(pos - 1), s) > 0) pos -= 1
+      if (pos < m) {
+        val last = math.min(filled, m - 1)
+        var j = last
+        while (j > pos) { topScore(j) = topScore(j - 1); topCid(j) = topCid(j - 1); j -= 1 }
+        topScore(pos) = s
+        topCid(pos) = cids(i)
+        if (filled < m) filled += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(topCid, filled).map(x => x: Any))
+  }
+}
+
+private[operators] trait IvfCodebookExpr {
+  self: org.apache.spark.sql.catalyst.expressions.UnaryExpression =>
+  def cents: Array[Array[Double]]
+  def cids: Array[Int]
+
+  protected lazy val cNorms: Array[Double] = IvfKernels.norms(cents)
+  protected lazy val childIsFloat: Boolean = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType |
+        org.apache.spark.sql.types.DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<float>/array<double>, got $other")
+    }
+}
+
+/** `nearest_centroid(v)`: argmin cluster id over the codebook carried as a
+  * reference object (NOT inlined literals — see nearestColViaStructs'
+  * scaladoc for why that matters: stable codegen source across Lloyd
+  * iterations and bench reps).
+  */
+case class NearestCentroid(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    cents: Array[Array[Double]], cids: Array[Int])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with IvfCodebookExpr {
+  require(cents.nonEmpty && cents.length == cids.length,
+    "nearest_centroid: empty or misaligned codebook")
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(v: Any): Any =
+    IvfKernels.nearest(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      childIsFloat, cents, cNorms, cids)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val c = ctx.addReferenceObj("ivfCents", cents, "double[][]")
+    val n = ctx.addReferenceObj("ivfNorms", cNorms, "double[]")
+    val d = ctx.addReferenceObj("ivfCids", cids, "int[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.operators.IvfKernels.nearest($v, $childIsFloat, $c, $n, $d)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** `probe_clusters(v)`: the nprobe nearest cluster ids, score-ascending —
+  * kernel twin of slice(array_sort(scored structs)) (same codebook-as-
+  * reference rationale as [[NearestCentroid]]).
+  */
+case class ProbeClusters(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    cents: Array[Array[Double]], cids: Array[Int], nprobe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with IvfCodebookExpr {
+  require(cents.nonEmpty && cents.length == cids.length && nprobe > 0,
+    "probe_clusters: empty/misaligned codebook or nprobe < 1")
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "probe_clusters"
+
+  override def nullSafeEval(v: Any): Any =
+    IvfKernels.probes(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      childIsFloat, cents, cNorms, cids, nprobe)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val c = ctx.addReferenceObj("ivfCents", cents, "double[][]")
+    val n = ctx.addReferenceObj("ivfNorms", cNorms, "double[]")
+    val d = ctx.addReferenceObj("ivfCids", cids, "int[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.operators.IvfKernels.probes($v, $childIsFloat, $c, $n, $d, $nprobe)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): ProbeClusters =
+    copy(child = newChild)
 }
