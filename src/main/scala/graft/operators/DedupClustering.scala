@@ -149,8 +149,13 @@ object DedupClustering {
         greatest(col("doc_a"), col("doc_b")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-    val (edges, edgeDirs) = persist(
-      canon.unionByName(canon.select(col("dst").as("src"), col("src").as("dst"))))
+    // Materialize the CANONICAL edges only (round 15): the loop derives
+    // the mirrored table as a union over the materialized blocks (a narrow
+    // re-read per round, no second checkpoint), and the fast path below
+    // counts/collects canon directly — the round-14 shape checkpointed the
+    // 2× mirrored union and then filtered it back down for the collect,
+    // paying a double-size materialization job on every CC query.
+    val (canonM, edgeDirs) = persist(canon)
 
     // Per-iteration observability, off by default: the iterative loop is
     // the cost center of every dedup-apply query, and "how many rounds,
@@ -164,7 +169,7 @@ object DedupClustering {
     val collectEdges = conf.getOption(CollectEdgesConf)
       .map(_.toLong).getOrElse(DefaultCollectEdges)
 
-    // SMALL-GRAPH FAST PATH: the mirrored edge table is already
+    // SMALL-GRAPH FAST PATH: the canonical edge table is already
     // materialized, so its exact size is one cheap action away. A graph
     // under `spark.graft.cc.collectEdges` canonical edges (default 2^20 —
     // a ≤16 MB collect, the same bounded-driver-state discipline as the
@@ -176,15 +181,13 @@ object DedupClustering {
     // minimum; spec'd equal on random graphs and against the oracle).
     // Above the threshold the delta-iteration loop below is the path —
     // it is what the 100× replication probe exercises (29.2M pairs).
-    val edgeRows = edges.count()
-    if (edgeRows <= 2 * collectEdges) {
+    val edgeRows = canonM.count()
+    if (edgeRows <= collectEdges) {
       val arr = driverUnionFind(
-        edges.filter(col("src") < col("dst"))
-          .select(col("src"), col("dst"))
-          .collect().map(r => (r.getLong(0), r.getLong(1))))
+        canonM.collect().map(r => (r.getLong(0), r.getLong(1))))
       delete(edgeDirs)
       if (debug) System.err.println(
-        s"[graft.cc] fast path: ${edgeRows / 2} edges, ${arr.length} nodes union-found on the driver")
+        s"[graft.cc] fast path: $edgeRows edges, ${arr.length} nodes union-found on the driver")
       val rdd = spark.sparkContext
         .parallelize(arr.toSeq.map { case (d, c) =>
           org.apache.spark.sql.Row(d, c) },
@@ -196,6 +199,11 @@ object DedupClustering {
           org.apache.spark.sql.types.LongType, nullable = false)))
       return spark.createDataFrame(rdd, schema)
     }
+
+    // mirrored edge view over the materialized canonical blocks — each
+    // per-round scan re-reads the checkpoint, never the pair pipeline
+    val edges = canonM.unionByName(
+      canonM.select(col("dst").as("src"), col("src").as("dst")))
 
     var (labels, labelDirs) = persist(
       edges.groupBy(col("src").as("doc_id"))

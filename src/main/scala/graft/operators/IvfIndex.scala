@@ -102,13 +102,17 @@ object IvfIndex {
     *
     *  - seeding orders by `md5(vec_id || ':ivfseed')` (the repo's salted-md5
     *    determinism discipline) instead of xxhash64, which DuckDB lacks;
-    *  - each Lloyd update is the q60 sorted fold: per (cluster, dim), values
-    *    summed left-to-right in vec_id order (`array_sort(collect_list)` →
-    *    HOF fold), then reassembled into the centroid array in dim order.
+    *  - each Lloyd update is the q60-style sorted fold: per (cluster, dim),
+    *    values summed left-to-right in vec_id order, then divided by the
+    *    group count — since round 15 via the [[SortedVectorMean]] kernel
+    *    over per-cluster (vec_id, vector) lists (one shuffle, one tight
+    *    loop) instead of a dim× posexplode through two exchanges and an
+    *    interpreted HOF fold; the adds happen in the same order, so the
+    *    floats are unchanged (SortedVectorMeanSpec + the oracle hashes).
     *
-    * This is the VERIFICATION-scale shape: the update explodes dim× the
-    * rows and materializes per-group lists, so [[train]] remains the plan
-    * for 100 TB — CentroidDriftSpec-style bounds tie the two paths, and the
+    * This is the VERIFICATION-scale shape: the update materializes
+    * per-cluster lists, so [[train]] remains the plan for 100 TB —
+    * CentroidDriftSpec-style bounds tie the two paths, and the
     * assignment/search machinery ([[knn]], [[assign]]) is shared verbatim.
     */
   def trainDet(emb: DataFrame, k: Int, iters: Int): DataFrame = {
@@ -126,21 +130,24 @@ object IvfIndex {
         col("embedding").cast("array<double>").as("centroid"))
     for (_ <- 1 to iters) {
       val cents = collectCodebook(centroids) // ≤ k tiny rows per iteration
+      // ONE shuffle of whole (cluster_id, vec_id, vector) rows + the
+      // SortedVectorMean kernel — bit-identical to the round-14 form
+      // (posexplode → groupBy(cluster, dim) → array_sort(collect_list) →
+      // interpreted HOF fold → re-assemble), which shuffled dim× the rows
+      // through TWO exchanges and spent ~4 s executor CPU per update stage
+      // in interpreted lambda evaluation (StageProfile, round 15). Per
+      // (cluster, dim) the kernel adds values in the same vec_id-ascending
+      // order and divides by the same group count, so every float matches
+      // the DuckDB sorted-fold replay (SortedVectorMeanSpec + the q39b/
+      // q56b/q57b oracle hashes). Still the VERIFICATION-scale shape (a
+      // per-cluster list materializes); [[train]] remains the 100 TB path.
       centroids = emb
         .select(col("vec_id"),
           nearestCol(col("embedding"), cents).as("cluster_id"),
-          posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
-        .groupBy("cluster_id", "dim")
-        .agg(
-          (aggregate(
-            transform(
-              array_sort(collect_list(struct(col("vec_id"), col("v")))),
-              x => x.getField("v")),
-            lit(0.0), (acc, x) => acc + x) / count(lit(1))).as("cv"))
+          col("embedding").cast("array<double>").as("v"))
         .groupBy("cluster_id")
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("cv")))),
-          x => x.getField("cv")).as("centroid"))
+        .agg(Bridge.column(SortedVectorMean(Bridge.expression(
+          collect_list(struct(col("vec_id"), col("v")))))).as("centroid"))
     }
     centroids
   }
@@ -298,6 +305,49 @@ private[operators] object IvfKernels {
     cNorm2 - 2.0 * dot
   }
 
+  /** Per-dim mean over (vec_id, vector) pairs, summed in vec_id order —
+    * see [[SortedVectorMean]]. Throws on ragged vectors or NULL elements
+    * (dense-embedding contract, like the other vector kernels).
+    */
+  def sortedVectorMean(
+      pairs: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = pairs.numElements()
+    if (n == 0) throw new IllegalArgumentException(
+      "sorted_vector_mean: empty group (collect_list never emits one)")
+    val ids  = new Array[Long](n)
+    val vecs = new Array[org.apache.spark.sql.catalyst.util.ArrayData](n)
+    var i = 0
+    while (i < n) {
+      val row = pairs.getStruct(i, 2)
+      ids(i)  = row.getLong(0)
+      vecs(i) = row.getArray(1)
+      i += 1
+    }
+    // sort indices by vec_id ascending (unique within a group)
+    val order = (0 until n).toArray.sortBy(ids)
+    val d = vecs(0).numElements()
+    val acc = new Array[Double](d)
+    i = 0
+    while (i < n) {
+      val v = vecs(order(i))
+      if (v.numElements() != d) throw new IllegalArgumentException(
+        s"sorted_vector_mean: ragged vectors ($d vs ${v.numElements()})")
+      var j = 0
+      while (j < d) {
+        if (v.isNullAt(j)) throw new IllegalArgumentException(
+          s"sorted_vector_mean: NULL element at dim $j")
+        acc(j) += v.getDouble(j)
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](d)
+    var j = 0
+    while (j < d) { out(j) = acc(j) / n; j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def nearest(
       v: org.apache.spark.sql.catalyst.util.ArrayData, vFloat: Boolean,
       cents: Array[Array[Double]], norms: Array[Double],
@@ -447,5 +497,51 @@ case class ProbeClusters(
 
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression): ProbeClusters =
+    copy(child = newChild)
+}
+
+/** `sorted_vector_mean(pairs)`: per-dimension mean of an array of
+  * (vec_id, vector) structs with the sums accumulated in vec_id-ASCENDING
+  * order — the kernel form of the q60-style sorted fold
+  * (`aggregate(transform(array_sort(collect_list(struct)), _.v), 0, +)`),
+  * bit-identical because vec_id is unique within a group (struct sort
+  * order = vec_id order) and doubles add left-to-right either way. One
+  * tight loop per GROUP instead of an interpreted lambda per element and a
+  * dim× row explosion (see trainDet).
+  */
+case class SortedVectorMean(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_vector_mean"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StructType(Array(a, b)), _)
+        if a.dataType == LongType &&
+          (b.dataType == ArrayType(DoubleType, true) ||
+           b.dataType == ArrayType(DoubleType, false)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<struct<bigint, array<double>>>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    IvfKernels.sortedVectorMean(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.operators.IvfKernels.sortedVectorMean($c)")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): SortedVectorMean =
     copy(child = newChild)
 }

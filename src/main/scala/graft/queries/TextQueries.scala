@@ -37,10 +37,13 @@ object TextQueries {
     * otherwise run on ONE core (the driver corpus shape — measured 1
     * scan partition on 32 cores at every SF). Used by every registration
     * whose result is order-independent (per-row projections, integer /
-    * min / count aggregations, deterministic windows); q73/q86 keep the
-    * raw scan (zero-exchange plan shape is those queries' point, and
-    * both are sub-0.1 s), and nothing with partition-order float sums
-    * (q29-style) routes through here.
+    * min / count aggregations, deterministic windows) AND whose kernel
+    * work is dense enough to amortize the exchange + 32-task stage
+    * overhead (A/B at sf0.1: shingle+minhash 0.84 s → 0.28 s, lang-id
+    * 0.44 s → 0.24 s; but md5-only q20 0.30 s → 0.49 s, so it stays raw,
+    * as do q73/q86 — zero-exchange plan shape is their point — and the
+    * cheap-kernel embeddings queries). Nothing with partition-order float
+    * sums (q29-style) routes through here.
     */
   private def docsWide(s: SparkSession, d: String): DataFrame =
     graft.operators.Fan.out(Tables.documents(s, d), col("doc_id"))
@@ -1421,8 +1424,11 @@ object TextQueries {
     }),
 
     // Exact dedup: md5 fingerprint of normalized text → canonical doc + count.
+    // Raw scan, no fan-out: one md5 per row is cheap enough that the extra
+    // exchange + 32-task stages cost more than the kernel (A/B: 0.30 s raw
+    // vs 0.49 s fanned at sf0.1).
     "q20_dedup_exact" -> ((s, d) => {
-      docsWide(s, d)
+      Tables.documents(s, d)
         .groupBy(TextOps.fingerprintMd5(col("text")).as("fingerprint"))
         .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("cnt"))
     }),
@@ -1859,8 +1865,7 @@ object TextQueries {
     // scoring/join stages add one corpus scan and one shuffle on top.
     "q61_training_export" -> ((s, d) =>
       graft.pipeline.TrainingPipeline.export(
-        docsWide(s, d),
-        Some(graft.operators.Fan.out(Tables.embeddings(s, d), col("vec_id"))),
+        docsWide(s, d), Some(Tables.embeddings(s, d)),
         graft.pipeline.TrainingPipeline.Config(checkpointDir = ccCheckpointDir(s)))),
 
     // Corpus composition report: per (predicted language, 50-token length

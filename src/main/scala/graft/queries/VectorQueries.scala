@@ -19,19 +19,6 @@ object VectorQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Embeddings scan with the scale-adaptive fan-out ([[graft.operators
-    * .Fan.out]], identity at real scale — see TextQueries.docsWide): the
-    * driver corpus ships embeddings as one parquet row group, so the
-    * per-row LSH/encode/cosine kernels otherwise run on one core. Applied
-    * only where the result is order-independent: the LSH candidate+verify
-    * families (deterministic hyperplanes, exact cosine per pair) and the
-    * DETERMINISTIC training twins (md5-ordered seeds, sorted-fold /
-    * driver-re-sorted sample updates). The partition-order-float paths
-    * (q29 Summarizer centroids; q39/q56/q57's xxhash-sampled trainings)
-    * keep the raw scan so their numbers stay comparable across rounds.
-    */
-  private def embWide(s: SparkSession, d: String): DataFrame =
-    graft.operators.Fan.out(Tables.embeddings(s, d), col("vec_id"))
 
   private val nQueries = 10
   private val topK     = 5
@@ -376,7 +363,7 @@ object VectorQueries {
     // Approximate kNN: score only candidates sharing an LSH bucket with the
     // query in ≥1 of the 4 tables (scale path — no all-pairs scan).
     "q27_knn_lsh" -> ((s, d) =>
-      knnLsh(embWide(s, d), col("vec_id") < nQueries)),
+      knnLsh(Tables.embeddings(s, d), col("vec_id") < nQueries)),
 
     // Embedding-cosine near-duplicate pairs, composed exactly like the
     // q22 → q23 text pipeline: multiprobe sign-LSH candidates (Hamming ≤ 1
@@ -392,7 +379,7 @@ object VectorQueries {
     // hot-bucket cap bit-exactly, so the full candidate+verify pipeline
     // is hash-checked.
     "q35_embed_neardup" -> ((s, d) =>
-      embedNeardupPairs(embWide(s, d))),
+      embedNeardupPairs(Tables.embeddings(s, d))),
 
     // Semantic dedup APPLY (SemDeDup, Abbas et al. 2023, re-expressed on
     // the oracled LSH-candidate path instead of k-means clusters): the q35
@@ -403,7 +390,7 @@ object VectorQueries {
     // with the corpus convention vec_id = doc_id this IS the semantic
     // dedup of the document set (TrainingPipeline.EmbedDedup wires it).
     "q90_embed_dedup_apply" -> ((s, d) => {
-      val emb = embWide(s, d)
+      val emb = Tables.embeddings(s, d)
       emb.join(
           embedLosersOf(emb,
             checkpointDir = s.conf.getOption("spark.graft.checkpoint.dir"))
@@ -433,7 +420,7 @@ object VectorQueries {
     // registered as the scale path (one shuffle of whole-vector partial
     // sums per iteration vs this twin's dim× explode).
     "q39b_knn_ivf_det" -> ((s, d) => {
-      val emb = embWide(s, d)
+      val emb = Tables.embeddings(s, d)
       val centroids = IvfIndex.trainDet(emb, k = ivfK, iters = ivfIters)
       val qs = emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
@@ -464,7 +451,7 @@ object VectorQueries {
     // whole quantized ANN answer hash-checks end to end. q56 stays
     // registered as the production twin on the standard hash key.
     "q56b_knn_pq_det" -> ((s, d) => {
-      val emb = embWide(s, d)
+      val emb = Tables.embeddings(s, d)
       val books = PqIndex.trainDet(emb, m = pqM, k = pqK, iters = pqIters)
       val qs = emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
@@ -492,7 +479,7 @@ object VectorQueries {
     // family carries a DuckDB hash check; only the xxhash64-sampled scale
     // paths and the sketch query remain rows-only, each with a spec.
     "q57b_knn_ivfpq_det" -> ((s, d) => {
-      val emb = embWide(s, d)
+      val emb = Tables.embeddings(s, d)
       val centroids = IvfIndex.trainDet(emb, k = ivfK, iters = ivfIters)
       val books = PqIndex.trainDet(emb, m = pqM, k = pqK, iters = pqIters)
       val qs = emb.filter(col("vec_id") < nQueries)
@@ -523,7 +510,7 @@ object VectorQueries {
     // within cosine 0.4 of any eval vector — through the verified-LSH
     // candidate pipeline — are refused (see embedDecontaminate).
     "q85_embed_decontam" -> ((s, d) => {
-      embedDecontaminate(embWide(s, d),
+      embedDecontaminate(Tables.embeddings(s, d),
           col("vec_id") % TextQueries.evalSliceMod === 0)
         .select(col("vec_id"), col("label").cast("int").as("label"))
     }),
