@@ -1,46 +1,53 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.functions._
 
-/** Dev scratchpad — A/B fan-out across cheap vs dense documents kernels. */
+/** Dev scratchpad — currently: verify the one-pass q44 Transform reuses the
+  * 4-key exchange at runtime (AQE stage reuse): stage/task counts + wall,
+  * with and without a smaller CSV split size.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val path = args.lift(0).getOrElse("/root/repo/bench_data/trades_8m.csv")
+    val n    = args.lift(1).map(_.toInt).getOrElse(8000000)
     val spark = GraftSession.create("graft-scratch")
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.functions.{TextFingerprints, TextOps}
+    graft.etl.TradesGen.ensure(path, n)
 
-    def time(label: String)(f: => Unit): Unit = (1 to 3).foreach { i =>
-      val t0 = System.nanoTime()
-      f
-      System.err.println(f"[scratch] $label rep=$i sec=${(System.nanoTime() - t0) / 1e9}%.3f")
-    }
+    @volatile var stages = 0
+    @volatile var tasks = 0
+    @volatile var cpuNs = 0L
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages += 1; tasks += s.stageInfo.numTasks
+        if (s.stageInfo.taskMetrics != null)
+          cpuNs += s.stageInfo.taskMetrics.executorCpuTime
+      }
+    })
+
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    def pipeline(): Unit =
+      noop(graft.etl.Transform(
+        graft.etl.TradesEtl.clean(graft.etl.TradesEtl.extract(spark, path)),
+        computePnl = true))
 
-    val raw  = Tables.documents(spark, dir)
-    val wide = graft.operators.Fan.out(raw, col("doc_id"))
-
-    // q20 shape: md5-of-normalized + groupBy (cheap kernel, one shuffle)
-    def q20(d: org.apache.spark.sql.DataFrame): Unit =
-      noop(d.groupBy(TextOps.fingerprintMd5(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("cnt")))
-    // q18 shape: tokenize + 4 stopword probes (moderate, narrow)
-    def q18(d: org.apache.spark.sql.DataFrame): Unit =
-      noop(d.select(col("doc_id"), col("text"),
-          TextOps.tokens(TextOps.normalized(col("text"))).as("toks"))
-        .select(col("doc_id"),
-          TextOps.langIdFromTokens(col("toks"), col("text")).as("lang_pred")))
-    // q21 shape: shingle + md5 per shingle + 4 minhash (dense, narrow)
-    def q21(d: org.apache.spark.sql.DataFrame): Unit =
-      noop(graft.queries.TextQueries.sigsFrom(
-        graft.queries.TextQueries.shingledDocs(d)))
-
-    for ((nm, f) <- Seq[(String, org.apache.spark.sql.DataFrame => Unit)](
-        ("q20", q20), ("q18", q18), ("q21", q21))) {
-      f(raw); f(wide)
-      time(s"$nm RAW ") { f(raw) }
-      time(s"$nm WIDE") { f(wide) }
+    def run(label: String): Unit = (1 to 3).foreach { i =>
+      BenchSupport.preRead(path)
+      Thread.sleep(200); stages = 0; tasks = 0; cpuNs = 0L
+      val la0 = BenchSupport.loadAvg()
+      val t0 = System.nanoTime()
+      pipeline()
+      val wall = (System.nanoTime() - t0) / 1e9
+      BenchSupport.clearState(spark); Thread.sleep(200)
+      System.err.println(f"[scratch] $label rep=$i wall=$wall%.3f stages=$stages tasks=$tasks cpu=${cpuNs / 1e9}%.2f load=$la0%.2f")
     }
+
+    pipeline(); BenchSupport.clearState(spark) // warm
+    run("onepass        ")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+    pipeline(); BenchSupport.clearState(spark)
+    run("onepass+16m    ")
     spark.stop()
   }
 }

@@ -93,10 +93,44 @@ object Transform {
         col("unrealized_pnl"), col("total_pnl"))
   }
 
-  /** Full transform (`transform()` in the reference). */
+  /** Full transform (`transform()` in the reference).
+    *
+    * One input pass (round 15, optimization guide §2.4 "two operations
+    * keyed the same way can share one exchange"): the mark-price dim is
+    * derived FROM the weekly aggregate instead of from a second scan of
+    * the trade-level input. Each group additionally carries its
+    * latest-trade (price, ts); per symbol, the group holding the symbol's
+    * globally latest trade wins `max_by(__grp_last_price, __grp_last_ts)`,
+    * which equals `markPrice(derived)` exactly — selection-only (no float
+    * arithmetic), and the winning row is the same row. Both aggregation
+    * subtrees hang off the SAME 4-key Exchange, which ReuseExchange
+    * dedupes: the old shape's plan held TWO full `Scan csv → parse →
+    * clean` subtrees (the broadcast mark side re-parsed the entire input
+    * — at the 8 M-row bench twin that doubled the dominant parse cost),
+    * the new plan holds ONE (plans/r15/q44_trades_etl_{before,after}.txt).
+    *
+    * Tie note: when several trades share a symbol's max timestamp,
+    * `max_by` ties are indeterminate in BOTH shapes (old: over rows; new:
+    * over group candidates). The declared q44 input (the reference's
+    * 800-row CSV) has exactly ONE row at the max ts per symbol
+    * (verified), so the declared query's result is bit-identical —
+    * oracle-hash + golden-diff re-proven this round.
+    */
   def apply(cleanTrades: DataFrame, computePnl: Boolean = true): DataFrame = {
     val derived = withDerived(cleanTrades)
-    val agg     = weeklyAgg(derived, computePnl)
-    if (computePnl) withPnl(agg, markPrice(derived)) else agg
+    if (!computePnl) weeklyAgg(derived, computePnl = false)
+    else {
+      val aggExt = derived
+        .groupBy(groupKeys.map(col): _*)
+        .agg(pnlAggExprs.head,
+          (pnlAggExprs.tail ++ Seq(
+            max_by(col("price"), col("timestamp")).as("__grp_last_price"),
+            max(col("timestamp")).as("__grp_last_ts"))): _*)
+      val mark = aggExt
+        .groupBy("symbol")
+        .agg(max_by(col("__grp_last_price"), col("__grp_last_ts"))
+          .as("mark_price"))
+      withPnl(aggExt.drop("__grp_last_price", "__grp_last_ts"), mark)
+    }
   }
 }

@@ -522,11 +522,16 @@ object TextQueries {
     */
   private[graft] def tokenBudgetSelect(
       docs: DataFrame, budgetTokens: Long): DataFrame = {
-    val scored = scoreDocs(docs).select(
+    // materialize the scored table: it feeds BOTH the band histogram and
+    // the join-back — unmaterialized, the q19 quality expression and the
+    // token count (the two heavy kernels here) evaluate over the corpus
+    // TWICE (guide §1.2). One slim (doc_id, n_tokens, band, tb_key) row
+    // per doc; integer/hash columns, value-exact.
+    val scored = RelationalOps.materialize(scoreDocs(docs).select(
       col("doc_id"), col("n_tokens"),
       floor(col("quality") * budgetBandScale).cast("long").as("band"),
       substring(md5(concat(col("doc_id").cast("string"), lit(":tb"))), 1, 8)
-        .as("tb_key"))
+        .as("tb_key")))
     val bands = scored.groupBy("band").agg(sum("n_tokens").as("band_tokens"))
     val w = Window.orderBy(col("band").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -621,15 +626,27 @@ object TextQueries {
     * The per-doc aggregation map-side-combines on doc_id.
     */
   private[graft] def unigramScoreOf(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(TextOps.tokens(TextOps.normalized(col("text")))).as("term"))
-    val freqs = toks.groupBy("term").agg(count(lit(1)).as("freq"))
-    toks.join(freqs, "term")
+    // Round 15 (guide §1.2 / §2.3): stage per-doc term counts ONCE instead
+    // of tokenizing the corpus twice (freq aggregate + scoring join) and
+    // shuffling every raw TOKEN row by term. tf is distinct (doc, term)
+    // pairs with counts — the freq table is sum(cnt) per term over it, and
+    // every per-doc aggregate linearizes over cnt:
+    //   n_tokens = Σ cnt,  sum_freq = Σ freq·cnt,  n_rare = Σ cnt·[freq≤max]
+    // — all integer arithmetic, so the values are exactly the round-14
+    // form's (oracle hash re-proven this round). The term-keyed shuffle now
+    // carries |distinct (doc,term)| rows instead of |tokens|.
+    val tf = RelationalOps.materialize(
+      docs.select(col("doc_id"),
+          explode(TextOps.tokens(TextOps.normalized(col("text")))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt")))
+    val freqs = tf.groupBy("term").agg(sum(col("cnt")).as("freq"))
+    tf.join(freqs, "term")
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(col("freq")).as("sum_freq"),
-        sum(when(col("freq") <= rareFreqMax, 1L).otherwise(0L)).as("n_rare"))
+        sum(col("cnt")).as("n_tokens"),
+        sum(col("freq") * col("cnt")).as("sum_freq"),
+        sum(when(col("freq") <= rareFreqMax, col("cnt")).otherwise(0L))
+          .as("n_rare"))
       .select(col("doc_id"), col("n_tokens"), col("sum_freq"), col("n_rare"),
         (col("sum_freq").cast("double") / col("n_tokens").cast("double"))
           .as("avg_freq"),
@@ -1219,10 +1236,25 @@ object TextQueries {
       }
       m.keysIterator
     }.toDF("term").distinct()
-    val total = toks.agg(count(lit(1)).as("n_total"))
-    toks
-      .join(broadcast(cands), Seq("term"), "left_semi")
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    // Round 15 (guide §1.2): ONE exact-recount pass instead of two — the
+    // old shape tokenized the corpus a 2nd time for `n_total` and a 3rd
+    // for the candidate recount. Non-candidate tokens fold into a single
+    // NULL bucket, so one aggregation yields both the per-candidate counts
+    // (cterm != null rows) and, summed over ALL buckets, the exact total —
+    // integer counts, value-identical to the two-pass form (oracle hash
+    // re-proven this round). Partial aggregation reduces each task to
+    // ≤ k+1 rows before the exchange; `counts` materializes because it
+    // feeds both the total and the filter (else the pass plans twice).
+    val counts = RelationalOps.materialize(
+      toks
+        .join(broadcast(cands.withColumn("__cand", lit(true))),
+          Seq("term"), "left")
+        .groupBy(when(col("__cand"), col("term")).as("cterm"))
+        .agg(count(lit(1)).as("cnt")))
+    val total = counts.agg(sum("cnt").as("n_total"))
+    counts
+      .filter(col("cterm").isNotNull)
+      .select(col("cterm").as("term"), col("cnt"))
       .crossJoin(broadcast(total))
       .filter(col("cnt") * lit(k.toLong) > col("n_total"))
       .select(col("term"), col("cnt"), col("n_total"))
@@ -1512,11 +1544,21 @@ object TextQueries {
     // would cost an extra eager job per construction).
     "q40_tfidf" -> ((s, d) => {
       val docs = docsWide(s, d)
-      val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      // count over the RAW scan: the count is partitioning-independent and
+      // a fan-out exchange under it is pure overhead (round 15)
+      val n = Tables.documents(s, d)
+        .agg(count(lit(1)).cast("double").as("n_docs"))
       val terms = docs
         .select(col("doc_id"),
           explode(TextOps.tokens(TextOps.normalized(col("text")))).as("term"))
-      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // materialize tf: it feeds BOTH the df aggregate and the score join —
+      // unmaterialized, Catalyst plans the corpus scan + tokenize + explode
+      // + agg TWICE (the q72 posting-table lesson, same shape; guide §1.2
+      // "don't compute things twice"). tf is distinct (doc, term) pairs —
+      // tiny next to the tokenize pass it saves. Integer counts: the
+      // checkpoint is value-exact.
+      val tf = RelationalOps.materialize(
+        terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val scored = tf.join(df, "term")
         .crossJoin(broadcast(n))

@@ -182,12 +182,25 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange SinglePartition".r.findAllIn(p).size <= 1, p)
   }
 
-  test("q88: candidate filter is a broadcast semi-join before the count shuffle") {
-    val p = plan("q88_heavy_hitters", "simple")
-    // the token stream is semi-joined down to sketch candidates BEFORE the
-    // exact-count aggregation — the full-vocab shuffle never happens
-    assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"), p)
+  test("q88: candidate marking is a broadcast join; recount folds to ≤k+1 buckets") {
+    // the recount table materializes at construction (it feeds both the
+    // total and the filter), so assert on the FULL lineage plan — skip
+    // the localCheckpoint like PlanDump does
+    spark.conf.set("spark.graft.materialize.skip", "true")
+    val p = try plan("q88_heavy_hitters", "simple")
+    finally spark.conf.unset("spark.graft.materialize.skip")
+    // the token stream is broadcast-marked against the sketch candidates
+    // and aggregated by the MARKED key (non-candidates fold into one NULL
+    // bucket, which also yields n_total in the same pass — round 15) — the
+    // full-vocab shuffle never happens, and no token row outlives the
+    // partial aggregation
+    assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    // the candidate-count branch: isnotnull(cterm) pushes through the
+    // when(), turning ITS marker join inner (candidate rows only); the
+    // total branch keeps the LeftOuter join so non-candidates fold into
+    // the NULL bucket and the same pass yields n_total
+    assert(p.contains("LeftOuter"), p)
   }
 
   test("q89: scoring against the collected weight table is one narrow projection") {
