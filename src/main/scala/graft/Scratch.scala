@@ -2,9 +2,9 @@ package graft
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.functions._
 
-/** Dev scratchpad — currently: verify the one-pass q44 Transform reuses the
-  * 4-key exchange at runtime (AQE stage reuse): stage/task counts + wall,
-  * with and without a smaller CSV split size.
+/** Dev scratchpad — currently: same-session A/B of the q44 twin pipeline
+  * shapes (old two-pass vs one-pass shared-exchange) with per-stage
+  * executor CPU.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -14,40 +14,47 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     graft.etl.TradesGen.ensure(path, n)
 
-    @volatile var stages = 0
-    @volatile var tasks = 0
-    @volatile var cpuNs = 0L
+    val rows = scala.collection.mutable.ArrayBuffer[(Int, Int, Double, Double)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-        stages += 1; tasks += s.stageInfo.numTasks
-        if (s.stageInfo.taskMetrics != null)
-          cpuNs += s.stageInfo.taskMetrics.executorCpuTime
+        val i = s.stageInfo
+        val cpu = Option(i.taskMetrics).map(_.executorCpuTime / 1e9).getOrElse(-1.0)
+        val run = Option(i.taskMetrics).map(_.executorRunTime / 1e3).getOrElse(-1.0)
+        rows += ((i.stageId, i.numTasks, run, cpu))
       }
     })
 
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    def pipeline(): Unit =
-      noop(graft.etl.Transform(
-        graft.etl.TradesEtl.clean(graft.etl.TradesEtl.extract(spark, path)),
-        computePnl = true))
 
-    def run(label: String): Unit = (1 to 3).foreach { i =>
-      BenchSupport.preRead(path)
-      Thread.sleep(200); stages = 0; tasks = 0; cpuNs = 0L
-      val la0 = BenchSupport.loadAvg()
-      val t0 = System.nanoTime()
-      pipeline()
-      val wall = (System.nanoTime() - t0) / 1e9
-      BenchSupport.clearState(spark); Thread.sleep(200)
-      System.err.println(f"[scratch] $label rep=$i wall=$wall%.3f stages=$stages tasks=$tasks cpu=${cpuNs / 1e9}%.2f load=$la0%.2f")
+    import graft.etl.{TradesEtl, Transform}
+    def onepass(): Unit =
+      noop(Transform(TradesEtl.clean(TradesEtl.extract(spark, path)),
+        computePnl = true))
+    def twopass(): Unit = { // the round-14 shape, reconstructed
+      val derived = Transform.withDerived(
+        TradesEtl.clean(TradesEtl.extract(spark, path)))
+      val agg = Transform.weeklyAgg(derived, computePnl = true)
+      noop(Transform.withPnl(agg, Transform.markPrice(derived)))
     }
 
-    pipeline(); BenchSupport.clearState(spark) // warm
-    run("onepass        ")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
-    pipeline(); BenchSupport.clearState(spark)
-    run("onepass+16m    ")
+    def run(label: String, f: () => Unit): Unit = {
+      f(); BenchSupport.clearState(spark) // warm
+      (1 to 3).foreach { i =>
+        BenchSupport.preRead(path)
+        Thread.sleep(300); rows.clear()
+        val t0 = System.nanoTime()
+        f()
+        val wall = (System.nanoTime() - t0) / 1e9
+        BenchSupport.clearState(spark); Thread.sleep(300)
+        val cpu = rows.map(_._4).sum
+        System.err.println(f"[scratch] $label rep=$i wall=$wall%.3f stages=${rows.size} cpu=$cpu%.2f")
+        if (i == 3) rows.toSeq.sortBy(-_._4).foreach { case (id, nt, r, c) =>
+          System.err.println(f"[scratch]   stage=$id%4d tasks=$nt%4d run=$r%7.2f cpu=$c%7.2f") }
+      }
+    }
+    run("onepass", onepass _)
+    run("twopass", twopass _)
     spark.stop()
   }
 }

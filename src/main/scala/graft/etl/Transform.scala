@@ -120,12 +120,24 @@ object Transform {
     val derived = withDerived(cleanTrades)
     if (!computePnl) weeklyAgg(derived, computePnl = false)
     else {
-      val aggExt = derived
+      // materialized because it feeds BOTH the mark dim and the join's
+      // left side: column pruning specializes the mark side's partial
+      // aggregate (it keeps only the 3 mark columns), so the two exchange
+      // subtrees never canonicalize equal and ReuseExchange/AQE stage
+      // reuse cannot dedupe them — unmaterialized, the scan+parse+partial
+      // stage ran TWICE (measured: 2×41 core-s at the 8 M twin; the q72
+      // posting-table lesson). The checkpoint is the AGG OUTPUT — small by
+      // construction relative to the trade-level input it saves a second
+      // full pass over.
+      val aggExt = graft.operators.RelationalOps.materialize(derived
         .groupBy(groupKeys.map(col): _*)
         .agg(pnlAggExprs.head,
           (pnlAggExprs.tail ++ Seq(
             max_by(col("price"), col("timestamp")).as("__grp_last_price"),
-            max(col("timestamp")).as("__grp_last_ts"))): _*)
+            max(col("timestamp")).as("__grp_last_ts"))): _*))
+      // per-symbol aggregate (partial agg collapses each partition to ≤
+      // |symbols| rows before the exchange — no skewed window funnel) +
+      // broadcast join back
       val mark = aggExt
         .groupBy("symbol")
         .agg(max_by(col("__grp_last_price"), col("__grp_last_ts"))
