@@ -181,13 +181,21 @@ object DedupClustering {
     // minimum; spec'd equal on random graphs and against the oracle).
     // Above the threshold the delta-iteration loop below is the path —
     // it is what the 100× replication probe exercises (29.2M pairs).
-    val edgeRows = canonM.count()
-    if (edgeRows <= collectEdges) {
+    // One bounded action instead of count() + collect() (round 15: every
+    // CC query paid two driver jobs here where one suffices — the apply
+    // family is job-latency-bound once the kernels are fanned out). The
+    // limit caps the fetch at collectEdges+1 rows, so the driver holds at
+    // most one row past the configured bound: a result LONGER than the cap
+    // proves the graph is big (rows are discarded, the loop below runs);
+    // within the cap it IS the edge set.
+    val probe = canonM.limit(
+      math.min(collectEdges + 1L, Int.MaxValue.toLong).toInt).collect()
+    if (probe.length <= collectEdges) {
       val arr = driverUnionFind(
-        canonM.collect().map(r => (r.getLong(0), r.getLong(1))))
+        probe.map(r => (r.getLong(0), r.getLong(1))))
       delete(edgeDirs)
       if (debug) System.err.println(
-        s"[graft.cc] fast path: $edgeRows edges, ${arr.length} nodes union-found on the driver")
+        s"[graft.cc] fast path: ${probe.length} edges, ${arr.length} nodes union-found on the driver")
       val rdd = spark.sparkContext
         .parallelize(arr.toSeq.map { case (d, c) =>
           org.apache.spark.sql.Row(d, c) },

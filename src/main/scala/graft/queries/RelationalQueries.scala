@@ -481,6 +481,13 @@ object RelationalQueries {
     // extraction-stage monitoring summary (null/distinct/range per field)
     // in ONE corpus aggregate.
     "q95_profile" -> ((s, d) => {
+      // RAW scan, deliberately NOT fanned out (round-15 A/B): the
+      // multi-distinct profile plans as Expand×7 → partial agg keyed on
+      // all profiled columns, and fanning that stage to 32 tasks measured
+      // 20–24 summed executor core-s vs 1.2 single-task (≈ the whole
+      // single-task stage cost repaid PER TASK) with wall 1.5 s → 2.0 s.
+      // The single-row-group starvation loses to whatever per-task cost
+      // the expanded multi-distinct partial aggregate carries here.
       RelationalOps.profileColumns(Tables.events(s, d),
         Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
     }),

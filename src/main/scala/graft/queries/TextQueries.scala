@@ -626,19 +626,23 @@ object TextQueries {
     * The per-doc aggregation map-side-combines on doc_id.
     */
   private[graft] def unigramScoreOf(docs: DataFrame): DataFrame = {
-    // Round 15 (guide §1.2 / §2.3): stage per-doc term counts ONCE instead
-    // of tokenizing the corpus twice (freq aggregate + scoring join) and
-    // shuffling every raw TOKEN row by term. tf is distinct (doc, term)
+    // Round 15 (guide §2.3 shuffle fewer bytes): aggregate to per-doc term
+    // counts BEFORE anything shuffles by term. tf is distinct (doc, term)
     // pairs with counts — the freq table is sum(cnt) per term over it, and
     // every per-doc aggregate linearizes over cnt:
     //   n_tokens = Σ cnt,  sum_freq = Σ freq·cnt,  n_rare = Σ cnt·[freq≤max]
     // — all integer arithmetic, so the values are exactly the round-14
     // form's (oracle hash re-proven this round). The term-keyed shuffle now
-    // carries |distinct (doc,term)| rows instead of |tokens|.
-    val tf = RelationalOps.materialize(
-      docs.select(col("doc_id"),
-          explode(TextOps.tokens(TextOps.normalized(col("text")))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt")))
+    // carries |distinct (doc,term)| rows instead of |tokens|. tf is NOT
+    // materialized: the corpus-scale tf table is the wrong thing to pin
+    // (guide §8 stages small proxies, not payloads), and the A/B showed
+    // the checkpoint's job latency costing more at bench scale than the
+    // second tokenize pass it saves — the fan-out already parallelizes
+    // that pass.
+    val tf = docs
+      .select(col("doc_id"),
+        explode(TextOps.tokens(TextOps.normalized(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
     val freqs = tf.groupBy("term").agg(sum(col("cnt")).as("freq"))
     tf.join(freqs, "term")
       .groupBy("doc_id")
@@ -857,8 +861,16 @@ object TextQueries {
     // instead of two.
     val perDoc = RelationalOps.materialize(
       occ.groupBy("doc_id", "h").agg(count(lit(1)).as("cnt")))
-    val dfTab = perDoc.groupBy("h").agg(count(lit(1)).as("docs"))
-    perDoc.join(dfTab, "h")
+    // document frequency as a count window over the hash partition: ONE
+    // exchange of perDoc by h instead of the aggregate-then-join shape
+    // (which exchanged perDoc by h for the df aggregate AND again for the
+    // join, then sort-merged the two sides — round 15). Same value: perDoc
+    // is one row per (doc, h), so count(*) over the h partition IS the
+    // distinct-document count. Partition sizes are posting-list sizes,
+    // exactly what the join keyed on — no new skew exposure.
+    perDoc
+      .withColumn("docs",
+        count(lit(1)).over(Window.partitionBy("h")))
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_grams"),
         coalesce(sum(when(col("docs") >= 2, col("cnt"))), lit(0L))
@@ -927,13 +939,18 @@ object TextQueries {
   private[graft] def chunkDedupApplyOf(docs: DataFrame): DataFrame = {
     val norm = docs.select(col("doc_id"), TextOps.normalized(col("text")).as("norm"))
     val chunks = RelationalOps.materialize(cdcChunksOf(docs))
-    val canon = chunks.groupBy("chunk_fp")
-      .agg(min(struct(col("doc_id"), col("chunk_start"))).as("__c"))
-      .select(col("chunk_fp"),
-        col("__c.doc_id").as("__c_doc"), col("__c.chunk_start").as("__c_start"))
-    val kept = chunks.join(canon, "chunk_fp")
-      .filter(col("doc_id") === col("__c_doc") &&
-        col("chunk_start") === col("__c_start"))
+    // the canonical occurrence IS the min(struct) row — carrying chunk_len
+    // inside the struct makes the election a single aggregate instead of
+    // agg + join-back + equality filter (round 15: one chunk_fp exchange
+    // instead of two plus a join; (doc_id, chunk_start) is unique per
+    // chunk row, so the extra struct field never decides an ordering and
+    // the elected rows are identical)
+    val kept = chunks.groupBy("chunk_fp")
+      .agg(min(struct(col("doc_id"), col("chunk_start"), col("chunk_len")))
+        .as("__c"))
+      .select(col("__c.doc_id").as("doc_id"),
+        col("__c.chunk_start").as("chunk_start"),
+        col("__c.chunk_len").as("chunk_len"))
     val reassembled = kept.join(norm, "doc_id")
       .groupBy("doc_id")
       .agg(
@@ -1243,21 +1260,21 @@ object TextQueries {
     // (cterm != null rows) and, summed over ALL buckets, the exact total —
     // integer counts, value-identical to the two-pass form (oracle hash
     // re-proven this round). Partial aggregation reduces each task to
-    // ≤ k+1 rows before the exchange; `counts` materializes because it
-    // feeds both the total and the filter (else the pass plans twice).
-    val counts = RelationalOps.materialize(
-      toks
-        .join(broadcast(cands.withColumn("__cand", lit(true))),
-          Seq("term"), "left")
-        .groupBy(when(col("__cand"), col("term")).as("cterm"))
-        .agg(count(lit(1)).as("cnt")))
-    val total = counts.agg(sum("cnt").as("n_total"))
+    // ≤ k+1 rows before the exchange, and the total is an unpartitioned
+    // window SUM over that ≤ k+1-row aggregate (bounded by construction,
+    // like the T2 rank window) — one linear plan, no second consumption,
+    // no materialization point.
+    val counts = toks
+      .join(broadcast(cands.withColumn("__cand", lit(true))),
+        Seq("term"), "left")
+      .groupBy(when(col("__cand"), col("term")).as("cterm"))
+      .agg(count(lit(1)).as("cnt"))
     counts
-      .filter(col("cterm").isNotNull)
-      .select(col("cterm").as("term"), col("cnt"))
-      .crossJoin(broadcast(total))
-      .filter(col("cnt") * lit(k.toLong) > col("n_total"))
-      .select(col("term"), col("cnt"), col("n_total"))
+      .withColumn("n_total",
+        sum("cnt").over(Window.partitionBy()))
+      .filter(col("cterm").isNotNull &&
+        col("cnt") * lit(k.toLong) > col("n_total"))
+      .select(col("cterm").as("term"), col("cnt"), col("n_total"))
   }
 
   /** Hash buckets for the q89 importance features: the first two hex chars
@@ -1854,7 +1871,11 @@ object TextQueries {
       Seq("data", "spark", "query"))),
 
     // Vocabulary building: top-16 terms by frequency with dense token ids.
-    "q52_vocab" -> ((s, d) => vocab(docsWide(s, d))),
+    // Raw scan, fan-out REVERTED by round-15 BenchOne A/B: the tokenize +
+    // term-count kernel over this corpus is light enough that the full-text
+    // fan-out exchange plus 32-task scheduling more than doubled the query
+    // (0.22 s raw floor vs 0.57 s fanned) — the q20 lesson, same class.
+    "q52_vocab" -> ((s, d) => vocab(Tables.documents(s, d))),
 
     // Sequence packing: assign docs to fixed-token-budget training bins
     // (256 tokens) by cumulative token count within a hash shard — the
@@ -1877,7 +1898,10 @@ object TextQueries {
     // construction → broadcast join; one shuffle for the per-doc reassembly.
     "q54_dict_encode" -> ((s, d) => {
       val docs = docsWide(s, d)
-      val v = vocab(docs).select(col("term"), col("token_id"))
+      // vocab side over the RAW scan (the q52 A/B: its term-count kernel
+      // doesn't amortize a fan-out exchange); the positional encode side
+      // keeps the fan-out
+      val v = vocab(Tables.documents(s, d)).select(col("term"), col("token_id"))
       val toks = docs.select(col("doc_id"),
         posexplode(TextOps.tokens(TextOps.normalized(col("text"))))
           .as(Seq("pos", "term")))

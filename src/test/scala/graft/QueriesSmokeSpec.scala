@@ -60,7 +60,8 @@ class QueriesSmokeSpec extends SparkSpec {
       "q56b_knn_pq_det" -> Set("BroadcastNestedLoopJoin"),
       // the ≤10001-row band table's cumulative window (documented in q87)
       "q87_token_budget" -> Set("Exchange SinglePartition"),
-      // merged Misra–Gries sketch (one row) + threshold scalar join
+      // merged Misra–Gries sketch (one row) + the n_total window over the
+      // ≤k+1-row marked-count aggregate (bounded by construction)
       "q88_heavy_hitters" -> Set("Exchange SinglePartition", "BroadcastNestedLoopJoin"),
       // q89 has no entry: its 256-row weight-table build (which carries a
       // SinglePartition totals aggregate) runs at query CONSTRUCTION — the
