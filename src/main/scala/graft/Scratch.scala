@@ -2,8 +2,8 @@ package graft
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.functions._
 
-/** Dev scratchpad — currently: A/B the q95 profile aggregate raw vs fanned
-  * (same session), per-stage CPU.
+/** Dev scratchpad — currently: isolate the per-stage overhead of fanned
+  * 32-task stages (trivial projection over the fan-out exchange).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -22,27 +22,31 @@ object Scratch {
     })
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
-    def raw(): Unit = noop(graft.operators.RelationalOps.profileColumns(
-      Tables.events(spark, dir), cols))
-    def fan(): Unit = noop(graft.operators.RelationalOps.profileColumns(
-      graft.operators.Fan.out(Tables.events(spark, dir), col("event_id")), cols))
+
+    val raw  = Tables.documents(spark, dir)
+    def trivialRaw(): Unit = noop(raw.select(col("doc_id")))
+    def trivialFan(): Unit = noop(
+      graft.operators.Fan.out(raw, col("doc_id")).select(col("doc_id"), length(col("text")).as("l")))
+    def kernelFan(): Unit = noop(
+      graft.operators.Fan.out(raw, col("doc_id"))
+        .select(col("doc_id"), graft.functions.TextOps.tokenCount(col("text")).as("n")))
 
     def run(label: String, f: () => Unit): Unit = {
       f(); BenchSupport.clearState(spark)
       (1 to 3).foreach { i =>
-        Thread.sleep(300); rows.clear()
+        Thread.sleep(200); rows.clear()
         val t0 = System.nanoTime()
         f()
         val wall = (System.nanoTime() - t0) / 1e9
-        BenchSupport.clearState(spark); Thread.sleep(300)
-        System.err.println(f"[scratch] $label rep=$i wall=$wall%.3f cpu=${rows.map(_._4).sum}%.2f")
-        if (i == 3) rows.toSeq.sortBy(-_._4).take(4).foreach { case (id, nt, r, c) =>
+        BenchSupport.clearState(spark); Thread.sleep(200)
+        System.err.println(f"[scratch] $label rep=$i wall=$wall%.3f cpu=${rows.map(_._4).sum}%.2f run=${rows.map(_._3).sum}%.2f stages=${rows.size}")
+        if (i == 3) rows.toSeq.sortBy(-_._3).take(3).foreach { case (id, nt, r, c) =>
           System.err.println(f"[scratch]   stage=$id%4d tasks=$nt%4d run=$r%7.2f cpu=$c%7.2f") }
       }
     }
-    run("raw", raw _)
-    run("fan", fan _)
+    run("trivial-raw", trivialRaw _)
+    run("trivial-fan", trivialFan _)
+    run("kernel-fan ", kernelFan _)
     spark.stop()
   }
 }

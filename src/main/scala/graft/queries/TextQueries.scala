@@ -1535,7 +1535,11 @@ object TextQueries {
     // (q65), embedding-cosine (q35). Oracle replays bands, xor and
     // bit_count on the signed 64-bit fingerprint exactly.
     "q64_simhash_pairs" -> ((s, d) => {
-      simhashPairsFrom(docsWide(s, d).select(
+      // raw scan — round-15 BenchOne A/B: the one-pass simhash kernel does
+      // not amortize a full-text fan-out exchange (0.93 s raw vs 1.36 s
+      // fanned), unlike the shingle+minhash family; the band self-join
+      // exchanges by (band, key) either way
+      simhashPairsFrom(Tables.documents(s, d).select(
         col("doc_id"), simhashCol.as("simhash")))
     }),
 
@@ -1648,7 +1652,8 @@ object TextQueries {
     // SimHash as a complete dedup method, oracled end to end against the
     // recursive-CTE replay of the same pipeline.
     "q66_simhash_dedup_apply" -> ((s, d) => {
-      val docs = docsWide(s, d)
+      // raw scan — same A/B as q64 (1.00 s raw vs 1.37 s fanned)
+      val docs = Tables.documents(s, d)
       docs
         .join(simhashLosersOf(docs, checkpointDir = ccCheckpointDir(s)),
           Seq("doc_id"), "left_anti")
