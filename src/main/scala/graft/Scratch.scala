@@ -1,52 +1,27 @@
 package graft
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.functions._
 
-/** Dev scratchpad — currently: isolate the per-stage overhead of fanned
-  * 32-task stages (trivial projection over the fan-out exchange).
+/** Dev scratchpad — currently: capture EXECUTED (production-mode, AQE
+  * final) plans for queries whose registered form materializes a subtree,
+  * so the optimization-round evidence shows what actually runs.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q44_trades_etl", "q40_tfidf", "q87_token_budget",
+        "q83_decontam_bloom", "q72_dup_passages", "q77_chunk_dedup_apply")
+    val sf = "/root/testdata/sf0.001"
     val spark = GraftSession.create("graft-scratch")
     spark.sparkContext.setLogLevel("ERROR")
-
-    val rows = scala.collection.mutable.ArrayBuffer[(Int, Int, Double, Double)]()
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-        val i = s.stageInfo
-        val cpu = Option(i.taskMetrics).map(_.executorCpuTime / 1e9).getOrElse(-1.0)
-        val run = Option(i.taskMetrics).map(_.executorRunTime / 1e3).getOrElse(-1.0)
-        rows += ((i.stageId, i.numTasks, run, cpu))
-      }
-    })
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save()
-
-    val raw  = Tables.documents(spark, dir)
-    def trivialRaw(): Unit = noop(raw.select(col("doc_id")))
-    def trivialFan(): Unit = noop(
-      graft.operators.Fan.out(raw, col("doc_id")).select(col("doc_id"), length(col("text")).as("l")))
-    def kernelFan(): Unit = noop(
-      graft.operators.Fan.out(raw, col("doc_id"))
-        .select(col("doc_id"), graft.functions.TextOps.tokenCount(col("text")).as("n")))
-
-    def run(label: String, f: () => Unit): Unit = {
-      f(); BenchSupport.clearState(spark)
-      (1 to 3).foreach { i =>
-        Thread.sleep(200); rows.clear()
-        val t0 = System.nanoTime()
-        f()
-        val wall = (System.nanoTime() - t0) / 1e9
-        BenchSupport.clearState(spark); Thread.sleep(200)
-        System.err.println(f"[scratch] $label rep=$i wall=$wall%.3f cpu=${rows.map(_._4).sum}%.2f run=${rows.map(_._3).sum}%.2f stages=${rows.size}")
-        if (i == 3) rows.toSeq.sortBy(-_._3).take(3).foreach { case (id, nt, r, c) =>
-          System.err.println(f"[scratch]   stage=$id%4d tasks=$nt%4d run=$r%7.2f cpu=$c%7.2f") }
-      }
+      val text = df.queryExecution.executedPlan.toString
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"plans/r15/${name}_after_executed.txt"), text)
+      BenchSupport.clearState(spark)
+      System.err.println(s"[scratch] wrote plans/r15/${name}_after_executed.txt")
     }
-    run("trivial-raw", trivialRaw _)
-    run("trivial-fan", trivialFan _)
-    run("kernel-fan ", kernelFan _)
     spark.stop()
   }
 }
