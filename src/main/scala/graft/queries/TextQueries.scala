@@ -1821,8 +1821,11 @@ object TextQueries {
     // and oracle are identical to q69 — the check IS that the prefilter
     // changed nothing.
     "q83_decontam_bloom" -> ((s, d) => {
-      val docs = docsWide(s, d)
-      decontaminateBloom(trainSlice(docs), evalSlice(docs))
+      // train side fanned (dense 13-gram explode); EVAL side raw — it is
+      // 1/25 of the corpus and consumed through the materialized distinct
+      // gram table, so a fan-out exchange under it is pure stage overhead
+      decontaminateBloom(trainSlice(docsWide(s, d)),
+          evalSlice(Tables.documents(s, d)))
         .select(col("doc_id"),
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
     }),
